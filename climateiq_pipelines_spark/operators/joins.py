@@ -1,0 +1,341 @@
+"""Join operators (SURVEY.md §2.3) — 12 keys.
+
+Physical strategy is Catalyst's to pick; we hint what a 100 TB plan
+needs: dimensions (region/nation, 5/25 rows at every SF) are broadcast
+explicitly, fact-fact joins shuffle on their equi keys (sort-merge or
+shuffled-hash — AQE decides at runtime and splits skewed partitions).
+
+Scale notes per shape:
+- broadcast dim joins: no shuffle of the fact side at all.
+- fact⋈fact: shuffle on the join key; at 100 TB pre-bucketing both sides
+  on the key (``sink_sorted_bucketed`` shows the write side) removes the
+  shuffle entirely.
+- theta/inequality joins: Spark executes BroadcastNestedLoop — only safe
+  when one side is small/pre-pruned. The LLM ops (§2.10) show the
+  LSH-bucketed formulation that replaces O(n²) at scale.
+- as-of: implemented as a per-key ordered window (last_value IGNORE
+  NULLS), which scales linearly with one shuffle on the partition key —
+  never as a point-in-time O(n²) join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.helpers import (
+    REVENUE,
+    dsum,
+    revenue_col,
+    sql_dsum,
+)
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_shuffle_fact",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, {sql_dsum(REVENUE)} AS order_revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+)
+def join_shuffle_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join; both sides shuffle on the order key. At
+    100 TB: bucket both tables by orderkey at write time to co-locate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(dsum(revenue_col(), "order_revenue"))
+    )
+
+
+_Q5_ORACLE = f"""
+    SELECT n_name, {sql_dsum(REVENUE)} AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@register("join_multikey", oracle=_Q5_ORACLE)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (the flagship): 6-table join with a multi-key
+    supplier⋈customer condition (s_suppkey = l_suppkey AND s_nationkey =
+    c_nationkey), local-supplier revenue per nation.
+
+    Plan shape at scale: region/nation/supplier broadcast (supplier is a
+    dim here), customer⋈orders⋈lineitem shuffle on their FK chain; the
+    date filter on orders is pushed into the parquet scan before the big
+    join, so the shuffled volume is one year, not seven.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+
+    return (
+        customer.join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue_col(), "revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT CASE WHEN user_id IS NULL THEN 'customer_only'
+                WHEN c_custkey IS NULL THEN 'event_only'
+                ELSE 'both' END AS side,
+           COUNT(*) AS n_rows
+    FROM (SELECT DISTINCT user_id FROM events) e
+    FULL OUTER JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.user_id covers only ~10% of the c_custkey range (FIXTURES),
+    so the full outer join genuinely null-extends both sides."""
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    joined = users.join(customer, users.user_id == customer.c_custkey, "full")
+    return (
+        joined.select(
+            F.when(F.col("user_id").isNull(), "customer_only")
+            .when(F.col("c_custkey").isNull(), "event_only")
+            .otherwise("both")
+            .alias("side")
+        )
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross_small",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian of two tiny dims (5×25). Scale note: cross joins are
+    only ever emitted dim×dim (e.g. centroid assignment); a fact-side
+    cross join is a bug, not a plan."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@register(
+    "join_theta_inequality",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS a_label, b.label AS b_label
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 3
+    """,
+)
+def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi self-join (pair generation within an id band). Spark
+    executes this as BroadcastNestedLoopJoin; the band predicate keeps the
+    output linear. Scale note: unbounded theta joins are replaced by
+    bucket-prune joins (see llm_simhash_bucket / llm_minhash_neardup)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return a.join(
+        b,
+        (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (F.col("b.vec_id") - F.col("a.vec_id") <= 3),
+    ).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        F.col("a.label").alias("a_label"),
+        F.col("b.label").alias("b_label"),
+    )
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           COUNT(e.event_id) AS n_follow
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+    GROUP BY s.event_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + time-range predicate: follow-up events within 1 hour of
+    each signup. Spark executes as equi-join on user_id with the range as
+    a post-join filter — the shuffle is on the equi key, so it scales;
+    the range only prunes."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+        F.col("user_id").alias("signup_user"),
+    )
+    follow = events.select("event_id", "ts", "user_id")
+    return (
+        signups.join(
+            follow,
+            (F.col("user_id") == F.col("signup_user"))
+            & (F.col("ts") > F.col("signup_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("signup_id")
+        .agg(F.count("event_id").alias("n_follow"))
+    )
+
+
+@register(
+    "join_asof_last_event",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_purchase_id
+    FROM events
+    """,
+)
+def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for every event, the most recent *strictly
+    earlier* purchase event of the same user. Spark has no native as-of
+    DataFrame join; the scalable formulation is a per-key ordered window
+    with last_value(... IGNORE NULLS) — one shuffle on user_id, linear
+    state, no O(n²) point-in-time join."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(purchase_id, ignorenulls=True).over(w).alias("asof_purchase_id"),
+    )

@@ -1,0 +1,152 @@
+"""Table registry: explicit schemas per fixture table + loud-failing loader.
+
+Schemas are pinned from FIXTURES.md (profiled from the driver-generated
+parquet). We declare them explicitly instead of relying on inference so a
+misread fails at load time, but the parquet footer remains authoritative:
+``load_table`` asserts the footer schema equals the registry entry.
+
+Scale note: each table is one parquet file per scale dir here; at 100 TB a
+table is a directory of many files (ideally partitioned / bucketed), and
+``spark.read.parquet(path)`` handles both identically — the loader takes
+the path pattern, not a single-file assumption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_S = T.StructField
+
+
+def _schema(*fields: T.StructField) -> T.StructType:
+    return T.StructType(list(fields))
+
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _schema(
+        _S("r_regionkey", T.IntegerType()),
+        _S("r_name", T.StringType()),
+    ),
+    "nation": _schema(
+        _S("n_nationkey", T.IntegerType()),
+        _S("n_name", T.StringType()),
+        _S("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _schema(
+        _S("c_custkey", T.LongType()),
+        _S("c_name", T.StringType()),
+        _S("c_nationkey", T.IntegerType()),
+        _S("c_acctbal", T.DoubleType()),
+        _S("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _schema(
+        _S("s_suppkey", T.LongType()),
+        _S("s_name", T.StringType()),
+        _S("s_nationkey", T.IntegerType()),
+        _S("s_acctbal", T.DoubleType()),
+    ),
+    "part": _schema(
+        _S("p_partkey", T.LongType()),
+        _S("p_name", T.StringType()),
+        _S("p_brand", T.StringType()),
+        _S("p_type", T.StringType()),
+        _S("p_size", T.IntegerType()),
+        _S("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _schema(
+        _S("o_orderkey", T.LongType()),
+        _S("o_custkey", T.LongType()),
+        _S("o_orderstatus", T.StringType()),
+        _S("o_totalprice", T.DoubleType()),
+        _S("o_orderdate", T.TimestampNTZType()),
+        _S("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _schema(
+        _S("l_orderkey", T.LongType()),
+        _S("l_partkey", T.LongType()),
+        _S("l_suppkey", T.LongType()),
+        _S("l_linenumber", T.IntegerType()),
+        _S("l_quantity", T.DoubleType()),
+        _S("l_extendedprice", T.DoubleType()),
+        _S("l_discount", T.DoubleType()),
+        _S("l_tax", T.DoubleType()),
+        _S("l_returnflag", T.StringType()),
+        _S("l_linestatus", T.StringType()),
+        _S("l_shipdate", T.TimestampNTZType()),
+    ),
+    "events": _schema(
+        _S("event_id", T.LongType()),
+        _S("ts", T.TimestampNTZType()),
+        _S("user_id", T.LongType()),
+        _S("event_type", T.StringType()),
+        _S("value", T.DoubleType()),
+        _S("props", T.StringType()),
+    ),
+    "documents": _schema(
+        _S("doc_id", T.LongType()),
+        _S("text", T.StringType()),
+        _S("lang", T.StringType()),
+        _S("source", T.StringType()),
+        _S("n_chars", T.LongType()),
+    ),
+    "embeddings": _schema(
+        _S("vec_id", T.LongType()),
+        _S("embedding", T.ArrayType(T.FloatType())),
+        _S("label", T.IntegerType()),
+    ),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, assert_schema: bool = False
+) -> DataFrame:
+    """Load one fixture table. Filters/projections applied by callers are
+    pushed into the parquet scan by Catalyst (predicate pushdown + column
+    pruning) — callers should filter/select as early as possible."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read the physical INT64 (nanosAsLong is a
+        # runtime SQL conf) and truncate to microseconds exactly as the
+        # DuckDB oracle does (ns div 1000), yielding timestamp_ntz.
+        # timestampadd on an NTZ literal stays NTZ and never consults the
+        # session timezone, so this is correct under any caller session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if assert_schema:
+        expected = {(f.name, f.dataType) for f in SCHEMAS[name].fields}
+        actual = {(f.name, f.dataType) for f in df.schema.fields}
+        if expected != actual:
+            raise ValueError(
+                f"schema mismatch for {name}: expected {sorted(map(str, expected))}, "
+                f"got {sorted(map(str, actual))}"
+            )
+    return df
