@@ -1,1 +1,325 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation operators (SURVEY.md §2.4) — 12 keys.
+
+Logical agg semantics only — partial/final split, hash-vs-sort agg and
+spill are Catalyst/Tungsten's (SURVEY §4). Float policy: every SUM/AVG
+over doubles goes through the exact decimal accumulator (helpers.dsum /
+davg); second-order moments are computed from decimal power sums with
+identical expression trees in Spark and the oracle, so results are
+bit-stable across engines and partition layouts.
+
+Scale notes: groupBy keys here are low-cardinality (flags, segments,
+priorities) → map-side partial aggregation collapses the shuffle to
+~|groups|×partitions rows. High-cardinality aggs (per-order, per-user)
+shuffle on the key; skew would be handled by AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.helpers import (
+    DEC,
+    davg,
+    dsum,
+    revenue_col,
+    sql_davg,
+    sql_dsum,
+)
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan→filter→partial-agg→final-agg
+    pipeline. At 100 TB the shuffle carries only |groups| rows per map
+    task thanks to partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = revenue_col()
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(revenue, "sum_disc_price"),
+            dsum(revenue * (1 + F.col("l_tax")), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_custkey", "o_orderstatus").alias("n_cust_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Declared rows-only per
+    SURVEY §2.4: sketch estimates are engine-specific, so there is no
+    cross-engine value oracle. The companion exact counts in
+    agg_count_distinct bound it. Scale note: HLL is THE distinct-count
+    at 100 TB — fixed 16KB state per group vs unbounded exact state."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_conditional_filter",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 10) AS n_big,
+           CAST(SUM(CASE WHEN value > 10 THEN CAST(value AS DECIMAL(25,6)) END)
+                AS DOUBLE) AS sum_big,
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    big = F.col("value") > 10
+    return events.groupBy("event_type").agg(
+        F.count(F.when(big, 1)).alias("n_big"),
+        F.sum(F.when(big, F.col("value").cast(DEC))).cast("double").alias("sum_big"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# Second-order moments from exact decimal power sums: n, Σx, Σx², Σxy are
+# engine-identical, and the final double arithmetic uses the SAME
+# expression tree on both sides → bit-identical var/std/corr/covar.
+_MOM = """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           ((sxy - sx * sy / n) / (n - 1))
+             / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1)))
+             AS corr_qty_price
+    FROM s
+"""
+
+
+@register("agg_stats_moments", oracle=_MOM)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("std_qty"),
+        covar.alias("covar_qty_price"),
+        (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation); rounded because the
+    interpolation arithmetic may differ in the last ulp. Scale note:
+    exact percentile sorts per group — at 100 TB use approx_percentile
+    (t-digest/KLL-style bounded state) unless exactness is contractual."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT s_nationkey, list(s_name ORDER BY s_name) AS supplier_names
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is unordered in Spark (partition arrival order) —
+    always sort_array for deterministic output (SURVEY §7.4)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_name")).alias("supplier_names")
+    )
+
+
+_ROLLUP_ORACLE = f"""
+    SELECT r_name, n_name, {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(dsum(F.col("o_totalprice"), "revenue"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+           CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+           COUNT(*) AS n_custs,
+           {sql_dsum('c_acctbal')} AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with per-column GROUPING flags (bit-order
+    portable, unlike a packed grouping_id)."""
+    customer = load_table(spark, sf_dir, "customer")
+    view = "cps_customer_gs"
+    customer.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+               CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+               CAST(grouping(c_nationkey) AS INT) AS g_nat,
+               COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal
+        FROM {view}
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(o_orderkey, o_totalprice) AS max_price_orderkey,
+           arg_min(o_orderkey, o_totalprice) AS min_price_orderkey,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin per group. Deterministic on the fixture: per-segment
+    max/min totalprice are unique (pinned by a golden test); with ties
+    the formulation would need a struct tie-break."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("max_price_orderkey"),
+            F.min_by("o_orderkey", "o_totalprice").alias("min_price_orderkey"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+    )
