@@ -22,6 +22,7 @@ from climateiq_pipelines_spark.functions.helpers import (
     DEC,
     davg,
     dsum,
+    fin,
     revenue_col,
     sql_davg,
     sql_dsum,
@@ -126,8 +127,9 @@ def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Second-order moments from exact decimal power sums: n, Σx, Σx², Σxy are
-# engine-identical, and the final double arithmetic uses the SAME
-# expression tree on both sides → bit-identical var/std/corr/covar.
+# engine-identical. The derived double arithmetic (ratios, sqrt chains) is
+# NOT association-stable across engines — round-1 showed last-ulp corr
+# divergence — so every derived moment is rounded to 9 dp on both sides.
 _MOM = """
     WITH s AS (
       SELECT l_returnflag,
@@ -140,11 +142,11 @@ _MOM = """
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           (sxx - sx * sx / n) / (n - 1) AS var_qty,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
-           ((sxy - sx * sy / n) / (n - 1))
-             / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1)))
+           round((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS std_qty,
+           round((sxy - sx * sy / n) / (n - 1), 9) AS covar_qty_price,
+           round(((sxy - sx * sy / n) / (n - 1))
+             / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 9)
              AS corr_qty_price
     FROM s
 """
@@ -169,10 +171,10 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     covar = (sxy - sx * sy / n) / (n - 1)
     return s.select(
         "l_returnflag",
-        var_x.alias("var_qty"),
-        F.sqrt(var_x).alias("std_qty"),
-        covar.alias("covar_qty_price"),
-        (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+        fin(var_x, "var_qty", 9),
+        fin(F.sqrt(var_x), "std_qty", 9),
+        fin(covar, "covar_qty_price", 9),
+        fin(covar / (F.sqrt(var_x) * F.sqrt(var_y)), "corr_qty_price", 9),
     )
 
 
@@ -202,17 +204,25 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT s_nationkey, list(s_name ORDER BY s_name) AS supplier_names
+    SELECT s_nationkey,
+           string_agg(s_name, '|' ORDER BY s_name) AS supplier_names,
+           COUNT(*) AS n_suppliers
     FROM supplier
     GROUP BY s_nationkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list is unordered in Spark (partition arrival order) —
-    always sort_array for deterministic output (SURVEY §7.4)."""
+    always sort_array for deterministic output (SURVEY §7.4). The list is
+    serialized to a '|'-joined scalar because the driver's canonicalizer
+    hashes cells and cannot hash Python lists (round-1 CORRECTNESS
+    failure); string output is hashable on both sides."""
     supplier = load_table(spark, sf_dir, "supplier")
     return supplier.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_name")).alias("supplier_names")
+        F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+            "supplier_names"
+        ),
+        F.count(F.lit(1)).alias("n_suppliers"),
     )
 
 
@@ -296,29 +306,40 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_min_max_by",
     oracle="""
+    WITH j AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), w AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+        row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+      FROM j
+    )
     SELECT c_mktsegment,
-           arg_max(o_orderkey, o_totalprice) AS max_price_orderkey,
-           arg_min(o_orderkey, o_totalprice) AS min_price_orderkey,
+           max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS max_price_orderkey,
+           max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS min_price_orderkey,
            max(o_totalprice) AS max_price,
            min(o_totalprice) AS min_price
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment
+    FROM w GROUP BY c_mktsegment
     """,
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """argmax/argmin per group. Deterministic on the fixture: per-segment
-    max/min totalprice are unique (pinned by a golden test); with ties
-    the formulation would need a struct tie-break."""
+    """argmax/argmin per group, made tie-proof with a struct ordering key
+    (o_totalprice, o_orderkey): with equal prices both engines then agree
+    on the larger/smaller orderkey instead of picking arbitrarily."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tie_key = F.struct("o_totalprice", "o_orderkey")
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("max_price_orderkey"),
-            F.min_by("o_orderkey", "o_totalprice").alias("min_price_orderkey"),
+            F.max_by("o_orderkey", tie_key).alias("max_price_orderkey"),
+            F.min_by("o_orderkey", tie_key).alias("min_price_orderkey"),
             F.max("o_totalprice").alias("max_price"),
             F.min("o_totalprice").alias("min_price"),
         )

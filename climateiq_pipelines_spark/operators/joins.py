@@ -248,23 +248,25 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi self-join (pair generation within an id band). Spark
-    executes this as BroadcastNestedLoopJoin; the band predicate keeps the
-    output linear. Scale note: unbounded theta joins are replaced by
-    bucket-prune joins (see llm_simhash_bucket / llm_minhash_neardup)."""
+    """Banded non-equi self-join, rewritten as an offset EQUI-join: the
+    band predicate `0 < b.vec_id - a.vec_id <= 3` is exactly the union of
+    the three offset equalities b.vec_id = a.vec_id + {1,2,3}, generated
+    via explode(sequence(1,3)). Catalyst plans a plain shuffled equi-join
+    on the computed key — linear in input at any scale — where the naive
+    theta formulation executes BroadcastNestedLoopJoin and evaluates all
+    n² pairs (a scale-killer at 100 TB; round-1 verdict item #3).
+    Unbounded/non-arithmetic theta joins instead use bucket-prune plans
+    (see llm_simhash_bucket / llm_minhash_neardup)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    return a.join(
-        b,
-        (F.col("a.vec_id") < F.col("b.vec_id"))
-        & (F.col("b.vec_id") - F.col("a.vec_id") <= 3),
-    ).select(
-        F.col("a.vec_id").alias("a_id"),
-        F.col("b.vec_id").alias("b_id"),
-        F.col("a.label").alias("a_label"),
-        F.col("b.label").alias("b_label"),
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("offset"),
+    ).withColumn("b_key", F.col("a_id") + F.col("offset"))
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label")
     )
+    return a.join(b, a.b_key == b.b_id).select("a_id", "b_id", "a_label", "b_label")
 
 
 @register(

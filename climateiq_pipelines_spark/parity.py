@@ -62,9 +62,16 @@ def canon_value(v: object) -> object:
         return canon_value(v.item())
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    # arrays / lists (Spark ArrayType, DuckDB LIST come back as ndarray/list)
+    # Arrays/lists are REJECTED: the driver's canonicalizer hashes cells
+    # via pandas factorize, which crashes on unhashable lists (round-1
+    # agg_collect_sorted failure). Queries must serialize collections to
+    # scalars (array_join / to_json) before returning.
     if hasattr(v, "__iter__"):
-        return tuple(canon_value(x) for x in v)
+        raise TypeError(
+            f"unhashable collection in result cell ({type(v).__name__}); "
+            "serialize arrays with array_join/to_json — the driver's hash "
+            "cannot handle lists"
+        )
     return repr(v)
 
 

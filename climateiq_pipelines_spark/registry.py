@@ -116,12 +116,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# events.ts physical schema is parquet TIMESTAMP(NANOS), read as INT64
+# under the nanosAsLong conf (the vectorized reader rejects nanos natively).
+RAW_EVENTS_SCHEMA = _schema(
+    _S("event_id", T.LongType()),
+    _S("ts", T.LongType()),
+    _S("user_id", T.LongType()),
+    _S("event_type", T.StringType()),
+    _S("value", T.DoubleType()),
+    _S("props", T.StringType()),
+)
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _assert_schema(name: str, df: DataFrame, expected_schema: T.StructType) -> None:
+    expected = {(f.name, f.dataType) for f in expected_schema.fields}
+    actual = {(f.name, f.dataType) for f in df.schema.fields}
+    if expected != actual:
+        raise ValueError(
+            f"schema mismatch for {name}: expected {sorted(map(str, expected))}, "
+            f"got {sorted(map(str, actual))}"
+        )
+
+
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, assert_schema: bool = False
+    spark: SparkSession, sf_dir: str, name: str, assert_schema: bool = True
 ) -> DataFrame:
-    """Load one fixture table. Filters/projections applied by callers are
-    pushed into the parquet scan by Catalyst (predicate pushdown + column
-    pruning) — callers should filter/select as early as possible."""
+    """Load one fixture table, asserting the parquet footer schema matches
+    the pinned registry entry (loud failure on fixture drift). Filters and
+    projections applied by callers are pushed into the parquet scan by
+    Catalyst (predicate pushdown + column pruning) — callers should
+    filter/select as early as possible."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -131,8 +157,17 @@ def load_table(
         # DuckDB oracle does (ns div 1000), yielding timestamp_ntz.
         # timestampadd on an NTZ literal stays NTZ and never consults the
         # session timezone, so this is correct under any caller session.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        #
+        # The conf is also declared in session.get_spark; it must
+        # additionally be ensured here because the driver calls queries()
+        # with its OWN session that never went through our factory. The
+        # set is idempotent (always "true", never varies) and is a
+        # documented session-wide requirement for reading this table.
+        if spark.conf.get(NANOS_CONF, "false") != "true":
+            spark.conf.set(NANOS_CONF, "true")
         df = spark.read.parquet(table_path(sf_dir, name))
+        if assert_schema:
+            _assert_schema(name, df, RAW_EVENTS_SCHEMA)
         return df.withColumn(
             "ts",
             F.expr(
@@ -142,11 +177,5 @@ def load_table(
         )
     df = spark.read.parquet(table_path(sf_dir, name))
     if assert_schema:
-        expected = {(f.name, f.dataType) for f in SCHEMAS[name].fields}
-        actual = {(f.name, f.dataType) for f in df.schema.fields}
-        if expected != actual:
-            raise ValueError(
-                f"schema mismatch for {name}: expected {sorted(map(str, expected))}, "
-                f"got {sorted(map(str, actual))}"
-            )
+        _assert_schema(name, df, SCHEMAS[name])
     return df
