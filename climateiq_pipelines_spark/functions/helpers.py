@@ -4,20 +4,31 @@ Double summation is association-order dependent: Spark's partial/final
 aggregation over shuffled partitions and DuckDB's single-node sum will
 disagree in final ulps, which breaks the driver's value-hash. Policy:
 
-- Every SUM/AVG over a double measure goes through an exact decimal
-  accumulator: cast each (double-computed) term to DECIMAL(25,6), sum
-  exactly, cast the total back to DOUBLE. Decimal addition is exact and
-  associative, and double→decimal(…,6) rounding is engine-independent
-  (ties would require a double exactly at a .0000005 boundary, which is
-  not representable), so Spark and DuckDB produce bit-identical doubles.
-- AVG = CAST(decimal-sum AS DOUBLE) / COUNT — one IEEE division of
-  identical operands on both sides.
+- Every SUM/AVG over a double measure goes through a FIXED-POINT LONG
+  accumulator: per row, floor(x * 1e6) as int64 ("micro units" — an
+  IEEE-identical multiply+floor on both engines), summed exactly
+  (integer addition is associative ⇒ partition-order independent), then
+  converted back to double and divided by 1e6. Both engines convert
+  their exact integer sum to double with IEEE round-to-nearest, so the
+  final doubles are bit-identical.
+- AVG = (integer-sum → double / 1e6) / COUNT — the identical expression
+  tree on both sides.
 - Library transcendentals (exp/ln/pow/…) may differ between the JVM and
   DuckDB's libm in the last ulp → round those outputs (`fin`).
 
-Scale note: the decimal cast is a per-row scalar inside whole-stage
-codegen; partial aggregation (map-side combine) still applies, so this
-costs nothing at 100 TB relative to a plain sum.
+Why long-micros and not a decimal accumulator: decimal(25,6) exceeds
+64-bit unscaled range, so Spark aggregates it on the BigDecimal slow
+path — measured 3× slower than long-micros on the Q1 shape at sf0.1
+(1.43 s vs 0.45 s; BASELINE.md). The long path stays inside whole-stage
+codegen as primitive ops.
+
+Capacity / scale note: the accumulator holds Σ|x|·1e6 per group; with
+money-scale values (~1e5 → 1e11 micro-units/row) it is exact up to
+~9·10^7 rows per group (2^63 bound). Beyond that — e.g. national-scale
+groups at 100 TB — widen to a two-level sum (partial long sums combined
+as decimal) or decimal(25,6); the moments oracle (aggregates._MOM) shows
+the decimal form for squared measures whose magnitude exceeds the long
+budget at any cardinality.
 """
 
 from __future__ import annotations
@@ -25,17 +36,28 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Kept for the few aggregates (squared measures) that exceed the
+# long-micro range and accept the BigDecimal slow path instead.
 DEC = "decimal(25,6)"
+
+_SCALE = 1_000_000
 
 
 def dsum(col: Column, alias: str) -> Column:
-    """Exact, engine-independent SUM of a double expression."""
-    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+    """Exact, engine-independent SUM of a double expression
+    (fixed-point micro-units; see module docstring for the range bound).
+    """
+    return (F.sum(F.floor(col * _SCALE)).cast("double") / F.lit(float(_SCALE))).alias(
+        alias
+    )
 
 
 def davg(col: Column, alias: str) -> Column:
-    """Exact-sum mean: decimal-sum / count, bit-stable across engines."""
-    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
+    """Exact-sum mean: micro-unit sum / 1e6 / count, bit-stable across
+    engines and partition layouts."""
+    return (
+        F.sum(F.floor(col * _SCALE)).cast("double") / F.lit(float(_SCALE)) / F.count(col)
+    ).alias(alias)
 
 
 def fin(col: Column, alias: str, places: int = 6) -> Column:
@@ -45,12 +67,18 @@ def fin(col: Column, alias: str, places: int = 6) -> Column:
 
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` (without alias)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+    return (
+        f"(CAST(SUM(CAST(floor(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0)"
+    )
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB twin of :func:`davg` (without alias)."""
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr}))"
+    return (
+        f"(CAST(SUM(CAST(floor(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 / COUNT({expr}))"
+    )
 
 
 REVENUE = "l_extendedprice * (1 - l_discount)"

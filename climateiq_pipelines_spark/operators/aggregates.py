@@ -2,10 +2,12 @@
 
 Logical agg semantics only — partial/final split, hash-vs-sort agg and
 spill are Catalyst/Tungsten's (SURVEY §4). Float policy: every SUM/AVG
-over doubles goes through the exact decimal accumulator (helpers.dsum /
-davg); second-order moments are computed from decimal power sums with
-identical expression trees in Spark and the oracle, so results are
-bit-stable across engines and partition layouts.
+over doubles goes through the exact fixed-point long accumulator
+(helpers.dsum / davg — see helpers module docstring for the measured 3×
+win over a decimal accumulator and the capacity bound); second-order
+moments keep decimal power sums (squared measures exceed the long-micro
+range) with identical expression trees in Spark and the oracle, so
+results are bit-stable across engines and partition layouts.
 
 Scale notes: groupBy keys here are low-cardinality (flags, segments,
 priorities) → map-side partial aggregation collapses the shuffle to
@@ -106,11 +108,10 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_conditional_filter",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) FILTER (WHERE value > 10) AS n_big,
-           CAST(SUM(CASE WHEN value > 10 THEN CAST(value AS DECIMAL(25,6)) END)
-                AS DOUBLE) AS sum_big,
+           {sql_dsum('CASE WHEN value > 10 THEN value END')} AS sum_big,
            COUNT(*) AS n_total
     FROM events
     GROUP BY event_type
@@ -121,15 +122,18 @@ def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = F.col("value") > 10
     return events.groupBy("event_type").agg(
         F.count(F.when(big, 1)).alias("n_big"),
-        F.sum(F.when(big, F.col("value").cast(DEC))).cast("double").alias("sum_big"),
+        dsum(F.when(big, F.col("value")), "sum_big"),
         F.count(F.lit(1)).alias("n_total"),
     )
 
 
-# Second-order moments from exact decimal power sums: n, Σx, Σx², Σxy are
-# engine-identical. The derived double arithmetic (ratios, sqrt chains) is
-# NOT association-stable across engines — round-1 showed last-ulp corr
-# divergence — so every derived moment is rounded to 9 dp on both sides.
+# Second-order moments from exact DECIMAL power sums (decimal, not the
+# faster long-micro accumulator: Σx² at price magnitudes ~1e10/row blows
+# the int64 micro-unit budget at any realistic cardinality): n, Σx, Σx²,
+# Σxy are engine-identical. The derived double arithmetic (ratios, sqrt
+# chains) is NOT association-stable across engines — round-1 showed
+# last-ulp corr divergence — so every derived moment is rounded to 9 dp
+# on both sides.
 _MOM = """
     WITH s AS (
       SELECT l_returnflag,
@@ -287,7 +291,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(c_mktsegment) AS INT) AS g_seg,
                CAST(grouping(c_nationkey) AS INT) AS g_nat,
                COUNT(*) AS n_custs,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal
+               (CAST(SUM(floor(c_acctbal * 1000000)) AS DOUBLE) / 1000000.0)
+                 AS sum_bal
         FROM {view}
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
