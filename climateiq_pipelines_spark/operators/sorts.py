@@ -1,1 +1,111 @@
-"""Placeholder — populated in a later milestone."""
+"""Sort / limit / top-k operators (SURVEY.md §2.6) — 3 keys.
+
+The driver's value-hash is order-insensitive, so a bare orderBy would be
+unobservable; each key therefore materializes its ordering as a rank or
+page so the sort semantics are part of the checked values.
+
+Scale notes: a global orderBy is a range-partitioned sort (sampled
+boundaries, no single-node bottleneck); orderBy+limit(k) plans
+TakeOrderedAndProject — per-partition top-k heaps merged on the driver,
+O(n) not O(n log n), no full sort. The global row_number used to make
+page/rank values observable funnels through ONE partition — fine for a
+report tail (post-limit), an anti-pattern on an unlimited 100 TB input;
+the docstrings mark where that applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.helpers import REVENUE, revenue_col
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+
+@register(
+    "sort_multikey_nulls",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, open_price,
+           row_number() OVER (ORDER BY o_orderpriority ASC,
+                              open_price DESC NULLS LAST,
+                              o_orderkey ASC) AS sort_rank
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price
+      FROM orders
+    )
+    """,
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with NULLS LAST on a genuinely nullable derived
+    column (price of still-open orders), materialized as a rank so the
+    order is hash-observable. Scale note: the global row_number funnels
+    one partition — at 100 TB emit the bare orderBy (range-partitioned)
+    and let the consumer paginate instead."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).alias(
+            "open_price"
+        ),
+    )
+    w = W.orderBy(
+        F.asc("o_orderpriority"),
+        F.desc_nulls_last("open_price"),
+        F.asc("o_orderkey"),
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "open_price",
+        F.row_number().over(w).alias("sort_rank"),
+    )
+
+
+@register(
+    "topk_global",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, {REVENUE} AS revenue
+    FROM lineitem
+    ORDER BY revenue DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by revenue (TPC-H Q3 tail). orderBy+limit plans
+    TakeOrderedAndProject: per-partition heaps of k rows merged once —
+    the 100 TB-safe global top-k. Tie-broken on the (orderkey,
+    linenumber) unique pair."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", revenue_col().alias("revenue")
+    )
+    return li.orderBy(
+        F.desc("revenue"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).limit(10)
+
+
+@register(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page 2 (rows 11-20) of the price-sorted ledger.
+    Spark ≥3.4 supports offset natively; the plan is still a global
+    top-(offset+limit) then a drop — cheap for report-style pages,
+    never a deep-pagination strategy at scale (use keyset pagination:
+    WHERE price < last_seen ORDER BY ... LIMIT k)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(10)
+    )
