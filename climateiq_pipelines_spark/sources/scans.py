@@ -1,1 +1,205 @@
-"""Placeholder — populated in a later milestone."""
+"""Scans, sources, sinks (SURVEY.md §2.1) — 6 keys.
+
+Round-trip keys write under a fresh process-temp dir (never the repo or
+/root/testdata) and read their own output back; the oracle runs against
+the ORIGINAL parquet, so a lossy write (type drift, row loss, partition
+misread) breaks the hash.
+
+Scale notes: all writes are partitioned-parquet shaped — a directory of
+files, the only layout that survives 100 TB (one file per partition
+task, target 128 MB-1 GB each via maxRecordsPerFile / repartition).
+CSV/JSON exist as interchange formats; their scans carry explicit
+schemas because inference is a full extra pass over the data at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import TABLES, load_table
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"cps_{tag}_")
+
+
+@register(
+    "scan_parquet_project",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def scan_parquet_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate on the raw scan: .explain shows ReadSchema
+    with exactly 3 columns and PushedFilters [EqualTo(l_returnflag,R)] —
+    column pruning + row-group skipping, the foundation of every other
+    plan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+
+
+_COUNTS_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+)
+
+
+@register("scan_all_tables_counts", oracle=_COUNTS_ORACLE)
+def scan_all_tables_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count every fixture table and union the results. Parquet count()
+    is metadata-only (row-group stats), no data scan."""
+    out: DataFrame | None = None
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t).select(
+            F.lit(t).alias("table_name")
+        ).groupBy("table_name").agg(F.count(F.lit(1)).alias("n_rows"))
+        out = df if out is None else out.unionByName(df)
+    assert out is not None
+    return out
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("ship_day", T.StringType()),
+    ]
+)
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty,
+           min(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS first_ship_day
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a deterministic lineitem slice as CSV (header, explicit
+    schema on re-read — inference is an extra full pass at scale), read
+    it back, aggregate. Oracle runs on the ORIGINAL parquet: any
+    write/read lossiness breaks the hash. Timestamps travel as ISO day
+    strings — CSV has no timestamp type; parsing discipline is pinned
+    by the schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    slice_df = li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+    )
+    path = os.path.join(_tmpdir("csv"), "lineitem_slice")
+    slice_df.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        F.min("ship_day").alias("first_ship_day"),
+    )
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same slice through JSON-lines. JSON doubles round-trip exactly
+    (Spark writes shortest-repr, reads bit-equal); schema is explicit on
+    re-read for the same scale reason as CSV."""
+    li = load_table(spark, sf_dir, "lineitem")
+    slice_df = li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_extendedprice", "l_returnflag", "l_linestatus"
+    )
+    path = os.path.join(_tmpdir("json"), "lineitem_slice")
+    slice_df.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year, then read back ONE partition via
+    a filter on the partition column — .explain shows PartitionFilters
+    (directory-level pruning: the 1997 query never opens 1995-2001
+    files). This is THE layout decision at 100 TB: time-partitioned
+    facts turn full scans into single-partition reads."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_tmpdir("sink"), "orders_by_year")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+@register("sink_sorted_bucketed")  # rows-only: physical layout is not SQL-observable
+def sink_sorted_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-clustered, sorted-within-partition write: repartition(8, key)
+    + sortWithinPartitions, the bucketing layout that lets a downstream
+    reader join/merge on o_custkey without re-shuffling. Declared
+    rows-only (SURVEY §2.1): the layout itself is not observable from
+    SQL values. The returned frame audits the invariants instead — rows
+    survive, each bucket's keys are disjoint ranges per hash (n_buckets
+    files), every bucket is internally sorted (checked via a window scan
+    on the read-back)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    path = os.path.join(_tmpdir("bucket"), "orders_clustered")
+    (
+        orders.repartition(8, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+        .withColumn("bucket_id", F.spark_partition_id())
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+    )
