@@ -1,1 +1,294 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-shaped operators (SURVEY.md §2.9) — 6 checked keys + a real
+Structured Streaming demo key (rows-only).
+
+The driver's oracle is batch SQL, so each streaming concept ships as its
+batch formulation over the `events` table (arrival order = event_id,
+FIXTURES.md) with an identical SQL twin; `stream_readstream_demo` then
+proves the same logic runs through readStream/writeStream.
+
+Window-origin note: Spark's F.window aligns buckets to the unix epoch of
+the naive timestamp; oracles reproduce that with explicit epoch
+arithmetic (floor(epoch/width)*width) instead of DuckDB's time_bucket,
+whose default origin (2000-01-03) only coincides with epoch alignment
+for widths that divide whole days — epoch arithmetic is alignment-exact
+for every width.
+
+Scale notes: tumbling/sliding aggs shuffle on (bucket, key) with
+map-side partial aggregation — bounded state, the batch mirror of
+Structured Streaming's watermarked state store. Sessionization and
+watermark simulation are per-user ordered windows: one shuffle on
+user_id, linear state. In true streaming these become
+session_window / withWatermark / dropDuplicatesWithinWatermark, shown
+in the demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.helpers import sql_davg
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import RAW_EVENTS_SCHEMA, load_table, table_path
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS win_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_davg('value')} AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window × event_type. The window struct is flattened
+    to scalar start/end (driver hash takes no structs). Streaming twin:
+    readStream.groupBy(window(ts,'1 day'), type) + watermark — see
+    stream_readstream_demo."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 day")
+    micros = F.floor(F.col("value") * 1_000_000)
+    return (
+        events.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(micros).cast("double") / F.lit(1e6) / F.count("value")
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 21600) AS BIGINT) - k) * 21600
+                          * 1000000) AS win_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day window sliding every 6 h: each event lands in exactly 4
+    overlapping windows. Oracle reproduces Spark's epoch-aligned window
+    starts by exploding k∈{0..3} and shifting the event's 6 h grid cell
+    back k slides (every such window [start, start+24h) contains the
+    event by construction). SURVEY §7.4 flagged this oracle as the
+    fiddly one — epoch arithmetic sidesteps time_bucket's 2000-01-03
+    origin entirely."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 day", "6 hours")
+    return (
+        events.groupBy(win)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "n_events")
+    )
+
+
+_SESSION_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, min(ts) AS session_start,
+           max(ts) AS session_end, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap, batch form: lag →
+    new-session flag → running sum = session id → groupBy. One shuffle
+    on user_id, linear state — the exact computation
+    F.session_window(ts, '30 minutes') performs incrementally in
+    streaming mode. lag(ts) of the FIRST row is NULL → flagged as a new
+    session (session_seq starts at 1)."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    gap_ok = F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTE")
+    flagged = events.withColumn(
+        "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    numbered = flagged.withColumn("session_seq", F.sum("new_session").over(cum))
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_WATERMARK_ORACLE = """
+    WITH arrival AS (
+      SELECT event_id, ts, event_type,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS max_ts_seen
+      FROM events
+    ), kept AS (
+      SELECT * FROM arrival WHERE ts >= max_ts_seen - INTERVAL 1 HOUR
+    )
+    SELECT date_trunc('day', ts) AS win_start, event_type,
+           COUNT(*) AS n_on_time
+    FROM kept
+    GROUP BY 1, 2
+"""
+
+
+@register("stream_watermark_late", oracle=_WATERMARK_ORACLE)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch: running max event-time over arrival
+    order (event_id) is the watermark; rows older than watermark − 1 h
+    are dropped before the tumbling agg — exactly what
+    withWatermark('ts','1 hour') does to late data in streaming. The
+    global arrival-order window funnels one partition; in streaming this
+    state is per-trigger O(1), and a batch replay at 100 TB would
+    compute the watermark per micro-batch span instead."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    arrival = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    kept = events.withColumn("max_ts_seen", F.max("ts").over(arrival)).filter(
+        F.col("ts") >= F.col("max_ts_seen") - F.expr("INTERVAL 1 HOUR")
+    )
+    win = F.window("ts", "1 day")
+    return (
+        kept.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_on_time"
+        )
+    )
+
+
+@register(
+    "stream_stateful_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user_id, event_type) in ARRIVAL order — the
+    batch mirror of streaming dropDuplicates state: keyed state keeps
+    the first-seen row. row_number over event_id is deterministic
+    (event_id unique); dropDuplicates would not be."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "stream_running_counts",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS running_count
+    FROM events
+    """,
+)
+def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-type event count over event time — the batch
+    answer equal to streaming outputMode('update') emitting each row's
+    current count. One shuffle on event_type; per-type ordered scan."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "event_id", "event_type", "ts", F.count(F.lit(1)).over(w).alias("running_count")
+    )
+
+
+@register("stream_readstream_demo")  # rows-only: genuinely streaming execution
+def stream_readstream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming surface: readStream over the events
+    parquet, 1-hour watermark, 1-day tumbling count per type, processed
+    with trigger(availableNow) into a memory sink, returned as the sink
+    table. Rows-only by nature (execution is incremental; the memory
+    sink is session-local). The logic is the checked
+    stream_tumbling_window / stream_watermark_late pair; this key proves
+    the plan compiles and runs as a STREAMING query with bounded state.
+
+    The raw INT64 nanos ts is converted AFTER the streaming read exactly
+    as registry.load_table does for batch, then cast to a session-tz
+    timestamp: Spark watermarks require TIMESTAMP, not TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — acceptable here because this
+    key is rows-only; the value-checked keys stay ntz-pure."""
+    # The file-stream source wants a directory; the fixture table is a
+    # single file, so stream the sf dir with a glob pinned to it.
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
+        )
+    )
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("cps_stream_demo")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+    return spark.sql("SELECT * FROM cps_stream_demo")
