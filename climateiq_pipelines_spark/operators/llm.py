@@ -1,1 +1,756 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators (SURVEY.md §2.10) — 12 mandated keys + 1
+bonus (llm_minhash_lsh, the scale path, hash-checked against the same
+oracle as the exact key).
+
+Determinism spine: every similarity/distance number is computed as an
+EXACT INTEGER — per-term floor(x·y·1e12) summed as int64 (float→double
+conversion is exact, the double product is IEEE-identical cross-engine,
+integer addition is associative) — then converted to double once at the
+end. Rankings order by the integer, so top-k membership can never flip
+on a last-ulp float disagreement between engines. |x·y|·1e12 ≤ 2.5e11
+per term, ≤ 1.6e13 per 64-term vector — far inside int64.
+
+Scale design (100 TB lens, per key in docstrings):
+- dedup shuffles digests (md5), never full documents;
+- all-pairs similarity exists only as the CHECKED formulation at
+  fixture scale; the SCALE formulations are the bucketed ones —
+  minhash+LSH banding (llm_minhash_lsh) and hyperplane signatures
+  (llm_simhash_bucket) — which prune candidates before exact verify;
+- centroid/assignment work broadcasts the small side (10×64 centroids)
+  and never shuffles the vectors twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+# ---------------------------------------------------------------- helpers
+
+_S12 = 1_000_000_000_000  # 1e12 fixed-point scale for products
+_S9 = 1_000_000_000  # 1e9 scale for centroid component means
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot of two float arrays: Σ floor(x·y·1e12)."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(float(_S12))
+        ),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_int_dot` (p[1]/p[2]: list_zip makes an
+    unnamed struct, numeric extraction only)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
+        f"* 1000000000000) AS BIGINT)), 'sum')"
+    )
+
+
+_TOKS_SQL = """
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+"""
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, token) pairs — the token-set view of the corpus."""
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+
+
+# ------------------------------------------------------------ dedup family
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_digest,
+           min(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           min(n_chars) AS n_chars
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the md5 digest, keeping the min doc_id.
+    Scale: the shuffle carries a 32-char digest per row instead of the
+    document body — at 100 TB that is the difference between shuffling
+    32 bytes and shuffling the corpus. Fixture ground truth: sf0.1 has
+    5000 rows / 4992 distinct texts (FIXTURES.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_digest")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    )
+
+
+_NEARDUP_ORACLE = f"""
+    WITH {_TOKS_SQL},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+    ),
+    overlap AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(n_common * 1.0 / (sa.n_toks + sb.n_toks - n_common), 6)
+             AS jaccard
+    FROM overlap
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common * 1.0 / (sa.n_toks + sb.n_toks - n_common) >= 0.999
+"""
+
+
+@register("llm_minhash_neardup", oracle=_NEARDUP_ORACLE)
+def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact token-set Jaccard — the CHECKED
+    formulation (explode → posting-list self-join → overlap/union
+    counts, all relational; Jaccard is a ratio of integers, so the
+    rounded value is engine-exact).
+
+    Threshold 0.999 ≡ identical token sets: the fixture's planted
+    near-dups are word-set-identical permutations (444 pairs at
+    sf0.01); a 0.8 threshold on this 31-word vocabulary would match 30k
+    semantically-unrelated pairs (probed), i.e. the vocabulary is too
+    dense for loose set-Jaccard to mean 'near-duplicate'.
+
+    Scale: the per-token posting-list join is quadratic in posting
+    length — fine under candidate pruning, fatal raw at 100 TB (a stop
+    token appearing in 10% of docs creates 10^15 pairs). The scale
+    path is llm_minhash_lsh: MinHash signatures + banded bucketing
+    prune candidates to near-linear before this same exact verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    a = toks.select(F.col("doc_id").alias("a_id"), "token")
+    b = toks.select(F.col("doc_id").alias("b_id"), "token")
+    overlap = (
+        a.join(b, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_toks").alias("a_toks"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_toks").alias("b_toks"))
+    jac = F.col("n_common") / (F.col("a_toks") + F.col("b_toks") - F.col("n_common"))
+    return (
+        overlap.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(jac >= 0.999)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("llm_minhash_lsh", oracle=_NEARDUP_ORACLE)
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup plan, hash-checked
+    against the SAME oracle as llm_minhash_neardup (so the pruning is
+    proven lossless on the fixture, not just asserted):
+
+    1. 16 MinHash signatures per doc: min over tokens of
+       xxhash64(token, seed), seeds 0..15 (fixed literals, no runtime
+       RNG).
+    2. 4 bands × 4 rows; band key = XOR of xxhash64(seed, minhash)
+       over the band's rows (order-independent, overflow-free combine —
+       no ordered collect needed; an XOR collision only adds a false
+       candidate, which step 4 removes).
+    3. Candidate pairs = docs sharing any band key (self-join on the
+       band table — shuffle is on band keys, cardinality ≈ docs×4).
+    4. Exact token-set Jaccard verify on candidates only.
+
+    Identical token sets ⇒ identical signatures ⇒ all 4 bands collide,
+    so recall at the 0.999 threshold is exactly 1.0 and the output
+    equals the exact key's. At a looser threshold recall follows
+    1-(1-J^4)^4 — banding parameters are the tuning knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    seeds = spark.range(16).select(F.col("id").cast("int").alias("seed"))
+    sigs = (
+        toks.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.xxhash64("token", "seed").alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+    bands = sigs.withColumn("band_id", F.col("seed") % 4).groupBy(
+        "doc_id", "band_id"
+    ).agg(F.expr("bit_xor(xxhash64(seed, minhash))").alias("band_key"))
+    left = bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_key")
+    right = bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_key")
+    candidates = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # Exact verify restricted to candidates.
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    ta = toks.select(F.col("doc_id").alias("a_id"), "token")
+    tb = toks.select(F.col("doc_id").alias("b_id"), "token")
+    overlap = (
+        candidates.join(ta, "a_id")
+        .join(tb, ["b_id", "token"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_toks").alias("a_toks"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_toks").alias("b_toks"))
+    jac = F.col("n_common") / (F.col("a_toks") + F.col("b_toks") - F.col("n_common"))
+    return (
+        overlap.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(jac >= 0.999)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------- text family
+
+
+@register(
+    "llm_token_counts",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    GROUP BY token
+    """,
+)
+def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (explode → count). Map-side partial agg
+    collapses the shuffle to |vocab|×partitions rows — the vocabulary
+    (31 here, ~10^6 realistically) is the state bound, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_TFIDF_ORACLE = """
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf)
+      GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 9)
+               AS tfidf
+      FROM tf, dfreq, n
+      WHERE tf.token = dfreq.token
+    )
+    SELECT doc_id, token, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register("llm_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1 (formula pinned
+    identically in the oracle), top-5 terms per doc. The score is
+    rounded to 9 dp BEFORE ranking so a last-ulp ln() divergence can
+    never flip top-k membership; ties break on the token. Scale: df and
+    N are broadcast (vocabulary-sized); the only corpus-sized shuffle
+    is the (doc, token) tf aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           COUNT(*) FILTER (WHERE length(text) = n_chars) AS n_len_ok
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats + the length(text)=n_chars validation
+    (a data-quality assertion: FIXTURES pins it to hold for every row,
+    so n_len_ok must equal n_docs). avg over int64 is an exact integer
+    sum — no float policy needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.count(F.when(F.length("text") == F.col("n_chars"), 1)).alias(
+            "n_len_ok"
+        ),
+    )
+
+
+@register(
+    "llm_lang_filter_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars > 300
+    ORDER BY n_chars DESC, doc_id
+    LIMIT 100
+    """,
+)
+def llm_lang_filter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling: filter + total order + limit (a
+    TakeOrderedAndProject — per-partition heaps, no global sort). Never
+    .sample(): training-data subsets must be reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 300))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------- vector family
+
+
+@register(
+    "llm_embed_normalize",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_int_dot('embedding', 'embedding')} / 1000000000000.0)
+               AS l2_norm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(l2_norm, 9) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE) / l2_norm, 9) AS first_component_unit,
+           round(list_aggregate(list_transform(embedding,
+                 x -> CAST(floor((CAST(x AS DOUBLE)/l2_norm)
+                                 * (CAST(x AS DOUBLE)/l2_norm)
+                                 * 1000000000000) AS BIGINT)), 'sum')
+                 / 1000000000000.0, 6) AS renorm_sq
+    FROM norms
+    """,
+)
+def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 re-normalization with an idempotency audit: the fixture's
+    vectors are already unit (FIXTURES), so l2_norm ≈ 1 and the
+    re-normalized self-dot (renorm_sq) must round to 1.0 at 6 dp.
+    Norm derives from the exact integer self-dot (sqrt is correctly
+    rounded IEEE — engine-identical on identical input); the normalized
+    components are double ops on identical operands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    norm = F.sqrt(_int_dot(e, e) / F.lit(float(_S12)))
+    unit = F.transform(e, lambda x: x.cast("double") / F.col("l2_norm_raw"))
+    renorm = F.aggregate(
+        F.transform(
+            F.col("unit_vec"),
+            lambda x: F.floor(x * x * F.lit(float(_S12))),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.withColumn("l2_norm_raw", norm)
+        .withColumn("unit_vec", unit)
+        .select(
+            "vec_id",
+            F.round("l2_norm_raw", 9).alias("l2_norm"),
+            F.round(
+                F.element_at(e, 1).cast("double") / F.col("l2_norm_raw"), 9
+            ).alias("first_component_unit"),
+            F.round(renorm / F.lit(float(_S12)), 6).alias("renorm_sq"),
+        )
+    )
+
+
+_TOPK_ORACLE = f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_sql_int_dot('a.embedding', 'b.embedding')} AS dot_fp
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id,
+           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dot_fp DESC, neighbor_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 5
+"""
+
+
+@register("llm_cosine_topk", oracle=_TOPK_ORACLE)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per vector (vectors are unit-norm, so
+    cosine ≡ dot). The ranking key is the exact int64 fixed-point dot —
+    top-k membership cannot flip on float ulps. Plan: broadcast the
+    corpus (n×64 floats — 512 KB at sf0.1), nested-loop per partition
+    of the query side, then one shuffle for the per-vector top-k
+    window.
+
+    Scale: brute force is the CORRECT plan up to ~10^4 corpus rows
+    broadcast (fits executor memory); beyond that, prune candidates
+    with llm_simhash_bucket buckets (per-bucket top-k then global
+    re-rank) — never materialize n² pairs of a 100 TB corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b_emb")
+    )
+    pairs = (
+        a.repartition(32)
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            _int_dot(F.col("a_emb"), F.col("b_emb")).alias("dot_fp"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("dot_fp"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_sql_int_dot('e.embedding', 'q.q_emb')} AS dot_fp
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label,
+           round(dot_fp / 1000000000000.0, 6) AS cos_sim
+    FROM scored
+    ORDER BY dot_fp DESC, vec_id
+    LIMIT 10
+"""
+
+
+@register("llm_knn_query", oracle=_KNN_ORACLE)
+def llm_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query k-NN: broadcast the 1-row query vector, score every
+    corpus vector with the exact integer dot, global top-10 via
+    TakeOrderedAndProject. This is the serving-path shape: one corpus
+    scan, no shuffle except the k-row merge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _int_dot(F.col("embedding"), F.col("q_emb")).alias("dot_fp"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("dot_fp"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+        )
+    )
+
+
+_CENTROID_SQL = """
+    exploded AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM exploded GROUP BY label, pos
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                            * (CAST(e.x AS DOUBLE) - c.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM exploded e JOIN centroids c ON e.pos = c.pos
+      GROUP BY e.vec_id, e.label, c.c_label
+    ),
+    assigned AS (
+      SELECT vec_id, label, c_label AS assigned_label
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_fp ASC, c_label) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+"""
+
+_CENTROID_ORACLE = f"""
+    WITH {_CENTROID_SQL}
+    SELECT label, COUNT(*) AS n_vecs,
+           COUNT(*) FILTER (WHERE assigned_label = label) AS n_correct,
+           round(COUNT(*) FILTER (WHERE assigned_label = label) * 1.0
+                 / COUNT(*), 6) AS agreement
+    FROM assigned
+    GROUP BY label
+"""
+
+
+@register("llm_centroid_assign", oracle=_CENTROID_ORACLE)
+def llm_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids → nearest-centroid assignment → agreement
+    with the ground-truth label (one k-means E-step, quality-scored).
+
+    Exactness chain: centroid components are exact 1e9 fixed-point
+    means; squared distances are exact 1e12 fixed-point integer sums;
+    argmin orders by the integer with a label tie-break — every stage
+    reproducible cross-engine.
+
+    Scale: vectors posexplode once (64 rows each); centroids (10×64
+    doubles) BROADCAST back; distance agg shuffles on (vec_id, label) —
+    linear in corpus, constant in centroids. The k-means loop at 100 TB
+    is this plan iterated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.floor(F.col("x").cast("double") * _S9)).cast("double")
+            / F.lit(float(_S9))
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    dists = (
+        exploded.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(F.floor(diff * diff * F.lit(float(_S12)))).alias("dist_fp")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_label"))
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_label"))
+    )
+    correct = F.when(F.col("assigned_label") == F.col("label"), 1)
+    return assigned.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(correct).alias("n_correct"),
+        F.round(F.count(correct) / F.count(F.lit(1)), 6).alias("agreement"),
+    )
+
+
+_MULTIMODAL_ORACLE = """
+    WITH joined AS (
+      SELECT d.lang, d.doc_id, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    exploded AS (
+      SELECT lang, doc_id,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM joined
+    ),
+    centroids AS (
+      SELECT lang, pos,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM exploded GROUP BY lang, pos
+    ),
+    dists AS (
+      SELECT e.lang, e.doc_id,
+             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                            * (CAST(e.x AS DOUBLE) - c.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM exploded e JOIN centroids c ON e.pos = c.pos AND e.lang = c.lang
+      GROUP BY e.lang, e.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_docs_with_vec,
+           round(CAST(SUM(dist_fp) AS DOUBLE) / 1000000000000.0
+                 / COUNT(*), 9) AS avg_sq_dist_to_lang_centroid
+    FROM dists
+    GROUP BY lang
+"""
+
+
+@register("llm_multimodal_join", oracle=_MULTIMODAL_ORACLE)
+def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text↔vector modality join (doc_id = vec_id) + per-language
+    embedding dispersion (mean squared distance to the language
+    centroid). INNER join by design: cardinalities diverge at sf0.1
+    (5000 docs vs 2000 vecs, FIXTURES) — assuming totality is the bug
+    this key guards against. Same exact fixed-point chain as
+    llm_centroid_assign."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "lang", "doc_id", "embedding"
+    )
+    exploded = joined.select(
+        "lang", "doc_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    centroids = exploded.groupBy(F.col("lang").alias("c_lang"), "pos").agg(
+        (
+            F.sum(F.floor(F.col("x").cast("double") * _S9)).cast("double")
+            / F.lit(float(_S9))
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    dists = (
+        exploded.join(
+            F.broadcast(centroids),
+            (exploded.lang == centroids.c_lang) & (exploded.pos == centroids.pos),
+        )
+        .groupBy("lang", "doc_id")
+        .agg(F.sum(F.floor(diff * diff * F.lit(float(_S12)))).alias("dist_fp"))
+    )
+    return dists.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_with_vec"),
+        F.round(
+            F.sum("dist_fp").cast("double") / F.lit(float(_S12)) / F.count(F.lit(1)),
+            9,
+        ).alias("avg_sq_dist_to_lang_centroid"),
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """8 fixed 64-d hyperplanes from a pure-integer LCG — every value is
+    (31-bit int)/2^31 - 0.5, all exactly representable, so the literals
+    embedded in the Spark plan and the oracle SQL are bit-identical. No
+    runtime RNG (SURVEY §7.4 LSH determinism)."""
+    planes: list[list[float]] = []
+    state = 20260813
+    for _ in range(8):
+        row: list[float] = []
+        for _ in range(64):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _simhash_oracle() -> str:
+    bits = []
+    for j, row in enumerate(_hyperplanes()):
+        arr = "[" + ", ".join(repr(v) for v in row) + "]::DOUBLE[]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
+            f"* 1000000000000) AS BIGINT)), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    sig = " + ".join(bits)
+    return f"""
+    SELECT signature, COUNT(*) AS n_vecs,
+           COUNT(DISTINCT label) AS n_labels
+    FROM (SELECT {sig} AS signature, label FROM embeddings)
+    GROUP BY signature
+    """
+
+
+@register("llm_simhash_bucket", oracle=_simhash_oracle())
+def llm_simhash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit hyperplane SimHash signature per vector + bucket histogram
+    — the LSH primitive that replaces O(n²) similarity at 100 TB: ANN
+    queries probe one bucket (plus neighbors by Hamming distance)
+    instead of the corpus. Sign bits come from exact integer dots
+    against fixed literal hyperplanes, so bucket assignment is
+    engine-exact even for near-zero dots. 8 bits/256 buckets suits the
+    2000-vector fixture; at 10^9+ vectors widen to 16-24 bits and keep
+    per-bucket cardinality ~10^3-10^4 for the re-rank stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig: Column = F.lit(0)
+    for j, row in enumerate(_hyperplanes()):
+        plane = F.array(*[F.lit(v) for v in row])
+        bit = F.when(_int_dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
+        sig = sig + bit
+    return (
+        emb.select(sig.alias("signature"), "label")
+        .groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
