@@ -34,7 +34,9 @@ HEADLINE = [
     "stream_session_window",   # sessionization (lag+cumsum)
     "llm_token_counts",        # split+explode+group
     "llm_exact_dedup",         # hash-group dedup
-    "llm_minhash_neardup",     # shingle Jaccard near-dup
+    "llm_minhash_lsh",         # minhash+LSH near-dup (scale path; the
+                               # exact all-pairs twin is checked at sf0.01
+                               # but is quadratic by design at bench SF)
     "llm_cosine_topk",         # brute-force kNN (DuckDB: 15.7 s)
     "llm_simhash_bucket",      # LSH bucket primitive
 ]

@@ -169,18 +169,26 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. 16 MinHash signatures per doc: min over tokens of
        xxhash64(token, seed), seeds 0..15 (fixed literals, no runtime
        RNG).
-    2. 4 bands × 4 rows; band key = XOR of xxhash64(seed, minhash)
-       over the band's rows (order-independent, overflow-free combine —
-       no ordered collect needed; an XOR collision only adds a false
-       candidate, which step 4 removes).
-    3. Candidate pairs = docs sharing any band key (self-join on the
-       band table — shuffle is on band keys, cardinality ≈ docs×4).
+    2. Banding with b=1 band × r=16 rows: band key = XOR of
+       xxhash64(seed, minhash) over all 16 rows (order-independent,
+       overflow-free combine — no ordered collect needed; an XOR
+       collision only adds a false candidate, which step 4 removes).
+    3. Candidate pairs = docs sharing the band key (self-join on the
+       band table — shuffle is on band keys, one row per doc).
     4. Exact token-set Jaccard verify on candidates only.
 
-    Identical token sets ⇒ identical signatures ⇒ all 4 bands collide,
-    so recall at the 0.999 threshold is exactly 1.0 and the output
-    equals the exact key's. At a looser threshold recall follows
-    1-(1-J^4)^4 — banding parameters are the tuning knob."""
+    Why b=1, r=16: banding parameters must match the threshold
+    (collision probability J^r per band). This key targets
+    J ≥ 0.999 — on a ≤31-token vocabulary a non-identical set pair has
+    J ≤ 30/31 ≈ 0.968, so only identical sets qualify, and identical
+    sets collide with certainty ⇒ recall is exactly 1.0. The classic
+    4×4 layout (targets J≈0.8) was MEASURED to collapse on this
+    fixture: with 31 possible tokens most docs contain the token
+    holding each seed's global-min hash, so 4-row bands collide almost
+    everywhere — 6.2M candidates at sf0.1 vs ~36k true pairs. Dense
+    tiny-vocab corpora need high-r bands (or stop-token removal);
+    realistic shingled corpora (vocab 10^6+) are where low-r banding
+    earns its keep."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     seeds = spark.range(16).select(F.col("id").cast("int").alias("seed"))
@@ -194,16 +202,15 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("minhash"))
     )
-    bands = sigs.withColumn("band_id", F.col("seed") % 4).groupBy(
-        "doc_id", "band_id"
-    ).agg(F.expr("bit_xor(xxhash64(seed, minhash))").alias("band_key"))
-    left = bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_key")
-    right = bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_key")
+    bands = sigs.groupBy("doc_id").agg(
+        F.expr("bit_xor(xxhash64(seed, minhash))").alias("band_key")
+    )
+    left = bands.select(F.col("doc_id").alias("a_id"), "band_key")
+    right = bands.select(F.col("doc_id").alias("b_id"), "band_key")
     candidates = (
-        left.join(right, ["band_id", "band_key"])
+        left.join(right, ["band_key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
     # Exact verify restricted to candidates.
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))

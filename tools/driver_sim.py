@@ -1,0 +1,56 @@
+"""Driver simulation — the verification gate (.claude/skills/verify).
+
+Builds a driver-like session (NOT the engine's factory, non-UTC timezone
+to catch timestamp_ntz leaks), runs t1 smoke + every queries() key at
+sf0.01 against its DuckDB oracle with the strict local comparator.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from climateiq_pipelines_spark.parity import compare_frames, duck_connect
+
+    assert len(E.entry(spark).collect()) > 0, "t1 smoke failed"
+    con = duck_connect(sf_dir)
+    qs, oracles = E.queries(), E.oracle_sql()
+    bad: list[str] = []
+    for key, fn in sorted(qs.items()):
+        try:
+            pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
+            bad.append(f"[FAIL] {key}: raised {exc}")
+            continue
+        if key not in oracles:
+            print(f"# {key}: rows-only ({len(pdf)} rows)", file=sys.stderr)
+            continue
+        res = compare_frames(key, pdf, con.execute(oracles[key]).fetchdf())
+        if not res.ok:
+            bad.append(str(res))
+    print("FAILURES:" if bad else f"ALL {len(qs)} KEYS OK")
+    for b in bad:
+        print(b)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
