@@ -1,0 +1,46 @@
+"""Shuffle-layout determinism probe (verify-skill recipe; SURVEY §7.4).
+
+The engine's float policy claims partition-order independence: the same
+query must produce BIT-IDENTICAL values under any shuffle partitioning.
+Run representative float-bearing keys under shuffle.partitions ∈
+{2, 32, 200} (runtime conf, AQE picks it up at plan time) and compare
+canonical rows. A plain double SUM would fail this test; the
+fixed-point accumulators must not.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from climateiq_pipelines_spark.parity import canon_frame
+from climateiq_pipelines_spark.plans import QUERIES
+
+from tests.conftest import SF_MED
+
+PROBE_KEYS = [
+    "agg_pricing_summary",   # grouped fixed-point sums/avgs
+    "agg_stats_moments",     # decimal power sums + rounded ratios
+    "win_running_sum",       # windowed fixed-point accumulation
+    "llm_centroid_assign",   # fixed-point means + distance argmin
+    "llm_tfidf_topterms",    # rounded-before-rank float ordering
+]
+
+
+@pytest.mark.parametrize("key", PROBE_KEYS)
+def test_partition_count_invariance(key, spark):
+    baseline = None
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in (2, 32, 200):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            pdf = QUERIES[key](spark, SF_MED).toPandas()
+            canon = canon_frame(pdf)
+            if baseline is None:
+                baseline = (n, canon)
+            else:
+                assert canon == baseline[1], (
+                    f"{key}: result under shuffle.partitions={n} differs "
+                    f"from n={baseline[0]} — float policy violated"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
