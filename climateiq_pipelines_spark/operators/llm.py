@@ -190,6 +190,12 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     realistic shingled corpora (vocab 10^6+) are where low-r banding
     earns its keep."""
     docs = load_table(spark, sf_dir, "documents")
+    # The token-set relation feeds four plan branches (signatures, sizes,
+    # both verify sides). Recomputing the explode+distinct per branch is
+    # measurably cheaper here than .cache() (whose per-call materialize +
+    # store round-trip costs more than the explode, and whose entries
+    # leak across calls); at 100 TB the branch reuse decision flips —
+    # checkpoint/cache the token relation once per pipeline run.
     toks = _tokens(docs)
     seeds = spark.range(16).select(F.col("id").cast("int").alias("seed"))
     sigs = (
