@@ -50,6 +50,7 @@ def load_all() -> None:
         sorts,
         setops,
         llm,
+        multimodal,
         udfs,
     )
     from climateiq_pipelines_spark.functions import scalar  # noqa: F401
