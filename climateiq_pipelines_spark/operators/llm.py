@@ -525,10 +525,11 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for i in range(len(qs)):
                     d = dots[i]
-                    d[corpus_ids == qi[i]] = -np.inf  # exclude self
-                    top = np.lexsort((corpus_ids, -d))[:k]
+                    keep = corpus_ids != qi[i]  # exclude self entirely
+                    d, nb_ids = d[keep], corpus_ids[keep]
+                    top = np.lexsort((nb_ids, -d))[:k]
                     out_q.extend([qi[i]] * len(top))
-                    out_n.extend(corpus_ids[top])
+                    out_n.extend(nb_ids[top])
                     out_d.extend(np.round(d[top] / 1e12, 6))
                     out_r.extend(range(1, len(top) + 1))
             yield pd.DataFrame(

@@ -1,0 +1,140 @@
+"""Edge-case oracle parity + explicit semantic pins (SURVEY §5.2 #2).
+
+Runs the SAME comparator as the driver over the adversarial fixture
+(tests/edge_fixture.py): boundary gaps, ties, duplicates, out-of-order
+arrivals. Every oracle-bearing key must still hash-match — this is
+where tie-break and boundary discipline actually gets exercised, since
+the driver fixtures are collision-free by construction.
+
+A handful of keys also get explicit value assertions pinning INTENDED
+semantics (what the right answer IS, not just that engines agree).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from climateiq_pipelines_spark.parity import check_key, duck_connect
+from climateiq_pipelines_spark.plans import ORACLES, QUERIES
+
+# Keys whose edge semantics the adversarial fixture targets. (Running
+# all 84 would add minutes for little marginal signal; these are the
+# boundary-sensitive ones.)
+EDGE_KEYS = [
+    "filter_comparison_chain",   # BETWEEN bounds, strict > at 0.05
+    "agg_min_max_by",            # argmax under an exact price tie
+    "agg_conditional_filter",    # value > 10 with value == 10 present
+    "agg_collect_sorted",
+    "win_rank_topn_per_group",   # tie-break under equal prices
+    "win_rank_dense_ntile",      # rank/dense_rank under acctbal tie
+    "win_running_sum",           # same-date ordering tie
+    "win_first_last",
+    "topk_global",               # equal revenue rows
+    "sort_multikey_nulls",       # real NULLs in the derived column
+    "set_union_all",             # filter edge at 5000
+    "set_dropdup_subset",
+    "join_left_anti",            # customer with no orders
+    "join_asof_last_event",      # purchase-free prefix → NULL
+    "stream_session_window",     # gap == 30:00 vs 30:00.000001
+    "stream_watermark_late",     # late arrival beyond 1h
+    "stream_stateful_dedup",     # first ARRIVAL has later ts
+    "llm_exact_dedup",           # true exact duplicates
+    "llm_minhash_neardup",       # permutation pair
+    "llm_minhash_lsh",           # LSH must find the same pairs
+    "llm_token_counts",
+    "llm_tfidf_topterms",        # repeated-token tf edge
+    "llm_cosine_topk",           # bit-identical vectors → dot ties
+    "llm_embed_normalize",
+    "llm_simhash_bucket",
+    "mm_frame_sample",           # doc shorter than frame width
+    "fn_string",
+    "fn_conditional",            # price exactly on a CASE edge
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    from tests.edge_fixture import build_edge_fixture
+
+    return build_edge_fixture(str(tmp_path_factory.mktemp("edge")))
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duck_connect(edge_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", EDGE_KEYS)
+def test_edge_parity(key, spark, edge_dir, edge_duck):
+    assert key in QUERIES, f"{key} not registered"
+    res = check_key(key, spark, edge_dir, edge_duck)
+    assert res.ok, str(res)
+
+
+def test_session_gap_boundary_semantics(spark, edge_dir):
+    """gap == 30:00 continues the session; 30:00.000001 starts a new
+    one (the <= in the gap rule is the contract, both engines)."""
+    pdf = (
+        QUERIES["stream_session_window"](spark, edge_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_seq"])
+    )
+    u0 = pdf[pdf.user_id == 0]
+    # events 0,1 (gap exactly 30min) together; event 2 new; event 7 joins
+    # session of 2 (gap 39:59.999999 > 30min? 100-60:00.000001 = 39:59…
+    # → new session).
+    assert list(u0.n_events) == [2, 1, 1]
+
+
+def test_watermark_drops_only_late_row(spark, edge_dir):
+    """Only event 4 (75 min older than the watermark anchor) is
+    dropped; on-time rows all survive."""
+    pdf = QUERIES["stream_watermark_late"](spark, edge_dir).toPandas()
+    assert int(pdf.n_on_time.sum()) == 7
+
+
+def test_dedup_keeps_first_arrival_not_earliest_ts(spark, edge_dir):
+    """(user 1, view): arrival order is id 3 (ts 90min) before id 4
+    (ts 25min) — the keeper is id 3 even though id 4 is EARLIER in
+    event time. Streaming dedup state is arrival-ordered."""
+    pdf = QUERIES["stream_stateful_dedup"](spark, edge_dir).toPandas()
+    keeper = pdf[(pdf.user_id == 1) & (pdf.event_type == "view")]
+    assert list(keeper.event_id) == [3]
+
+
+def test_exact_dedup_finds_duplicate_pair(spark, edge_dir):
+    pdf = QUERIES["llm_exact_dedup"](spark, edge_dir).toPandas()
+    dup = pdf[pdf.n_copies == 2]
+    assert len(dup) == 1 and int(dup.keeper_doc_id.iloc[0]) == 0
+
+
+def test_neardup_finds_permutation_and_lsh_agrees(spark, edge_dir):
+    exact = QUERIES["llm_minhash_neardup"](spark, edge_dir).toPandas()
+    lsh = QUERIES["llm_minhash_lsh"](spark, edge_dir).toPandas()
+    pairs = {
+        (int(r.a_id), int(r.b_id)) for r in exact.itertuples()
+    }
+    # docs 0,1 (identical) and their permutation 2: all three pairwise
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+    assert pairs == {(int(r.a_id), int(r.b_id)) for r in lsh.itertuples()}
+
+
+def test_cosine_ties_break_on_neighbor_id(spark, edge_dir):
+    """vec 0 and 1 are bit-identical: for any query, dots to 0 and 1
+    are equal integers, so the lower vec_id must rank first."""
+    pdf = QUERIES["llm_cosine_topk"](spark, edge_dir).toPandas()
+    q2 = pdf[pdf.vec_id == 2].sort_values("rnk")
+    n = list(q2.neighbor_id)
+    assert n.index(0) < n.index(1)
+
+
+def test_argmax_tie_breaks_on_orderkey(spark, edge_dir):
+    """Orders 0, 1 (cust 0) and 4 (cust 2) ALL tie at 150000.0 in
+    MACHINERY — max_by must pick the highest orderkey (struct
+    tie-break), min_by the lowest."""
+    pdf = QUERIES["agg_min_max_by"](spark, edge_dir).toPandas()
+    row = pdf[pdf.c_mktsegment == "MACHINERY"].iloc[0]
+    assert int(row.max_price_orderkey) == 4
+    assert int(row.min_price_orderkey) == 0
