@@ -30,10 +30,13 @@ HEADLINE = [
     "join_multikey",           # Q5 flagship
     "join_shuffle_fact",       # fact⋈fact shuffle join
     "win_rank_topn_per_group", # window top-3 per customer
+    "fn_string",               # scalar-function breadth (12 fns, 20k rows)
     "stream_tumbling_window",  # 1-day tumbling agg
+    "stream_sliding_window",   # 4x overlapping windows
     "stream_session_window",   # sessionization (lag+cumsum)
     "llm_token_counts",        # split+explode+group
     "llm_exact_dedup",         # hash-group dedup
+    "mm_decode_features",      # Arrow binary batches through Python
     "llm_minhash_lsh",         # minhash+LSH near-dup (scale path; the
                                # exact all-pairs twin is checked at sf0.01
                                # but is quadratic by design at bench SF)
@@ -51,7 +54,13 @@ def main() -> None:
     from climateiq_pipelines_spark.plans import QUERIES, load_all
 
     load_all()
-    spark = get_spark(app_name="climateiq-bench")
+    # shuffle=8 at bench scale (matches BASELINE.md's calibration rows):
+    # sf0.1 partitions are KB-sized, so 32 partitions is pure scheduling
+    # overhead (~25% of suite wall, measured). Purely a local-SF knob —
+    # on a cluster the session default (cores-proportional + AQE
+    # coalescing) governs, and no query here assumes a partition count.
+    shuffle = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "8"))
+    spark = get_spark(app_name="climateiq-bench", shuffle_partitions=shuffle)
 
     # Warm the JVM paths (parquet reader, codegen, shuffle, Arrow collect)
     # so per-query times measure the query, not session bring-up — the
