@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.functions.helpers import sql_davg
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import RAW_EVENTS_SCHEMA, load_table, table_path
+from climateiq_pipelines_spark.registry import RAW_EVENTS_SCHEMA, load_table
 
 
 @register(

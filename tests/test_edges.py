@@ -15,7 +15,7 @@ from __future__ import annotations
 import pytest
 
 from climateiq_pipelines_spark.parity import check_key, duck_connect
-from climateiq_pipelines_spark.plans import ORACLES, QUERIES
+from climateiq_pipelines_spark.plans import QUERIES
 
 # Keys whose edge semantics the adversarial fixture targets. (Running
 # all 84 would add minutes for little marginal signal; these are the
