@@ -51,6 +51,7 @@ def load_all() -> None:
         setops,
         llm,
         multimodal,
+        text_analysis,
         udfs,
     )
     from climateiq_pipelines_spark.functions import scalar  # noqa: F401

@@ -138,3 +138,17 @@ def test_argmax_tie_breaks_on_orderkey(spark, edge_dir):
     row = pdf[pdf.c_mktsegment == "MACHINERY"].iloc[0]
     assert int(row.max_price_orderkey) == 4
     assert int(row.min_price_orderkey) == 0
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=3 over 10 label cells must recover a large share
+    of the true top-5 lists at sf0.01 (measured 0.52; recall is the IVF
+    quality dial — the floor pinned here is the regression tripwire,
+    not a target)."""
+    sf = "/root/testdata/sf0.01"
+    brute = QUERIES["llm_cosine_topk"](spark, sf).toPandas()
+    ivf = QUERIES["llm_ivf_topk"](spark, sf).toPandas()
+    truth = {(int(r.vec_id), int(r.neighbor_id)) for r in brute.itertuples()}
+    found = {(int(r.vec_id), int(r.neighbor_id)) for r in ivf.itertuples()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.3f}"
