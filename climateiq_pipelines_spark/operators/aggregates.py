@@ -349,3 +349,36 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("min_price"),
         )
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per event
+    type. The pivot VALUES are passed explicitly — with an explicit
+    list Spark pivots in one pass; omitting it adds a whole extra
+    collect-distinct job over the data, which is the difference between
+    one scan and two at 100 TB. Count of an absent combination is
+    null → coalesced to 0 to match the FILTER formulation."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )

@@ -242,3 +242,36 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("day_last_type"),
         F.count(F.lit(1)).over(w).alias("day_n_events"),
     )
+
+
+@register(
+    "win_percent_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey)
+                AS INTEGER) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank and cume_dist
+    are rank-based integer ratios ((rank-1)/(n-1), rank_high/n) — both
+    engines compute the identical quotient, rounded for the final
+    division only. ntile gets the unique-key tail (position-sensitive);
+    the ratio functions are tie-stable on the bare value."""
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    by_price_key = W.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(by_price), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(by_price), 9).alias("cume"),
+        F.ntile(10).over(by_price_key).alias("decile"),
+    )
