@@ -382,3 +382,22 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
     )
+
+
+@register("agg_approx_percentile")  # rows-only: sketch values are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per priority — the bounded-state quantile for
+    100 TB (Greenwald-Khanna style summary vs the exact per-group sort
+    of agg_percentiles). Rows-only like the HLL key: sketch outputs are
+    engine-specific; the exact twin (agg_percentiles) bounds it, and
+    accuracy=10000 keeps the estimate within 0.01% rank error."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+        )[0].alias("p50_approx"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+        )[1].alias("p90_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

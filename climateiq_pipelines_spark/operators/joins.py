@@ -341,3 +341,46 @@ def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.last(purchase_id, ignorenulls=True).over(w).alias("asof_purchase_id"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED join — the hand-rolled skew mitigation, oracle-checked
+    against the plain join so the rewrite is proven semantics-preserving:
+    the fact side's key is decorated with salt = pmod(xxhash64(row), 8),
+    the dimension side is exploded 8× (one copy per salt value), and the
+    join runs on (key, salt) — a skewed key's rows now spread across 8
+    shuffle partitions instead of hot-spotting one.
+
+    Scale: AQE's skew-join split handles MODERATE skew automatically;
+    explicit salting is for the pathological key (one user = 10% of a
+    100 TB fact) where a single post-split partition still exceeds
+    executor memory. Cost: dim side × n_salts (broadcast-sized here;
+    for fact-fact joins salt only the skewed keys, not the whole dim)."""
+    n_salts = 8
+    events = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_fact = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    salted_dim = customer.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact.user_id == salted_dim.c_custkey)
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )

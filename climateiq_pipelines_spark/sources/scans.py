@@ -203,3 +203,81 @@ def sink_sorted_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").alias("min_custkey"),
         F.max("o_custkey").alias("max_custkey"),
     )
+
+
+@register(
+    "sink_merge_upsert",
+    oracle=f"""
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    inserts AS (
+      SELECT (SELECT max(o_orderkey) FROM orders) + 1 + k AS o_orderkey,
+             50000.0 AS o_totalprice
+      FROM (SELECT unnest(range(0, 5)) AS k)
+    ),
+    source AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+    merged AS (
+      SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NULL THEN 'kept'
+                  WHEN t.o_orderkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS merge_action
+      FROM (SELECT o_orderkey, o_totalprice FROM orders) t
+      FULL OUTER JOIN source s ON s.o_orderkey = t.o_orderkey
+    )
+    SELECT merge_action, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM merged GROUP BY merge_action
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: target FULL OUTER JOIN
+    source, source wins on match (update), unmatched source inserts,
+    unmatched target survives — the exact WHEN MATCHED / NOT MATCHED
+    semantics of SQL MERGE, materialized to parquet and read back so
+    the audit aggregates come off the SINK, not the plan.
+
+    Scale: this is the copy-on-write merge strategy — one shuffle on
+    the merge key, full rewrite of touched partitions. At 100 TB you
+    scope the rewrite by partition-pruning the target to partitions
+    containing source keys first (or use a format with merge-on-read
+    deletes); the join shape is unchanged."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 100.0).alias("o_totalprice")
+    )
+    max_key = orders.agg(F.max("o_orderkey").alias("mk"))
+    inserts = (
+        spark.range(5)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("mk") + 1 + F.col("id")).alias("o_orderkey"),
+            F.lit(50000.0).alias("o_totalprice"),
+        )
+    )
+    source = updates.unionByName(inserts)
+    t = orders.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full").select(
+        F.coalesce(F.col("s.o_orderkey"), F.col("t.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("s.o_orderkey").isNull(), "kept")
+        .when(F.col("t.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+    path = os.path.join(_tmpdir("merge"), "orders_merged")
+    merged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("merge_action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
