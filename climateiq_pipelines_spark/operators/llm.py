@@ -873,3 +873,195 @@ def llm_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
         )
     )
+
+
+# ------------------------------------------- order-sensitive dedup family
+
+_NGRAM_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6)
+             AS jaccard
+    FROM ov
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common * 2.0 > sa.n_sh + sb.n_sh - n_common
+"""
+
+
+@register("llm_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE near-dup pairs: Jaccard over word 3-gram shingle
+    sets, threshold 0.5 (expressed as 2·|∩| > |∪|, a pure integer
+    comparison — no float threshold ambiguity at exactly 0.5).
+
+    Complements the token-SET keys: a word-level permutation of a doc
+    keeps its token set (llm_minhash_neardup finds it) but destroys its
+    shingle set — so this key separates true copies from shuffles. On
+    the fixture the signal is bimodal (probed at sf0.01: 25 pairs at
+    J ≥ 0.9, next mass at J ≤ 0.1), so 0.5 sits in an empty margin.
+
+    Scale: same posting-list shape as llm_minhash_neardup — explode →
+    self-join on shingle → integer ratio — but shingles are ~unique
+    (3-word context), so posting lists stay short and the join is
+    near-linear where raw token posting lists go quadratic. At 100 TB,
+    hash the shingle to a 64-bit int before the shuffle (carry 8 bytes,
+    not the trigram text) and layer MinHash banding on top exactly as
+    llm_minhash_lsh does over tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    idx = F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+        ),
+    )
+    sh = docs.select("doc_id", F.explode(tri).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    ov = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_sh"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_sh"))
+    union = F.col("a_sh") + F.col("b_sh") - F.col("n_common")
+    return (
+        ov.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(F.col("n_common") * 2 > union)
+        .select(
+            "a_id", "b_id", F.round(F.col("n_common") / union, 6).alias("jaccard")
+        )
+    )
+
+
+def _simhash60_sql_sig() -> str:
+    """DuckDB 60-bit token simhash: per-token h = first 15 md5 hex chars
+    as a BIGINT (md5 is identical cross-engine, unlike xxhash64/hash),
+    bit j votes ±1, signature bit j = sign of the vote sum."""
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(60)
+    )
+    return f"""
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    sigs AS (SELECT doc_id, {bits} AS sig FROM hs GROUP BY doc_id)
+    """
+
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+    WITH {_simhash60_sql_sig()}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@register("llm_simhash_neardup", oracle=_SIMHASH_NEARDUP_ORACLE)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming distance ≤ 3 on a 60-bit token
+    simhash) via 4-band pigeonhole pruning — the classic web-dedup
+    design, Spark-first:
+
+    1. Per token, h = first 15 md5 hex chars → BIGINT (60 exact bits;
+       md5 is the one hash both engines compute identically — xxhash64
+       and DuckDB hash() are different algorithms).
+    2. Signature: bit j votes +1/−1 per distinct token; 60 codegen'd
+       conditional sums in ONE hash aggregate, sign → bit. No UDF.
+    3. Candidates: split the 60 bits into 4 bands of 15; a pair within
+       Hamming ≤ 3 must agree on ≥1 whole band (pigeonhole), so the
+       band-key equi-self-join has recall exactly 1.0 — proven, not
+       sampled, because the all-pairs oracle below checks the output.
+    4. Exact verify: bit_count(sig_a XOR sig_b) ≤ 3 on candidates.
+
+    The oracle is the O(n²) all-pairs twin, so the hash match proves
+    the banding lossless on the fixture. Fixture note (probed sf0.01):
+    the 31-word vocabulary makes token-set simhash land 452 pairs at
+    distance 0 — dense-vocab compression, same effect documented on
+    llm_minhash_lsh; on a real shingled corpus distances spread and
+    the ≤3 margin means edit-level similarity.
+
+    Scale: signatures are 8 bytes/doc; the shuffle carries (band_val,
+    doc_id) — 4 rows of 16 bytes per doc, ~64 bytes/doc total at any
+    corpus size. Per-band-bucket self-joins are quadratic in bucket
+    size only; at 10^9+ docs widen to 96/128-bit signatures and 6-8
+    bands to keep buckets small. All-pairs never runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(60)
+        ]
+    )
+    sig_col: Column = F.lit(0).cast("long")
+    for j in range(60):
+        sig_col = sig_col + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(0)
+    sigs = votes.select("doc_id", sig_col.alias("sig"))
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band_id"),
+                    F.shiftright("sig", 15 * k)
+                    .bitwiseAND(F.lit(0x7FFF))
+                    .alias("band_val"),
+                )
+                for k in range(4)
+            ]
+        )
+    )
+    bands = sigs.select("doc_id", "sig", band.alias("b")).select(
+        "doc_id", "sig", "b.band_id", "b.band_val"
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
+        "band_id", "band_val",
+    )
+    hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
