@@ -1,0 +1,165 @@
+"""Physical-plan regression tests — pin the 100 TB plan shapes, not just
+the sf0.001 answers.
+
+Correctness tests prove WHAT each operator computes; these prove HOW
+Catalyst executes it stays the shape we designed for scale: filters
+reach the parquet scan, small dims broadcast, top-k never globally
+sorts, rank-filters push into WindowGroupLimit, aggregates combine
+map-side, and nothing silently degrades to a nested-loop join or a
+row-at-a-time Python eval. A future refactor that keeps answers right
+but regresses the plan (the classic silent scale-killer) fails here.
+
+Assertions read the pre-execution physical plan (AQE's initial plan —
+node CHOICE is what we pin; AQE only re-plans sizes/local shuffles).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+from climateiq_pipelines_spark.plans import QUERIES
+
+from tests.conftest import SF_SMALL
+
+# Keys whose plan legitimately contains a nested-loop join: every one
+# broadcasts a tiny literal-bounded side (5-row region cross, 16-row
+# seed table, 1-row corpus count / query vector), where nested-loop IS
+# the right plan — the loop runs |small| times per row, constant in
+# corpus size.
+NESTED_LOOP_OK = {
+    "join_cross_small",  # 5x25 cross join is the declared semantics
+    "llm_knn_query",  # 1-row query vector broadcast
+    "llm_minhash_lsh",  # 16-row literal seed table broadcast
+    "llm_tfidf_topterms",  # 1-row corpus doc-count broadcast
+}
+
+# Keys that run Python by design; everything else must stay JVM-side.
+PYTHON_EVAL_OK = {
+    "udf_scalar_py",  # the row-UDF demo key (BatchEvalPython)
+    "udf_pandas_vectorized",  # ArrowEvalPython
+    "udaf_grouped_pandas",  # FlatMapGroupsInPandas
+    "udtf_explode_sessions",  # MapInPandas
+    "llm_cosine_topk",  # Arrow block-NL (MapInPandas), measured 24x DuckDB
+    "mm_decode_features",  # binary decode is Python by necessity
+}
+
+PY_EVAL_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInArrow",
+)
+
+
+def plan_of(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_SMALL)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+# --------------------------------------------------- whole-registry sweeps
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_no_accidental_nested_loop(key, spark):
+    """No BroadcastNestedLoopJoin/CartesianProduct outside the audited
+    small-literal-side allowlist — the n² plans that kill 100 TB runs."""
+    plan = plan_of(spark, key)
+    has_nl = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if key in NESTED_LOOP_OK:
+        return  # audited: tiny broadcast side, loop count constant in n
+    assert not has_nl, f"{key} degraded to a nested-loop join:\n{plan}"
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_no_accidental_python_eval(key, spark):
+    """Relational keys stay inside JVM codegen — Python eval nodes only
+    where the key's declared semantics require Python."""
+    plan = plan_of(spark, key)
+    hit = [n for n in PY_EVAL_NODES if n in plan]
+    if key in PYTHON_EVAL_OK:
+        assert hit, f"{key} is declared a Python-eval key but plan has none"
+    else:
+        assert not hit, f"{key} unexpectedly runs Python {hit}:\n{plan}"
+
+
+# ------------------------------------------------------- per-key pinnings
+
+
+def test_q5_dimensions_broadcast(spark):
+    """join_multikey (Q5): region/nation/supplier dims must broadcast —
+    a dim falling back to shuffle join doubles the fact shuffles."""
+    plan = plan_of(spark, "join_multikey")
+    assert len(re.findall("BroadcastHashJoin", plan)) >= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theta_band_join_is_equi(spark):
+    """join_theta_inequality: the band predicate is rewritten to an
+    offset equi-join; BNLJ here would evaluate all n² pairs."""
+    plan = plan_of(spark, "join_theta_inequality")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan  # still an actual join, not a filter trick
+
+
+def test_topk_avoids_global_sort(spark):
+    """topk_global: TakeOrderedAndProject (per-partition heap + merge),
+    never a full Sort of the fact table."""
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rank_filter_pushes_into_window(spark):
+    """win_rank_topn_per_group: rnk<=3 must become WindowGroupLimit
+    (bounded per-group heap) instead of rank-everything-then-filter."""
+    plan = plan_of(spark, "win_rank_topn_per_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_agg_combines_map_side(spark):
+    """agg_pricing_summary: partial+final HashAggregate pair — the
+    shuffle carries |groups| rows, not |input| rows."""
+    plan = plan_of(spark, "agg_pricing_summary")
+    assert len(re.findall("HashAggregate", plan)) >= 2, plan
+
+
+def test_scan_prunes_columns_and_pushes_filter(spark):
+    """scan_parquet_project: ReadSchema carries exactly the 3 projected
+    columns and the l_returnflag predicate reaches PushedFilters —
+    row-group skipping + column pruning at the source."""
+    plan = plan_of(spark, "scan_parquet_project")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["l_orderkey", "l_quantity", "l_returnflag"], plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag[^\]]*\]", plan), plan
+
+
+def test_simhash_neardup_avoids_all_pairs(spark):
+    """llm_simhash_neardup: candidates come from the band equi-join —
+    no nested-loop, no cartesian (the oracle is the n² twin; the engine
+    must not be)."""
+    plan = plan_of(spark, "llm_simhash_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_no_driver_collect_in_engine_sources():
+    """Static sweep: no .collect()/.toPandas() in engine query paths —
+    driver-side loops don't distribute. Allowlist: llm_cosine_topk's
+    guarded corpus materialization (the broadcast dimension of its
+    block-NL, capped at 200k vectors and documented)."""
+    root = Path(__file__).resolve().parent.parent / "climateiq_pipelines_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        if p.name == "parity.py":  # test harness, not a query path
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if ".collect()" in line or ".toPandas()" in line:
+                offenders.append(f"{p.name}:{i}")
+    assert offenders == ["llm.py:491"], offenders
