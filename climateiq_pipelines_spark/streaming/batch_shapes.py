@@ -292,3 +292,98 @@ def stream_readstream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.sql("SELECT * FROM cps_stream_demo")
+
+
+@register("stream_stateful_sessions")  # rows-only: streaming execution
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING OPERATOR — per-user sessionization via
+    applyInPandasWithState: readStream over events, groupBy user_id,
+    an Arrow-batched state function that splits each user's stream on
+    >30-minute gaps, EMITS closed sessions and carries the open tail
+    session in the state store across micro-batches.
+
+    Rows-only by nature (incremental execution, session-local memory
+    sink), but the semantics are pinned harder than a row count:
+    test_streaming_stateful asserts the emitted set equals the batch
+    lag+cumsum sessionizer's output minus each user's final session
+    (which stays open in state when the availableNow stream ends —
+    exactly the documented contract of a session operator fed a finite
+    prefix of an infinite stream).
+
+    Scale: this is the applyInPandasWithState pattern for operators
+    Spark lacks natively — state is per-key and bounded (one open
+    session: 3 longs), the shuffle is one hash partition on user_id,
+    and Arrow batches amortize the Python crossing. At 100 TB of
+    events/day the state store holds |active users| × 24 bytes, and a
+    real deployment adds a watermark-driven timeout
+    (GroupStateTimeout.EventTimeTimeout) to flush idle tails."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = n = None
+        closed = []
+        for pdf in pdfs:
+            for ts_us in sorted(pdf["ts_us"]):
+                ts_us = int(ts_us)
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+            )
+
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", (F.col("ts") / 1000).cast("long").alias("ts_us"))
+    )
+    sessions = raw.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("cps_stateful_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+    return spark.sql("SELECT * FROM cps_stateful_sessions")
