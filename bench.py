@@ -42,6 +42,7 @@ HEADLINE = [
                                # but is quadratic by design at bench SF)
     "llm_cosine_topk",         # brute-force kNN (DuckDB: 15.7 s)
     "llm_simhash_bucket",      # LSH bucket primitive
+    "llm_corpus_pipeline",     # end-to-end dedup+quality funnel
 ]
 
 

@@ -1069,3 +1069,89 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+# --------------------------------------------- end-to-end corpus pipeline
+
+_PIPELINE_ORACLE = """
+    WITH keep1 AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ),
+    d1 AS (
+      SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
+    ),
+    enriched AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS set_digest
+      FROM d1
+    ),
+    keep2 AS (
+      SELECT min(doc_id) AS doc_id FROM enriched GROUP BY set_digest
+    ),
+    cleaned AS (
+      SELECT e.* FROM enriched e JOIN keep2 USING (doc_id)
+      WHERE e.n_tokens >= 20 AND e.n_chars >= 100
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM cleaned
+    GROUP BY lang, source
+"""
+
+
+@register("llm_corpus_pipeline", oracle=_PIPELINE_ORACLE)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus cleaning funnel — the composite the
+    individual §2.10 keys exist to serve, as ONE declarative plan:
+
+    1. Exact dedup: keep min doc_id per md5(text) digest (the shuffle
+       carries 32-byte digests, never bodies).
+    2. Content dedup: keep min doc_id per SORTED-DISTINCT-TOKEN-SET
+       digest — catches permutation duplicates (the fixture's planted
+       structure) without any pair join: array_distinct + array_sort +
+       md5 are all per-row map-side, so stage cost is one groupBy on an
+       8+32-byte key. This is the degenerate (J=1.0) case of near-dup
+       removal; for fuzzy thresholds the LSH pair keys
+       (llm_minhash_lsh / llm_simhash_neardup) feed the same anti-join.
+    3. Quality gate: n_tokens ≥ 20 and n_chars ≥ 100 (Gopher-style
+       bounds; the per-signal version is llm_quality_score).
+    4. Manifest: per (lang, source) surviving doc count + exact integer
+       token/char totals — the partition-level bookkeeping a 100 TB
+       curation run reports.
+
+    Scale: three shuffles total (two digest groupBys + the final
+    manifest agg), each carrying one row per doc or less; semi-joins
+    broadcast the keeper-id sets when small and shuffle-join cleanly
+    when not. No stage holds more than (digest, doc_id) per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep1 = docs.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d1 = docs.join(keep1.select("doc_id"), "doc_id", "left_semi")
+    words = F.split("text", " ")
+    enriched = d1.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(words).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
+        ).alias("set_digest"),
+    )
+    keep2 = enriched.groupBy("set_digest").agg(F.min("doc_id").alias("doc_id"))
+    cleaned = (
+        enriched.join(keep2.select("doc_id"), "doc_id", "left_semi")
+        .filter((F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100))
+    )
+    return cleaned.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
