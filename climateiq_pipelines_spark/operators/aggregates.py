@@ -401,3 +401,40 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[1].alias("p90_approx"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register("agg_hll_sketch_merge")  # rows-only: sketch binaries are engine-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL) — the
+    100 TB count-distinct path: each partition/segment builds a small
+    fixed-size sketch, sketches merge associatively (hll_union_agg), and
+    the estimate reads off the merged state — no shuffle of raw keys,
+    re-aggregatable across days/segments without rescanning.
+
+    Output: per-priority customer-cardinality estimate next to the
+    exact countDistinct, plus an ALL row whose estimate comes from
+    MERGING the per-priority sketches (never re-touching the rows).
+    Rows-only: sketch binaries/estimates are engine-specific (DuckDB's
+    HLL is a different implementation); the estimate-vs-exact relative
+    error is pinned < 5% by tests/test_parity extras instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+    )
+    per_rows = per.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_distinct"),
+        "exact_distinct",
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_distinct"),
+        F.sum(F.lit(0)).alias("_z"),
+    ).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        "approx_distinct",
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return per_rows.unionByName(merged)

@@ -136,3 +136,45 @@ def set_dropdup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersect: each nationkey survives min(count_left,
+    count_right) times. Catalyst plans intersectAll as a join on
+    (value, replicated row-number) — one shuffle, no O(n·m) blowup."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.intersectAll(supplier)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics except: each right occurrence cancels ONE left
+    occurrence (count_left - count_right survivors), vs set-EXCEPT's
+    any-match-removes-all. Same count-cancelling single-shuffle plan."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.exceptAll(supplier)

@@ -281,3 +281,37 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("o_totalprice"), "sum_price"),
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty,
+           min(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS first_ship_day
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a deterministic lineitem slice as ORC, read it back,
+    aggregate — same oracle-against-the-ORIGINAL-parquet contract as
+    the CSV/JSON roundtrips, so any type lossiness in the columnar
+    write path breaks the hash. Unlike CSV, ORC is typed: decimals and
+    dates survive natively (no string shims), and the reader gets
+    predicate pushdown + column pruning like parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    slice_df = li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+    )
+    path = os.path.join(_tmpdir("orc"), "lineitem_slice")
+    slice_df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        F.min("ship_day").alias("first_ship_day"),
+    )
