@@ -162,4 +162,4 @@ def test_no_driver_collect_in_engine_sources():
         for i, line in enumerate(p.read_text().splitlines(), 1):
             if ".collect()" in line or ".toPandas()" in line:
                 offenders.append(f"{p.name}:{i}")
-    assert offenders == ["llm.py:491"], offenders
+    assert len(offenders) == 1 and offenders[0].startswith("llm.py:"), offenders
