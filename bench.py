@@ -43,6 +43,8 @@ HEADLINE = [
     "llm_cosine_topk",         # brute-force kNN (DuckDB: 15.7 s)
     "llm_simhash_bucket",      # LSH bucket primitive
     "llm_corpus_pipeline",     # end-to-end dedup+quality funnel
+    "q3_shipping_priority",    # TPC-H Q3 full composite (DuckDB: 0.064 s)
+    "q18_large_orders",        # TPC-H Q18 aggregate-then-join
 ]
 
 

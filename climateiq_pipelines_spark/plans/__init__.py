@@ -53,6 +53,7 @@ def load_all() -> None:
         multimodal,
         text_analysis,
         udfs,
+        queries_tpch,
     )
     from climateiq_pipelines_spark.functions import scalar  # noqa: F401
     from climateiq_pipelines_spark.streaming import batch_shapes  # noqa: F401
