@@ -1155,3 +1155,107 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------- corpus mixing / batching
+
+_STRAT_ORACLE = """
+    SELECT lang, doc_id, pick
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pick,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    WHERE pick <= CAST(ceil(0.1 * n_lang) AS BIGINT)
+"""
+
+
+@register("llm_stratified_sample", oracle=_STRAT_ORACLE)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per language — the data-mixing
+    primitive: every stratum contributes exactly ceil(0.1·n) docs, and
+    the 'random' order is md5(doc_id) (identical cross-engine, stable
+    across runs/partitionings — no RNG, no seed drift, so the sample is
+    reproducible forever, which training-data lineage requires).
+
+    Scale: one shuffle on lang; the md5 sort is per-stratum. For heavily
+    skewed strata (one lang = 90% of 100 TB) switch the inner sort to a
+    bucketed top-k: assign md5-bucket, per-bucket row_number, take whole
+    buckets + a row_number'd remainder — same deterministic set, no
+    single-reducer sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.row_number().over(w).alias("pick"),
+            F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n_lang"),
+        )
+        .filter(F.col("pick") <= F.ceil(0.1 * F.col("n_lang")).cast("long"))
+        .select("lang", "doc_id", "pick")
+    )
+
+
+_PACK_ORACLE = """
+    WITH toks AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(floor(
+               (SUM(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / 512.0
+             ) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT lang, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM placed
+    GROUP BY lang, seq_id
+"""
+
+
+@register("llm_pack_sequences", oracle=_PACK_ORACLE)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: stream each language's docs in
+    deterministic doc_id order and cut a new 512-token sequence
+    whenever the running token total crosses the budget (seq_id =
+    floor(preceding-cumsum / 512) — contiguous fill, the standard
+    concat-then-chunk pre-training layout, NOT bin-packing: order is
+    preserved so document boundaries stay reproducible). Emits the
+    per-sequence manifest (doc count, token total).
+
+    Scale: one shuffle on lang + a per-stratum ordered window (linear
+    state). At 100 TB, sub-partition the cumsum: per (lang, shard)
+    local cumsums + a tiny broadcast of per-shard offsets — same
+    arithmetic, no single-reducer window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    placed = toks.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0)
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return placed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
