@@ -384,3 +384,67 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), "sum_value"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED bucketed join — the shuffle-elimination pattern for
+    repeatedly-joined 100 TB fact tables: both sides are written
+    bucketBy(8, custkey) ONCE, and every subsequent join on that key
+    reads bucket i against bucket i with NO Exchange — the plan shows
+    `Bucketed: true, SelectedBucketsCount: 8 out of 8` and a
+    SortMergeJoin whose only Exchange is the final small aggregate
+    (pinned by tests/test_plans.py::test_bucketed_join_has_no_exchange).
+
+    At 100 TB the bucket write is amortized over every downstream
+    join/agg on the key: 1000 buckets × co-located scan replaces a
+    full-corpus shuffle per query. merge hints keep the demo on the
+    SMJ path (a size-based broadcast would also avoid the exchange,
+    but only while one side stays small).
+
+    Oracle: the same join/agg over the ORIGINAL parquet — proving the
+    bucketed write+read round-trip loses nothing."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    d = tempfile.mkdtemp(prefix="cps_bucketed_join")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(d, "orders"))
+        .mode("overwrite")
+        .saveAsTable("cps_bkt_orders")
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(d, "customer"))
+        .mode("overwrite")
+        .saveAsTable("cps_bkt_customer")
+    )
+    return (
+        spark.table("cps_bkt_orders")
+        .hint("merge")
+        .join(
+            spark.table("cps_bkt_customer").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_totalprice"),
+        )
+    )

@@ -163,3 +163,13 @@ def test_no_driver_collect_in_engine_sources():
             if ".collect()" in line or ".toPandas()" in line:
                 offenders.append(f"{p.name}:{i}")
     assert len(offenders) == 1 and offenders[0].startswith("llm.py:"), offenders
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """join_bucketed_colocated: both scans read Bucketed, the join is
+    SortMergeJoin, and the ONLY Exchange is the final aggregate's —
+    bucket co-location eliminated the join shuffle entirely."""
+    plan = plan_of(spark, "join_bucketed_colocated")
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert len(re.findall("Exchange", plan)) == 1, plan
