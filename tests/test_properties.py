@@ -99,3 +99,112 @@ def test_window_topk_containment(spark, a):
     per_key = top.groupBy("k").count().filter(F.col("count") > 2).count()
     assert per_key == 0
     assert top.drop("rn").join(df, ["k", "v"], "left_anti").count() == 0
+
+
+seq_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),  # lang
+        st.integers(min_value=1, max_value=600),  # n_tokens
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=seq_rows)
+@settings(**SETTINGS)
+def test_pack_sequences_conservation_and_boundaries(spark, docs):
+    """llm_pack_sequences' contiguous-fill rule, on arbitrary corpora:
+    packing preserves doc and token totals, and a new sequence starts
+    exactly when the preceding cumsum crosses a 512 multiple."""
+    from pyspark.sql import Window as W
+
+    pdf = [(lang, i, n) for i, (lang, n) in enumerate(docs)]
+    df = spark.createDataFrame(pdf, "lang string, doc_id int, n_tokens int")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    placed = df.select(
+        "lang",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("before"),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0)
+        .cast("long")
+        .alias("seq_id"),
+    ).toPandas()
+    packed = placed.groupby(["lang", "seq_id"]).agg(
+        n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum")
+    )
+    assert packed["n_docs"].sum() == len(docs)
+    assert packed["sum_tokens"].sum() == sum(n for _, n in docs)
+    for _, row in placed.iterrows():
+        assert row["seq_id"] == row["before"] // 512
+
+
+@given(langs=st.lists(st.sampled_from(["en", "de", "fr"]), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_stratified_sample_quota_and_determinism(spark, langs):
+    """llm_stratified_sample's md5-ordered pick, on arbitrary strata:
+    every stratum yields exactly ceil(0.1·n) rows, and the chosen SET is
+    identical under different partitionings (no RNG, no layout
+    dependence)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    rows = [(lang, i) for i, lang in enumerate(langs)]
+    df = spark.createDataFrame(rows, "lang string, doc_id int")
+
+    def sample(frame):
+        w = W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        return (
+            frame.select(
+                "lang",
+                "doc_id",
+                F.row_number().over(w).alias("pick"),
+                F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n_lang"),
+            )
+            .filter(F.col("pick") <= F.ceil(0.1 * F.col("n_lang")).cast("long"))
+            .select("lang", "doc_id")
+        )
+
+    got = {tuple(r) for r in sample(df.repartition(2)).collect()}
+    again = {tuple(r) for r in sample(df.repartition(7)).collect()}
+    assert got == again
+    from collections import Counter
+
+    per_lang = Counter(lang for lang, _ in got)
+    pop = Counter(langs)
+    for lang, n in pop.items():
+        assert per_lang[lang] == math.ceil(0.1 * n)
+
+
+@given(
+    sig_pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 60) - 1),
+            st.integers(min_value=0, max_value=3),  # target hamming
+            st.sets(st.integers(min_value=0, max_value=59), max_size=3),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_simhash_band_pigeonhole_recall(sig_pairs):
+    """llm_simhash_neardup's candidate rule, on arbitrary signatures:
+    any pair within Hamming ≤ 3 on 60 bits MUST share at least one of
+    the 4 15-bit bands (pigeonhole) — the banding can never miss a
+    true near-dup. Pure arithmetic, no Spark needed."""
+    for base, _, flip_bits in sig_pairs:
+        other = base
+        for b in flip_bits:
+            other ^= 1 << b
+        assert bin(base ^ other).count("1") <= 3
+        shares_band = any(
+            (base >> (15 * k)) & 0x7FFF == (other >> (15 * k)) & 0x7FFF
+            for k in range(4)
+        )
+        assert shares_band, (base, other)
