@@ -46,6 +46,12 @@ EDGE_KEYS = [
     "llm_cosine_topk",           # bit-identical vectors → dot ties
     "llm_embed_normalize",
     "llm_simhash_bucket",
+    "llm_ngram_jaccard",         # single-token doc (< 3-gram guard),
+                                 # exact dup vs permutation separation
+    "llm_simhash_neardup",       # identical-token-set pair at Hamming 0
+    "llm_corpus_pipeline",       # funnel over exact dup + permutation
+    "llm_stratified_sample",     # 1-doc stratum → ceil picks exactly 1
+    "llm_pack_sequences",        # doc longer than half the budget
     "mm_frame_sample",           # doc shorter than frame width
     "fn_string",
     "fn_conditional",            # price exactly on a CASE edge
