@@ -173,3 +173,12 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Bucketed: true" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert len(re.findall("Exchange", plan)) == 1, plan
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark):
+    """sink_partitioned_parquet: the year filter must land in
+    PartitionFilters (directory-level pruning) — the read never opens
+    the other years' files."""
+    plan = plan_of(spark, "sink_partitioned_parquet")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1) and "1997" in m.group(1), plan
