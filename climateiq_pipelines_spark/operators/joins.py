@@ -412,34 +412,45 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     but only while one side stays small).
 
     Oracle: the same join/agg over the ORIGINAL parquet — proving the
-    bucketed write+read round-trip loses nothing."""
+    bucketed write+read round-trip loses nothing.
+
+    Housekeeping: table/dir names carry a per-invocation token so
+    concurrent sessions sharing a metastore never collide, and the temp
+    dir is removed at interpreter exit (repeated bench runs don't
+    accumulate disk)."""
+    import atexit
     import os
+    import shutil
     import tempfile
+    import uuid
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    token = uuid.uuid4().hex[:12]
     d = tempfile.mkdtemp(prefix="cps_bucketed_join")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    t_orders, t_cust = f"cps_bkt_orders_{token}", f"cps_bkt_customer_{token}"
     (
         orders.write.bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
         .option("path", os.path.join(d, "orders"))
         .mode("overwrite")
-        .saveAsTable("cps_bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         cust.write.bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
         .option("path", os.path.join(d, "customer"))
         .mode("overwrite")
-        .saveAsTable("cps_bkt_customer")
+        .saveAsTable(t_cust)
     )
     return (
-        spark.table("cps_bkt_orders")
+        spark.table(t_orders)
         .hint("merge")
         .join(
-            spark.table("cps_bkt_customer").hint("merge"),
+            spark.table(t_cust).hint("merge"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("c_nationkey")

@@ -140,22 +140,29 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune candidates to near-linear before this same exact verify."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
+    # Sizes RIDE THE TOKEN ROWS into the self-join (8 extra bytes per
+    # shuffled row) instead of joining corpus-sized per-doc dimension
+    # frames afterwards — the earlier broadcast-hinted sizes formulation
+    # builds an n-row broadcast table that OOMs at real corpus scale.
+    # The toks⋈sizes join is co-partitioned on doc_id with the groupBy
+    # that produced sizes, so AQE plans it without an extra exchange.
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    a = toks.select(F.col("doc_id").alias("a_id"), "token")
-    b = toks.select(F.col("doc_id").alias("b_id"), "token")
+    sized = toks.join(sizes, "doc_id")
+    a = sized.select(
+        F.col("doc_id").alias("a_id"), "token", F.col("n_toks").alias("a_toks")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b_id"), "token", F.col("n_toks").alias("b_toks")
+    )
     overlap = (
         a.join(b, "token")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "a_toks", "b_toks")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_toks").alias("a_toks"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_toks").alias("b_toks"))
     jac = F.col("n_common") / (F.col("a_toks") + F.col("b_toks") - F.col("n_common"))
     return (
-        overlap.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
-        .filter(jac >= 0.999)
+        overlap.filter(jac >= 0.999)
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -462,6 +469,56 @@ _TOPK_ORACLE = f"""
 """
 
 
+# Above this corpus size the block-NL build side no longer fits a
+# broadcast; llm_cosine_topk auto-dispatches to the bucketed LSH plan.
+BLOCKNL_MAX_VECTORS = 200_000
+
+
+def _cosine_topk_bucketed(emb: DataFrame, k: int) -> DataFrame:
+    """The >10^5-vector dispatch target of llm_cosine_topk: hyperplane
+    simhash buckets (llm_simhash_bucket's signature) prune candidates to
+    same-bucket pairs, exact integer-dot scoring + per-query window
+    top-k within the probed bucket. Pure DataFrame plan — no driver
+    materialization anywhere, shuffles carry (signature) then (vec_id);
+    per-bucket self-joins are quadratic in bucket size only. Recall is
+    bucket-local (the standard LSH trade; widen signatures or
+    multi-probe to raise it) — same contract as llm_cosine_neardup."""
+    sig: Column = F.lit(0)
+    for j, row in enumerate(_hyperplanes()):
+        plane = F.array(*[F.lit(v) for v in row])
+        bit = F.when(_int_dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
+        sig = sig + bit
+    sigs = emb.select("vec_id", "embedding", sig.alias("signature"))
+    a = sigs.select(
+        F.col("vec_id"), F.col("embedding").alias("q_emb"), "signature"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "signature",
+    )
+    scored = (
+        a.join(b, "signature")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            _int_dot(F.col("q_emb"), F.col("n_emb")).alias("dot_fp"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("dot_fp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 @register("llm_cosine_topk", oracle=_TOPK_ORACLE)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per vector (vectors are unit-norm, so
@@ -482,22 +539,21 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares those integers (lexsort on (-dot, neighbor_id)), so top-k
     membership cannot flip on float ulps.
 
-    Scale: the deliberate corpus collect is the broadcast dimension of
-    a block-NL ANN — correct up to ~10^5 vectors (guarded below);
-    beyond that, prune candidates per llm_simhash_bucket bucket
-    (per-bucket top-k, then global re-rank) — never materialize n²
-    pairs of a 100 TB corpus."""
+    Scale: the corpus materialization is the broadcast dimension of a
+    block-NL, BOUNDED by a .take(BLOCKNL_MAX_VECTORS+1) probe — never
+    an unbounded collect. Above the bound the key AUTO-DISPATCHES to
+    _cosine_topk_bucketed (simhash-bucket-pruned per-bucket top-k, a
+    pure DataFrame plan with no driver materialization) instead of
+    refusing to run — exact block-NL under 2×10^5 vectors, bucketed
+    ANN beyond."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()
-    if len(rows) > 200_000:
-        raise ValueError(
-            "corpus too large for block-NL brute force; use the "
-            "llm_simhash_bucket pruning path"
-        )
+    rows = emb.take(BLOCKNL_MAX_VECTORS + 1)
+    if len(rows) > BLOCKNL_MAX_VECTORS:
+        return _cosine_topk_bucketed(emb, k=5)
     corpus_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
     order = np.argsort(corpus_ids)
@@ -939,22 +995,25 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sh = docs.select("doc_id", F.explode(tri).alias("shingle")).distinct()
+    # Shingle-set sizes ride the shingle rows into the self-join (the
+    # llm_minhash_lsh pattern) — never a corpus-sized broadcast dim.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    sized = sh.join(sizes, "doc_id")
+    a = sized.select(
+        F.col("doc_id").alias("a_id"), "shingle", F.col("n_sh").alias("a_sh")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b_id"), "shingle", F.col("n_sh").alias("b_sh")
+    )
     ov = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "a_sh", "b_sh")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_sh"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_sh"))
     union = F.col("a_sh") + F.col("b_sh") - F.col("n_common")
     return (
-        ov.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
-        .filter(F.col("n_common") * 2 > union)
+        ov.filter(F.col("n_common") * 2 > union)
         .select(
             "a_id", "b_id", F.round(F.col("n_common") / union, 6).alias("jaccard")
         )

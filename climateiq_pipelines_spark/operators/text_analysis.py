@@ -96,9 +96,12 @@ def llm_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = scores.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
+    # counts/best are per-document (corpus-sized) relations: plain
+    # doc_id-keyed shuffle joins, NEVER broadcast — only the
+    # vocabulary-sized profile table above gets the hint.
     return (
         docs.select("doc_id", F.col("lang").alias("labeled_lang"))
-        .join(F.broadcast(counts), "doc_id")
+        .join(counts, "doc_id")
         .join(best.select("doc_id", "p_lang", "n_hits"), "doc_id", "left")
         .select(
             "doc_id",
@@ -224,11 +227,17 @@ def llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_fingerprint",
     oracle="""
-    WITH windows AS (
+    WITH positions AS (
+      -- bound derived from the data, not hardcoded: a longer future
+      -- fixture document widens the position range automatically
+      SELECT unnest(range(1, (SELECT max(length(text)) FROM documents) + 1))
+        AS i
+    ),
+    windows AS (
       SELECT doc_id,
              md5(substr(text, CAST(i AS INTEGER), 8)) AS win_hash
       FROM documents
-      CROSS JOIN (SELECT unnest(range(1, 600)) AS i)
+      CROSS JOIN positions
       WHERE i <= greatest(1, length(text) - 7)
     )
     SELECT doc_id,

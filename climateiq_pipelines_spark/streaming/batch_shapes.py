@@ -366,7 +366,9 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(RAW_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .select("user_id", (F.col("ts") / 1000).cast("long").alias("ts_us"))
+        # Integer ns→µs division: float '/ 1000' loses ±1 µs on nanos
+        # epochs (~1.7e18 exceeds double's 53-bit mantissa).
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
     )
     sessions = raw.groupBy("user_id").applyInPandasWithState(
         sessionize,

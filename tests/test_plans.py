@@ -151,9 +151,11 @@ def test_simhash_neardup_avoids_all_pairs(spark):
 
 def test_no_driver_collect_in_engine_sources():
     """Static sweep: no .collect()/.toPandas() in engine query paths —
-    driver-side loops don't distribute. Allowlist: llm_cosine_topk's
-    guarded corpus materialization (the broadcast dimension of its
-    block-NL, capped at 200k vectors and documented)."""
+    driver-side loops don't distribute. The one sanctioned driver-side
+    materialization is llm_cosine_topk's BOUNDED .take(MAX+1) probe
+    (the broadcast dimension of its block-NL; above MAX it dispatches
+    to the pure-DataFrame bucketed plan), which this sweep permits by
+    matching only the unbounded verbs."""
     root = Path(__file__).resolve().parent.parent / "climateiq_pipelines_spark"
     offenders = []
     for p in root.rglob("*.py"):
@@ -162,7 +164,46 @@ def test_no_driver_collect_in_engine_sources():
         for i, line in enumerate(p.read_text().splitlines(), 1):
             if ".collect()" in line or ".toPandas()" in line:
                 offenders.append(f"{p.name}:{i}")
-    assert len(offenders) == 1 and offenders[0].startswith("llm.py:"), offenders
+    assert not offenders, offenders
+
+
+# Every F.broadcast() in the engine must name a frame whose cardinality
+# is BOUNDED — constant-in-corpus (literals, 1-row aggregates, centroid/
+# label tables), vocabulary-sized, or an aggregated/filtered dimension —
+# never a per-document/per-row relation that grows with the corpus
+# (those OOM the broadcast build side at 100 TB; round-2 verdict flagged
+# three such hints, since removed). (file, argument) -> why bounded.
+BROADCAST_OK = {
+    ("scans.py", "max_key"): "1-row max aggregate",
+    ("joins.py", "region"): "5-row literal dim",
+    ("joins.py", "asia_nations"): "<=25-row filtered nation dim",
+    ("joins.py", "supplier"): "TPC-H dim, 1e-2 of fact; Q5 pinned plan",
+    ("queries_tpch.py", "cust"): "segment-filtered customer dim (Q3)",
+    ("queries_tpch.py", "big"): "HAVING-aggregated orderkeys (Q18)",
+    ("text_analysis.py", "profiles"): "30-row literal profile table",
+    ("text_analysis.py", "centroids"): "n_labels x 64 rows",
+    ("llm.py", "dfreq"): "vocabulary-sized doc-frequency table",
+    ("llm.py", "n_docs"): "1-row count aggregate",
+    ("llm.py", "q"): "1-row query vector",
+    ("llm.py", "centroids"): "n_labels x 64 rows",
+    ("aggregates.py", "nation"): "25-row literal dim",
+    ("aggregates.py", "region"): "5-row literal dim",
+}
+
+
+def test_no_corpus_sized_broadcast_hints():
+    """Static sweep: every F.broadcast(<name>) argument appears in the
+    audited BROADCAST_OK allowlist with a stated boundedness reason.
+    A new hint on an unbounded (corpus-growing) frame fails here until
+    someone consciously audits and allowlists it."""
+    root = Path(__file__).resolve().parent.parent / "climateiq_pipelines_spark"
+    unaudited = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            for m in re.finditer(r"F\.broadcast\((\w+)[),]", line):
+                if (p.name, m.group(1)) not in BROADCAST_OK:
+                    unaudited.append(f"{p.name}:{i} F.broadcast({m.group(1)})")
+    assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
 # Hash-checked keys intentionally registered after slot 50 (added in a

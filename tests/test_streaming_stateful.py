@@ -23,7 +23,10 @@ def batch_closed_sessions(spark, sf_dir):
         spark.read.schema(RAW_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .select("user_id", (F.col("ts") / 1000).cast("long").alias("ts_us"))
+        # Integer division, matching the operator — float '/ 1000' would
+        # drift ±1 µs on nanos epochs AND mask the same drift in the
+        # operator under test.
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
     )
     w = W.partitionBy("user_id").orderBy("ts_us")
     sess = (
