@@ -65,6 +65,70 @@ def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_multikey_scalable",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, open_price,
+           row_number() OVER (ORDER BY o_orderpriority ASC,
+                              open_price DESC NULLS LAST,
+                              o_orderkey ASC) AS sort_rank
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price
+      FROM orders
+    )
+    """,
+)
+def sort_multikey_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE sibling of sort_multikey_nulls (same oracle, same
+    answer): global multi-key rank WITHOUT a single-partition Window.
+
+    1. repartitionByRange on the full sort key (sampled boundaries —
+       Spark's own distributed-sort machinery; the key tuple is total
+       because o_orderkey is unique, so ranks are boundary-independent);
+    2. per-partition row_number partitioned by spark_partition_id() —
+       every rank window is partition-local;
+    3. per-partition row counts → cumulative offsets (a window over
+       N_PARTITIONS rows — bounded by cluster topology, NOT by data);
+    4. broadcast the offset table back and add.
+
+    This is the textbook two-phase distributed rank: the only
+    data-sized shuffles are the range partitioning itself, and the plan
+    contains no Window node whose partition spec is empty over the fact
+    rows (pinned by tests/test_plans.py::test_scalable_rank_windows_are
+    _partitioned). At 100 TB the same plan holds with
+    N_PARTITIONS ~ O(cores)."""
+    n_parts = 16
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).alias(
+            "open_price"
+        ),
+    )
+    keys = [
+        F.asc("o_orderpriority"),
+        F.desc_nulls_last("open_price"),
+        F.asc("o_orderkey"),
+    ]
+    ranged = orders.repartitionByRange(n_parts, *keys).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = W.partitionBy("pid").orderBy(*keys)
+    local = ranged.withColumn("local_rank", F.row_number().over(wp))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n_rows"))
+    wo = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    off = counts.withColumn(
+        "offset", F.coalesce(F.sum("n_rows").over(wo), F.lit(0))
+    ).select("pid", "offset")
+    return local.join(F.broadcast(off), "pid").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "open_price",
+        (F.col("local_rank") + F.col("offset")).cast("int").alias("sort_rank"),
+    )
+
+
+@register(
     "topk_global",
     oracle=f"""
     SELECT l_orderkey, l_linenumber, {REVENUE} AS revenue

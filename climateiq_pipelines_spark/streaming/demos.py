@@ -1,8 +1,178 @@
-"""Round-3 streaming demo keys — loaded LAST so they don't displace the
+"""Round-3 streaming keys — loaded LAST so they don't displace the
 mandated families from the driver's 50-entry correctness window (see
-plans.load_all). Populated by the round-3 build: sliding-window and
-dedup-within-watermark readStream demos plus the span-watermark batch
-twin.
+plans.load_all; tools/driver_sim.py covers them regardless of order).
+
+Three keys complete the §2.9 batch↔streaming pairing:
+
+- ``stream_sliding_demo`` (rows-only): the SLIDING-window formulation
+  running through a genuine readStream/writeStream, twinned with the
+  checked batch key ``stream_sliding_window`` (equality pinned by
+  tests/test_streaming_demos.py).
+- ``stream_dedup_watermark_demo`` (rows-only):
+  ``dropDuplicatesWithinWatermark`` through a genuine streaming query,
+  twinned with the checked batch key ``stream_stateful_dedup`` (kept
+  key-set equality pinned in tests).
+- ``stream_watermark_spans`` (sql): the scale-safe PER-SPAN watermark —
+  the batch replay of micro-batch watermark semantics with no
+  single-partition window over the data (the round-2 verdict's
+  weak-lite item on ``stream_watermark_late``).
 """
 
 from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import RAW_EVENTS_SCHEMA, load_table
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture with the same nanos→ntz→tz
+    conversion chain as streaming.batch_shapes.stream_readstream_demo
+    (watermarks require TIMESTAMP, not TIMESTAMP_NTZ)."""
+    return (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
+        )
+    )
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a
+    uniquely-named memory sink and return the sink table — unique names
+    so concurrent sessions/repeated bench runs never collide."""
+    name = f"cps_demo_{uuid.uuid4().hex[:12]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+@register("stream_sliding_demo")  # rows-only: genuinely streaming execution
+def stream_sliding_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window (1 day every 6 h) through a true streaming query
+    with a 1-hour watermark — the streaming counterpart of the checked
+    batch key stream_sliding_window. availableNow processes the finite
+    fixture in one pass, so the complete-mode result equals the batch
+    key's (watermarks only drop data that arrives after the watermark
+    advances between triggers); tests/test_streaming_demos.py pins that
+    equality. State: |open windows| × |keys| rows, bounded by the
+    watermark — the same bounded-state argument as tumbling."""
+    agg = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "n_events")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register("stream_dedup_watermark_demo")  # rows-only: streaming execution
+def stream_dedup_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark through a true streaming query:
+    keep one event per (user_id, event_type), where the watermark bounds
+    how long each key's dedup state is retained — the production answer
+    to unbounded dropDuplicates state at 100 TB/day event volumes.
+
+    Emits only the KEY columns: within one availableNow micro-batch the
+    surviving representative row is arrival-order-dependent, but the
+    surviving key SET equals batch DISTINCT's exactly (pinned by
+    tests/test_streaming_demos.py against stream_stateful_dedup)."""
+    deduped = (
+        _read_events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_watermark_spans",
+    oracle="""
+    WITH spans AS (
+      SELECT event_id // 1000 AS span, max(ts) AS span_max
+      FROM events GROUP BY 1
+    ),
+    wm AS (
+      SELECT span,
+             max(span_max) OVER (ORDER BY span
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm_ts
+      FROM spans
+    ),
+    kept AS (
+      SELECT e.ts, e.event_type
+      FROM events e JOIN wm ON e.event_id // 1000 = wm.span
+      WHERE wm.wm_ts IS NULL OR e.ts >= wm.wm_ts - INTERVAL 1 HOUR
+    )
+    SELECT date_trunc('day', ts) AS win_start, event_type,
+           COUNT(*) AS n_on_time
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def stream_watermark_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SPAN watermark replay — the scale-safe sibling of
+    stream_watermark_late (whose row-exact arrival-order running max
+    funnels one partition by semantic necessity). This key computes the
+    watermark the way Structured Streaming actually does: per
+    micro-batch SPAN (here span = event_id div 1000 ≈ trigger batch),
+    the watermark entering a span is max event-time over all PRIOR
+    spans; rows older than watermark − 1 h are late-dropped before the
+    tumbling aggregation.
+
+    Scale shape: one map-side-combined agg to span maxima (n/1000
+    rows), a running max over the SPAN table (data-sized/span_width —
+    choose span width so span count ~ number of triggers, thousands
+    not billions), a span-keyed join back, and the windowed agg. No
+    single-partition window ever sees event rows (pinned by
+    tests/test_plans.py::test_span_watermark_has_no_global_data_window).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    spans = events.groupBy(
+        F.expr("event_id div 1000").alias("span")
+    ).agg(F.max("ts").alias("span_max"))
+    wo = W.orderBy("span").rowsBetween(W.unboundedPreceding, -1)
+    wm = spans.withColumn("wm_ts", F.max("span_max").over(wo)).select(
+        "span", "wm_ts"
+    )
+    kept = (
+        events.withColumn("span", F.expr("event_id div 1000"))
+        .join(wm, "span")
+        .filter(
+            F.col("wm_ts").isNull()
+            | (F.col("ts") >= F.col("wm_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+    )
+    win = F.window("ts", "1 day")
+    return (
+        kept.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_on_time"
+        )
+    )

@@ -188,6 +188,7 @@ BROADCAST_OK = {
     ("llm.py", "centroids"): "n_labels x 64 rows",
     ("aggregates.py", "nation"): "25-row literal dim",
     ("aggregates.py", "region"): "5-row literal dim",
+    ("sorts.py", "off"): "N_PARTITIONS-row offset table (topology-bounded)",
 }
 
 
@@ -242,6 +243,33 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Bucketed: true" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert len(re.findall("Exchange", plan)) == 1, plan
+
+
+def test_scalable_rank_windows_are_partitioned(spark):
+    """sort_multikey_scalable: the rank window over the fact rows must
+    be partitioned by the range-partition id (no single-partition Window
+    ever sees data rows); the only unpartitioned window runs over the
+    N_PARTITIONS-row offset table."""
+    plan = plan_of(spark, "sort_multikey_scalable")
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid#", plan), plan
+    # the offset window's spec starts with its ORDER column (pid ASC),
+    # i.e. no partition column — and it must be the only such window
+    unpartitioned = [
+        m for m in re.finditer(r"windowspecdefinition\((\w+#\d+L?) ASC", plan)
+    ]
+    assert len(unpartitioned) == 1 and unpartitioned[0].group(1).startswith(
+        "pid"
+    ), plan
+
+
+def test_span_watermark_has_no_global_data_window(spark):
+    """stream_watermark_spans: every Window in the plan runs over the
+    span table (data-size/1000), never over raw event rows — the
+    scale-safe replay of micro-batch watermark semantics."""
+    plan = plan_of(spark, "stream_watermark_spans")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "span" in line, line
 
 
 def test_partitioned_sink_readback_prunes_partitions(spark):

@@ -1,0 +1,63 @@
+"""The round-3 streaming demo keys are rows-only for the driver
+(incremental execution), so pin their semantics here against the
+hash-checked batch twins — the same discipline test_streaming_stateful
+applies to the sessionizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import QUERIES
+
+from tests.conftest import SF_SMALL
+
+
+def _fmt_ts(df, col):
+    return df.withColumn(col, F.date_format(col, "yyyy-MM-dd HH:mm:ss"))
+
+
+def test_sliding_demo_equals_batch_sliding(spark):
+    """availableNow processes the finite fixture in one trigger, so the
+    complete-mode sliding aggregation must equal the checked batch
+    formulation exactly (watermarks only drop data arriving after the
+    watermark advances BETWEEN triggers)."""
+    demo = _fmt_ts(
+        QUERIES["stream_sliding_demo"](spark, SF_SMALL), "win_start"
+    ).toPandas()
+    batch = _fmt_ts(
+        QUERIES["stream_sliding_window"](spark, SF_SMALL), "win_start"
+    ).toPandas()
+    assert len(demo) > 0
+    canon = lambda pdf: sorted(map(tuple, pdf.itertuples(index=False)))
+    assert canon(demo) == canon(batch)
+
+
+def test_dedup_demo_keeps_exactly_the_distinct_keys(spark):
+    """dropDuplicatesWithinWatermark must keep exactly one row per
+    (user_id, event_type) — the surviving key SET equals batch
+    DISTINCT's even though the representative row is arrival-order
+    dependent inside a micro-batch."""
+    demo = QUERIES["stream_dedup_watermark_demo"](spark, SF_SMALL).toPandas()
+    batch = (
+        QUERIES["stream_stateful_dedup"](spark, SF_SMALL)
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    demo_keys = set(map(tuple, demo.itertuples(index=False)))
+    batch_keys = set(map(tuple, batch.itertuples(index=False)))
+    assert len(demo) == len(demo_keys)  # one row per key
+    assert demo_keys == batch_keys
+
+
+def test_span_watermark_drops_subset_of_rowexact(spark):
+    """The per-span watermark is LAZIER than the row-exact one (it only
+    advances at span boundaries), so it can never drop a row the
+    row-exact formulation kept — per-window counts must dominate."""
+    spans = QUERIES["stream_watermark_spans"](spark, SF_SMALL).toPandas()
+    exact = QUERIES["stream_watermark_late"](spark, SF_SMALL).toPandas()
+    s = {(r.win_start, r.event_type): r.n_on_time for r in spans.itertuples()}
+    e = {(r.win_start, r.event_type): r.n_on_time for r in exact.itertuples()}
+    assert set(e) <= set(s)
+    for k, n_exact in e.items():
+        assert s[k] >= n_exact, k
