@@ -45,6 +45,10 @@ HEADLINE = [
     "llm_corpus_pipeline",     # end-to-end dedup+quality funnel
     "q3_shipping_priority",    # TPC-H Q3 full composite (DuckDB: 0.064 s)
     "q18_large_orders",        # TPC-H Q18 aggregate-then-join
+    # round 3: the near-dup family the suite previously omitted
+    "llm_simhash_neardup",     # 60-bit simhash + pigeonhole banding
+    "llm_ngram_jaccard",       # order-sensitive shingle Jaccard
+    "llm_ivf_topk",            # IVF ANN with nprobe=3 + exact re-rank
 ]
 
 

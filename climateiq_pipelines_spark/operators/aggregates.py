@@ -389,8 +389,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile per priority — the bounded-state quantile for
     100 TB (Greenwald-Khanna style summary vs the exact per-group sort
     of agg_percentiles). Rows-only like the HLL key: sketch outputs are
-    engine-specific; the exact twin (agg_percentiles) bounds it, and
-    accuracy=10000 keeps the estimate within 0.01% rank error."""
+    engine-specific; accuracy=10000 keeps the estimate within 0.01%
+    rank error, and tests/test_sketches.py::
+    test_approx_percentile_within_rank_error_band VERIFIES that bound
+    against DuckDB's exact order statistics (tolerance-banded oracle)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.expr(

@@ -976,10 +976,14 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same posting-list shape as llm_minhash_neardup — explode →
     self-join on shingle → integer ratio — but shingles are ~unique
     (3-word context), so posting lists stay short and the join is
-    near-linear where raw token posting lists go quadratic. At 100 TB,
-    hash the shingle to a 64-bit int before the shuffle (carry 8 bytes,
-    not the trigram text) and layer MinHash banding on top exactly as
-    llm_minhash_lsh does over tokens."""
+    near-linear where raw token posting lists go quadratic. The
+    self-join key is xxhash64(shingle), NOT the trigram text: the
+    shuffle carries 8 bytes per shingle instead of ~20+ and the join
+    compares longs instead of strings (measured 5.7 s → 3.9 s at
+    sf0.1; a 2^-64 hash collision could at worst inflate one pair's
+    overlap by 1 — the standard hashed-shingle trade, same as MinHash).
+    At 100 TB layer MinHash banding on top exactly as llm_minhash_lsh
+    does over tokens."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     idx = F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
@@ -994,7 +998,11 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(w, i + 2),
         ),
     )
-    sh = docs.select("doc_id", F.explode(tri).alias("shingle")).distinct()
+    sh = (
+        docs.select("doc_id", F.explode(tri).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
     # Shingle-set sizes ride the shingle rows into the self-join (the
     # llm_minhash_lsh pattern) — never a corpus-sized broadcast dim.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -348,7 +348,7 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cells partition the corpus; each query touches nprobe
     partitions — the shuffle is (query → probed cell), never all-pairs.
     Same exact fixed-point spine as the rest of the vector family."""
-    from climateiq_pipelines_spark.operators.llm import _S9, _S12, _int_dot
+    from climateiq_pipelines_spark.operators.llm import _S9, _S12
 
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
@@ -369,30 +369,80 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_label"))
     ranked = cell_dists.withColumn("cell_rank", F.row_number().over(w))
-    assignments = ranked.filter(F.col("cell_rank") == 1).select(
-        F.col("vec_id").alias("cand_id"), "c_label"
-    )
-    probes = ranked.filter(F.col("cell_rank") <= 3).select(
-        F.col("vec_id").alias("q_id"), "c_label"
-    )
-    candidates = (
-        probes.join(assignments, "c_label")
-        .filter(F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id")
-    )
+    # Embeddings attach to probes/assignments BEFORE the cell join, so
+    # the shuffle carries n·(nprobe+1) array rows — forming the pair
+    # relation first and joining arrays onto n·nprobe·|cell| pair rows
+    # afterwards shuffles ~300× more bytes (measured 10.2 s → 1.8 s at
+    # sf0.1). Pair rows exist only inside the cell join's output and
+    # are reduced to scalar dots before the next exchange. Cell-key
+    # skew: the fixture has 10 cells; real IVF uses 10^3-10^4 cells so
+    # per-cell pair formation stays bounded — the dial is cell count.
     vecs = emb.select("vec_id", "embedding")
     qv = vecs.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     cv = vecs.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    scored = (
-        candidates.join(qv, "q_id")
-        .join(cv, "cand_id")
-        .select(
-            "q_id",
-            "cand_id",
-            _int_dot(F.col("q_emb"), F.col("c_emb")).alias("dot_fp"),
+    # 'cell' alias on the inverted-list side: both sides descend from
+    # `ranked`, and cogrouping two same-lineage frames on the same
+    # attribute trips the ambiguous-self-join check.
+    assign_emb = ranked.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("c_label").alias("cell")
+    ).join(cv, "cand_id")
+    probes_emb = ranked.filter(F.col("cell_rank") <= 3).select(
+        F.col("vec_id").alias("q_id"), "c_label"
+    ).join(qv, "q_id")
+    # Per-cell Arrow block re-rank: cogroup (probes, inverted list) by
+    # cell and compute floor(x·y·1e12) product-sums with numpy inside
+    # the cell — bit-identical to _int_dot (int-valued float64 products
+    # ≤ 2.5e11, 64-term sums < 2^53 ⇒ exact) and to the SQL oracle.
+    # Why not JVM zip_with/aggregate: Spark interprets higher-order
+    # functions row-at-a-time (measured 10 s for the 1.2M-pair re-rank
+    # at sf0.1); why not a scalar pair UDF: Arrow would ship both
+    # 64-float arrays PER PAIR (~1 GB at sf0.1) — cogrouping ships each
+    # array once per probed cell (n·(nprobe+1) rows) and expands pairs
+    # only inside numpy. Each cell emits just its per-query top-5, so
+    # the final global window ranks n·nprobe·5 scalar rows, not
+    # n·nprobe·|cell| pairs.
+    import numpy as np
+    import pandas as pd
+
+    def score_cell(probes_pdf, cands_pdf):
+        if len(probes_pdf) == 0 or len(cands_pdf) == 0:
+            return pd.DataFrame(
+                {"q_id": [], "cand_id": [], "dot_fp": []}
+            ).astype({"q_id": "int64", "cand_id": "int64", "dot_fp": "int64"})
+        q_ids = probes_pdf["q_id"].to_numpy(dtype=np.int64)
+        c_ids = cands_pdf["cand_id"].to_numpy(dtype=np.int64)
+        q = np.array([np.asarray(v, dtype=np.float64) for v in probes_pdf["q_emb"]])
+        c = np.array([np.asarray(v, dtype=np.float64) for v in cands_pdf["c_emb"]])
+        out_q, out_c, out_d = [], [], []
+        # 64-query blocks bound the m×|cell|×64 product tensor
+        for s in range(0, len(q), 64):
+            qb, qi = q[s : s + 64], q_ids[s : s + 64]
+            dots = (
+                np.floor(qb[:, None, :] * c[None, :, :] * 1e12)
+                .sum(axis=2)
+                .astype(np.int64)
+            )
+            for i in range(len(qb)):
+                keep = c_ids != qi[i]
+                d, ids = dots[i][keep], c_ids[keep]
+                top = np.lexsort((ids, -d))[:5]  # cell-local top-5 is a
+                out_q.extend([qi[i]] * len(top))  # superset filter for the
+                out_c.extend(ids[top])  # global top-5 window below
+                out_d.extend(d[top])
+        return pd.DataFrame(
+            {
+                "q_id": np.array(out_q, dtype=np.int64),
+                "cand_id": np.array(out_c, dtype=np.int64),
+                "dot_fp": np.array(out_d, dtype=np.int64),
+            }
         )
+
+    scored = (
+        probes_emb.groupBy("c_label")
+        .cogroup(assign_emb.groupBy("cell"))
+        .applyInPandas(score_cell, "q_id long, cand_id long, dot_fp long")
     )
     wr = W.partitionBy("q_id").orderBy(F.desc("dot_fp"), F.asc("cand_id"))
     return (

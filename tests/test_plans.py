@@ -44,6 +44,10 @@ PYTHON_EVAL_OK = {
     "udtf_explode_sessions",  # MapInPandas
     "llm_cosine_topk",  # Arrow block-NL (MapInPandas), measured 24x DuckDB
     "mm_decode_features",  # binary decode is Python by necessity
+    # compute-bound exact integer-dot re-rank: Spark evaluates zip_with/
+    # aggregate HOFs interpreted (not codegen), measured 5x slower than
+    # the Arrow+numpy twin on the million-candidate pair relation
+    "llm_ivf_topk",
 }
 
 PY_EVAL_NODES = (
@@ -51,6 +55,7 @@ PY_EVAL_NODES = (
     "ArrowEvalPython",
     "MapInPandas",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
     "MapInArrow",
 )
 
