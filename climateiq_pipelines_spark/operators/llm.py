@@ -979,32 +979,30 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-linear where raw token posting lists go quadratic. The
     self-join key is xxhash64(shingle), NOT the trigram text: the
     shuffle carries 8 bytes per shingle instead of ~20+ and the join
-    compares longs instead of strings (measured 5.7 s → 3.9 s at
-    sf0.1; a 2^-64 hash collision could at worst inflate one pair's
-    overlap by 1 — the standard hashed-shingle trade, same as MinHash).
-    At 100 TB layer MinHash banding on top exactly as llm_minhash_lsh
-    does over tokens."""
+    compares longs instead of strings (a 2^-64 hash collision could at
+    worst inflate one pair's overlap by 1 — the standard hashed-shingle
+    trade, same as MinHash). At 100 TB layer MinHash banding on top
+    exactly as llm_minhash_lsh does over tokens.
+
+    Shingle GENERATION is posexplode + lead(1)/lead(2) over
+    (doc_id, pos) — fully codegen'd, one linear doc_id shuffle. The
+    array formulation (transform over a sequence with element_at) was
+    measured 2.1× slower END TO END at sf0.1: Spark interprets
+    higher-order functions, re-evaluating split() inside every
+    element_at — O(words²) string work per document."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    idx = F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
-        F.array().cast("array<int>")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
-    tri = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(w, i),
-            F.element_at(w, i + 1),
-            F.element_at(w, i + 2),
-        ),
-    )
+    wlead = W.partitionBy("doc_id").orderBy("pos")
+    w2 = F.lead("word", 2).over(wlead)
+    tri = F.concat_ws(" ", "word", F.lead("word", 1).over(wlead), w2)
     sh = (
-        docs.select("doc_id", F.explode(tri).alias("s"))
+        words.select("doc_id", tri.alias("s"), w2.alias("w2"))
+        .filter(F.col("w2").isNotNull())  # docs with <3 words emit none
         .select("doc_id", F.xxhash64("s").alias("shingle"))
         .distinct()
     )
-    # Shingle-set sizes ride the shingle rows into the self-join (the
-    # llm_minhash_lsh pattern) — never a corpus-sized broadcast dim.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sized = sh.join(sizes, "doc_id")
     a = sized.select(
@@ -1060,36 +1058,10 @@ _SIMHASH_NEARDUP_ORACLE = f"""
 """
 
 
-@register("llm_simhash_neardup", oracle=_SIMHASH_NEARDUP_ORACLE)
-def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming distance ≤ 3 on a 60-bit token
-    simhash) via 4-band pigeonhole pruning — the classic web-dedup
-    design, Spark-first:
-
-    1. Per token, h = first 15 md5 hex chars → BIGINT (60 exact bits;
-       md5 is the one hash both engines compute identically — xxhash64
-       and DuckDB hash() are different algorithms).
-    2. Signature: bit j votes +1/−1 per distinct token; 60 codegen'd
-       conditional sums in ONE hash aggregate, sign → bit. No UDF.
-    3. Candidates: split the 60 bits into 4 bands of 15; a pair within
-       Hamming ≤ 3 must agree on ≥1 whole band (pigeonhole), so the
-       band-key equi-self-join has recall exactly 1.0 — proven, not
-       sampled, because the all-pairs oracle below checks the output.
-    4. Exact verify: bit_count(sig_a XOR sig_b) ≤ 3 on candidates.
-
-    The oracle is the O(n²) all-pairs twin, so the hash match proves
-    the banding lossless on the fixture. Fixture note (probed sf0.01):
-    the 31-word vocabulary makes token-set simhash land 452 pairs at
-    distance 0 — dense-vocab compression, same effect documented on
-    llm_minhash_lsh; on a real shingled corpus distances spread and
-    the ≤3 margin means edit-level similarity.
-
-    Scale: signatures are 8 bytes/doc; the shuffle carries (band_val,
-    doc_id) — 4 rows of 16 bytes per doc, ~64 bytes/doc total at any
-    corpus size. Per-band-bucket self-joins are quadratic in bucket
-    size only; at 10^9+ docs widen to 96/128-bit signatures and 6-8
-    bands to keep buckets small. All-pairs never runs."""
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash60_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): 60-bit md5-token simhash — 60 codegen'd
+    conditional vote sums in ONE hash aggregate, sign → bit. Shared by
+    llm_simhash_neardup and the dedup-cluster operator."""
     toks = _tokens(docs)
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
@@ -1103,7 +1075,14 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_col: Column = F.lit(0).cast("long")
     for j in range(60):
         sig_col = sig_col + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(0)
-    sigs = votes.select("doc_id", sig_col.alias("sig"))
+    return votes.select("doc_id", sig_col.alias("sig"))
+
+
+def _simhash60_pairs(sigs: DataFrame) -> DataFrame:
+    """(a_id, b_id, hamming ≤ 3) pairs from 4×15-bit pigeonhole banding
+    over the 60-bit signatures — recall exactly 1.0 for Hamming ≤ 3
+    (a pair within distance 3 must agree on ≥1 whole band). The shuffle
+    carries (band_val, doc_id): ~64 bytes/doc at any corpus size."""
     band = F.explode(
         F.array(
             *[
@@ -1136,6 +1115,39 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register("llm_simhash_neardup", oracle=_SIMHASH_NEARDUP_ORACLE)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming distance ≤ 3 on a 60-bit token
+    simhash) via 4-band pigeonhole pruning — the classic web-dedup
+    design, Spark-first:
+
+    1. Per token, h = first 15 md5 hex chars → BIGINT (60 exact bits;
+       md5 is the one hash both engines compute identically — xxhash64
+       and DuckDB hash() are different algorithms).
+    2. Signature: bit j votes +1/−1 per distinct token; 60 codegen'd
+       conditional sums in ONE hash aggregate, sign → bit. No UDF.
+    3. Candidates: split the 60 bits into 4 bands of 15; a pair within
+       Hamming ≤ 3 must agree on ≥1 whole band (pigeonhole), so the
+       band-key equi-self-join has recall exactly 1.0 — proven, not
+       sampled, because the all-pairs oracle below checks the output.
+    4. Exact verify: bit_count(sig_a XOR sig_b) ≤ 3 on candidates.
+
+    The oracle is the O(n²) all-pairs twin, so the hash match proves
+    the banding lossless on the fixture. Fixture note (probed sf0.01):
+    the 31-word vocabulary makes token-set simhash land 452 pairs at
+    distance 0 — dense-vocab compression, same effect documented on
+    llm_minhash_lsh; on a real shingled corpus distances spread and
+    the ≤3 margin means edit-level similarity.
+
+    Scale: signatures are 8 bytes/doc; the shuffle carries (band_val,
+    doc_id) — 4 rows of 16 bytes per doc, ~64 bytes/doc total at any
+    corpus size. Per-band-bucket self-joins are quadratic in bucket
+    size only; at 10^9+ docs widen to 96/128-bit signatures and 6-8
+    bands to keep buckets small. All-pairs never runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash60_pairs(_simhash60_sigs(docs))
 
 
 # --------------------------------------------- end-to-end corpus pipeline

@@ -70,3 +70,4 @@ def load_all() -> None:
     )
     from climateiq_pipelines_spark.sources import scans  # noqa: F401
     from climateiq_pipelines_spark.streaming import demos  # noqa: F401
+    from climateiq_pipelines_spark.operators import dedup_graph  # noqa: F401

@@ -215,7 +215,8 @@ def test_no_corpus_sized_broadcast_hints():
 # Hash-checked keys intentionally registered after slot 50 (added in a
 # later round than their family; covered by tools/driver_sim.py and
 # rotated into the window in a future round).
-LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable"}
+LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
+           "llm_dedup_clusters"}
 
 
 def test_mandated_families_fill_driver_window():

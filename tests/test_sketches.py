@@ -30,6 +30,21 @@ def test_hll_estimates_within_5pct(spark):
     assert abs(merged - overall_exact) / overall_exact < 0.05
 
 
+def test_approx_count_distinct_within_5pct(spark, duck_med):
+    """approx_count_distinct (HLL++, default rsd=0.05): every per-type
+    estimate must sit within 5% of the exact distinct user count —
+    the same banded-oracle discipline as the DataSketches key."""
+    pdf = QUERIES["agg_approx_count_distinct"](spark, SF_MED).toPandas()
+    assert len(pdf) >= 3
+    for _, row in pdf.iterrows():
+        exact, = duck_med.execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = ?",
+            [row["event_type"]],
+        ).fetchone()
+        assert exact > 0
+        assert abs(row["approx_users"] - exact) / exact < 0.05, dict(row)
+
+
 def test_approx_percentile_within_rank_error_band(spark, duck_med):
     """Spark's approx_percentile(accuracy=10000) guarantees rank error
     <= 1/accuracy. Verify against the exact distribution in DuckDB: the
