@@ -70,4 +70,7 @@ def load_all() -> None:
     )
     from climateiq_pipelines_spark.sources import scans  # noqa: F401
     from climateiq_pipelines_spark.streaming import demos  # noqa: F401
-    from climateiq_pipelines_spark.operators import dedup_graph  # noqa: F401
+    from climateiq_pipelines_spark.operators import (  # noqa: F401
+        dedup_graph,
+        vector_ext,
+    )

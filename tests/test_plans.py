@@ -216,7 +216,8 @@ def test_no_corpus_sized_broadcast_hints():
 # later round than their family; covered by tools/driver_sim.py and
 # rotated into the window in a future round).
 LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
-           "llm_dedup_clusters"}
+           "llm_dedup_clusters", "llm_simhash_multiprobe",
+           "llm_text_normalize"}
 
 
 def test_mandated_families_fill_driver_window():
