@@ -73,4 +73,5 @@ def load_all() -> None:
     from climateiq_pipelines_spark.operators import (  # noqa: F401
         dedup_graph,
         vector_ext,
+        queries_tpch_ext,
     )

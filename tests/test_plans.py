@@ -194,6 +194,9 @@ BROADCAST_OK = {
     ("aggregates.py", "nation"): "25-row literal dim",
     ("aggregates.py", "region"): "5-row literal dim",
     ("sorts.py", "off"): "N_PARTITIONS-row offset table (topology-bounded)",
+    ("queries_tpch_ext.py", "sn"): "<=2-row filtered nation alias (Q7)",
+    ("queries_tpch_ext.py", "cn"): "<=2-row filtered nation alias (Q7)",
+    ("queries_tpch_ext.py", "nation"): "25-row literal dim (Q10)",
 }
 
 
@@ -217,7 +220,8 @@ def test_no_corpus_sized_broadcast_hints():
 # rotated into the window in a future round).
 LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
            "llm_dedup_clusters", "llm_simhash_multiprobe",
-           "llm_text_normalize"}
+           "llm_text_normalize", "q7_volume_shipping",
+           "q10_returned_items", "q12_priority_by_flag"}
 
 
 def test_mandated_families_fill_driver_window():
