@@ -49,6 +49,9 @@ HEADLINE = [
     "llm_simhash_neardup",     # 60-bit simhash + pigeonhole banding
     "llm_ngram_jaccard",       # order-sensitive shingle Jaccard
     "llm_ivf_topk",            # IVF ANN with nprobe=3 + exact re-rank
+    "q7_volume_shipping",      # TPC-H Q7 nation-pair flow
+    "q10_returned_items",      # TPC-H Q10 returned-revenue top-20
+    "q12_priority_by_flag",    # TPC-H Q12 conditional-count shape
 ]
 
 
