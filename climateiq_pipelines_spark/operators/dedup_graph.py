@@ -25,6 +25,54 @@ from climateiq_pipelines_spark.operators.llm import (
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, node_col: str = "doc_id"
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: returns (node_col, label)
+    where label = min node id reachable from each node over the
+    undirected edge set (a_id, b_id). Totality: every node appears,
+    singletons label themselves. Lineage is truncated per round with
+    localCheckpoint (cluster deployments: durable checkpoint).
+    Property-tested against a union-find reference on arbitrary graphs
+    (tests/test_properties.py) and hash-checked against a recursive-CTE
+    oracle via llm_dedup_clusters."""
+    bi = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    bi = bi.localCheckpoint(eager=True)
+
+    labels = nodes.select(node_col, F.col(node_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(32):
+        nbr = (
+            bi.join(labels, bi.dst == F.col(node_col))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels[node_col] == nbr.src, "left")
+            .select(
+                node_col,
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), node_col)
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 32 rounds")
+    return labels
+
+
 _CLUSTER_ORACLE = f"""
     WITH RECURSIVE
     {_simhash60_sql_sig()},
@@ -87,40 +135,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     'rows-only'."""
     docs = load_table(spark, sf_dir, "documents")
     edges = _simhash60_pairs(_simhash60_sigs(docs)).select("a_id", "b_id")
-    bi = edges.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    bi = bi.localCheckpoint(eager=True)
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(32):
-        nbr = (
-            bi.join(labels, bi.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("label propagation did not converge in 32 rounds")
+    labels = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id"
+    )
 
     wc = W.partitionBy("cluster_id")
     return labels.select(

@@ -23,6 +23,12 @@ PROBE_KEYS = [
     "win_running_sum",       # windowed fixed-point accumulation
     "llm_centroid_assign",   # fixed-point means + distance argmin
     "llm_tfidf_topterms",    # rounded-before-rank float ordering
+    # round 3: layout-sensitive-by-construction keys — the range
+    # partitioner's sampled boundaries and the iterative join schedule
+    # MUST NOT leak into values
+    "sort_multikey_scalable",  # two-phase rank == single-window rank
+    "llm_dedup_clusters",      # component labels under any layout
+    "stream_watermark_spans",  # span watermark from a groupBy, not order
 ]
 
 

@@ -55,6 +55,13 @@ EDGE_KEYS = [
     "mm_frame_sample",           # doc shorter than frame width
     "fn_string",
     "fn_conditional",            # price exactly on a CASE edge
+    # round 3 keys over the same adversarial corpus
+    "sort_multikey_scalable",    # NULLs + ties through the 2-phase rank
+    "stream_watermark_spans",    # late arrival vs span-boundary watermark
+    "llm_dedup_clusters",        # dup pair + permutation → one component
+    "llm_text_normalize",        # punctuation/case collapse edges
+    "llm_simhash_multiprobe",    # identical vectors at Hamming 0
+    "q12_priority_by_flag",      # priority class split on edge orders
 ]
 
 

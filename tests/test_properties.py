@@ -208,3 +208,87 @@ def test_simhash_band_pigeonhole_recall(sig_pairs):
             for k in range(4)
         )
         assert shares_band, (base, other)
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(raw_edges=edge_lists)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, raw_edges):
+    """The iterative min-label propagation must equal a union-find
+    reference on ANY graph: chains, cliques, self-loops, singletons."""
+    from climateiq_pipelines_spark.operators.dedup_graph import (
+        connected_components,
+    )
+
+    n_nodes = 12
+    edges = [(min(a, b), max(a, b)) for a, b in raw_edges if a != b]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in range(n_nodes)}
+
+    nodes_df = spark.createDataFrame(
+        [(v,) for v in range(n_nodes)], "doc_id long"
+    )
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "a_id long, b_id long"
+    )
+    if not edges:
+        edges_df = edges_df.limit(0)
+    got = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == expected
+
+
+norm_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs", "Sm")
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=norm_texts)
+@settings(**SETTINGS)
+def test_text_normalize_idempotent(spark, texts):
+    """C4-style normalization is a projection onto its own image:
+    applying it twice must equal applying it once, for arbitrary
+    unicode/punctuation/whitespace input."""
+    def norm(col):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        norm(F.col("text")).alias("once"),
+        norm(norm(F.col("text"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"], repr(r)
