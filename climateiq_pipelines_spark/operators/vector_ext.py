@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.operators.llm import (
     _S12,
+    _cosine_topk_bucketed,
     _hyperplanes,
     _int_dot,
     _simhash_oracle,
@@ -115,6 +116,42 @@ def llm_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
         )
     )
+
+
+def _cosine_topk_lsh_oracle() -> str:
+    sig_expr = _simhash_oracle().split("FROM (SELECT ")[1].split(" AS signature")[0]
+    dot = _sql_int_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {sig_expr} AS signature FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {dot} AS dot_fp
+      FROM sigs a JOIN sigs b
+        ON a.signature = b.signature AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id,
+           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dot_fp DESC, neighbor_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 5
+    """
+
+
+@register("llm_cosine_topk_lsh", oracle=_cosine_topk_lsh_oracle())
+def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed ANN plan that llm_cosine_topk auto-dispatches to
+    above BLOCKNL_MAX_VECTORS, registered as its OWN hash-checked key:
+    the oracle states the bucket-local semantics directly (per-query
+    top-5 among same-signature vectors, exact integer-dot ranking), so
+    the >10^5-vector path is value-verified at fixture scale rather
+    than only contract-tested. Pure DataFrame plan — no driver
+    materialization, no Python eval; shuffles carry (signature) then
+    per-query scalar rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _cosine_topk_bucketed(emb, k=5)
 
 
 @register(

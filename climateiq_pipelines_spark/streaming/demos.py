@@ -108,6 +108,66 @@ def stream_dedup_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "append")
 
 
+@register("stream_foreachbatch_sink")  # rows-only: streaming execution
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch INCREMENTAL SINK — the production pattern for
+    writing streaming aggregates to a plain-parquet lake: each
+    micro-batch's updated groups land as files stamped with the
+    batch_id, and the read-back keeps each group's LATEST batch row
+    (max batch_id per key) — an idempotent merge that tolerates batch
+    replays, which is exactly why foreachBatch + batch_id exists.
+
+    Update-mode emission means a group appears once per batch that
+    changed it; with availableNow over the finite fixture the final
+    read-back equals the batch tumbling aggregation (pinned by
+    tests/test_streaming_demos.py). At 100 TB/day the same sink
+    pattern targets a partitioned table and the merge is a partition
+    overwrite keyed on (window day, batch watermark)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="cps_febatch_sink")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    agg = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    query = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+
+    sunk = spark.read.parquet(out)
+    latest = W.partitionBy("win_start", "event_type").orderBy(
+        F.desc("batch_id")
+    )
+    return (
+        sunk.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select("win_start", "event_type", "n_events")
+    )
+
+
 @register(
     "stream_watermark_spans",
     oracle="""

@@ -221,7 +221,8 @@ def test_no_corpus_sized_broadcast_hints():
 LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
            "llm_dedup_clusters", "llm_simhash_multiprobe",
            "llm_text_normalize", "q7_volume_shipping",
-           "q10_returned_items", "q12_priority_by_flag"}
+           "q10_returned_items", "q12_priority_by_flag",
+           "llm_cosine_topk_lsh", "stream_foreachbatch_sink"}
 
 
 def test_mandated_families_fill_driver_window():

@@ -50,6 +50,24 @@ def test_dedup_demo_keeps_exactly_the_distinct_keys(spark):
     assert demo_keys == batch_keys
 
 
+def test_foreachbatch_sink_equals_batch_tumbling(spark):
+    """The idempotent read-back of the foreachBatch parquet sink must
+    equal the checked batch tumbling aggregation — latest-batch-wins
+    merge over update-mode emissions of a finite stream."""
+    demo = _fmt_ts(
+        QUERIES["stream_foreachbatch_sink"](spark, SF_SMALL), "win_start"
+    ).toPandas()
+    batch = _fmt_ts(
+        QUERIES["stream_tumbling_window"](spark, SF_SMALL).select(
+            "win_start", "event_type", "n_events"
+        ),
+        "win_start",
+    ).toPandas()
+    canon = lambda pdf: sorted(map(tuple, pdf.itertuples(index=False)))
+    assert len(demo) > 0
+    assert canon(demo) == canon(batch)
+
+
 def test_span_watermark_drops_subset_of_rowexact(spark):
     """The per-span watermark is LAZIER than the row-exact one (it only
     advances at span boundaries), so it can never drop a row the
