@@ -139,6 +139,70 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_bal
+    FROM customer, thresh
+    WHERE c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity) — and the repo's
+    SQL-SURFACE demonstration: the whole query is ONE spark.sql()
+    string over temp views, exercising a scalar aggregate subquery
+    (above-average balance threshold) and NOT EXISTS (customers with no
+    URGENT orders — probed nonempty at sf0.001; every fixture customer
+    has SOME order), which Catalyst rewrites to the same broadcast/anti-join
+    physical shapes the DataFrame keys pin. Both entry APIs compile to
+    the one Catalyst IR — this key proves the SQL door is open.
+
+    Exactness: the threshold is an exact fixed-point mean
+    (sum of floor(bal·100) int64s / 100 / count) — a naive AVG(double)
+    differs across engines in the last ulp, which could flip a
+    boundary customer. Temp-view names carry a per-call token so
+    concurrent sessions never collide.
+
+    Plan: customer scans once per side but both with pushed
+    projections; the scalar subquery broadcasts as a 1-row cross; the
+    NOT EXISTS becomes a left-anti hash join keyed on custkey."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    cust_v, ord_v = f"cps_q22_cust_{token}", f"cps_q22_ord_{token}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cust_v)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ord_v)
+    return spark.sql(f"""
+        WITH thresh AS (
+          SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / COUNT(*) AS avg_bal
+          FROM {cust_v} WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS n_custs,
+               CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_bal
+        FROM {cust_v}, thresh
+        WHERE c_acctbal > thresh.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM {ord_v}
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """)
+
+
+@register(
     "q12_priority_by_flag",
     oracle="""
     SELECT l_returnflag,

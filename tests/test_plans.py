@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "llm_knn_query",  # 1-row query vector broadcast
     "llm_minhash_lsh",  # 16-row literal seed table broadcast
     "llm_tfidf_topterms",  # 1-row corpus doc-count broadcast
+    "q22_global_sales_opportunity",  # 1-row scalar-subquery threshold cross
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
