@@ -62,6 +62,8 @@ EDGE_KEYS = [
     "llm_text_normalize",        # punctuation/case collapse edges
     "llm_simhash_multiprobe",    # identical vectors at Hamming 0
     "q12_priority_by_flag",      # priority class split on edge orders
+    "llm_cosine_topk_lsh",       # bit-identical vectors → dot ties in-bucket
+    "q22_global_sales_opportunity",  # SQL surface over the edge tables
 ]
 
 
