@@ -74,4 +74,5 @@ def load_all() -> None:
         dedup_graph,
         vector_ext,
         queries_tpch_ext,
+        mm_ext,
     )

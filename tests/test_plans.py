@@ -223,7 +223,8 @@ LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
            "llm_dedup_clusters", "llm_simhash_multiprobe",
            "llm_text_normalize", "q7_volume_shipping",
            "q10_returned_items", "q12_priority_by_flag",
-           "llm_cosine_topk_lsh", "stream_foreachbatch_sink"}
+           "llm_cosine_topk_lsh", "stream_foreachbatch_sink",
+           "mm_binary_file_scan"}
 
 
 def test_mandated_families_fill_driver_window():
