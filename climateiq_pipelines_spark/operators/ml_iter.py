@@ -1,0 +1,133 @@
+"""Round-3 iterative-ML extension — a full k-means (Lloyd) loop over
+the embeddings table, hash-checked. Loaded after the driver's 50-entry
+correctness window (plans.load_all); covered by tools/driver_sim.py.
+
+llm_centroid_assign is ONE E-step; this module runs the whole
+assign→re-center loop for a fixed 3 iterations, with the same exact
+fixed-point spine (1e9 centroid means, 1e12 integer distances,
+deterministic argmin tie-break), so the DuckDB oracle — the same three
+iterations unrolled as CTE stages — hash-matches bit for bit. Fixed
+iteration count keeps the oracle expressible; a convergence-tested
+variant is the same Spark loop with the connected-components
+stopping pattern (dedup_graph.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+_N_ITER = 3
+
+
+def _iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: exact-fixed-point centroids from
+    assign{i-1}, integer distances, deterministic argmin → assign{i}."""
+    return f"""
+    centroids{i} AS (
+      SELECT a.cluster AS c_id, e.pos,
+             CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM exploded e JOIN assign{i - 1} a ON a.vec_id = e.vec_id
+      GROUP BY a.cluster, e.pos
+    ),
+    dists{i} AS (
+      SELECT e.vec_id, c.c_id,
+             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                            * (CAST(e.x AS DOUBLE) - c.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM exploded e JOIN centroids{i} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.c_id
+    ),
+    assign{i} AS (
+      SELECT vec_id, c_id AS cluster, dist_fp
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_fp ASC, c_id) AS rn
+        FROM dists{i}
+      ) WHERE rn = 1
+    )
+    """
+
+
+_KMEANS_ORACLE = f"""
+    WITH exploded AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    assign0 AS (
+      SELECT vec_id, label AS cluster, CAST(0 AS BIGINT) AS dist_fp
+      FROM embeddings
+    ),
+    {", ".join(_iter_sql(i) for i in range(1, _N_ITER + 1))}
+    SELECT cluster AS cluster_id,
+           COUNT(*) AS n_vecs,
+           round(CAST(SUM(dist_fp) AS DOUBLE) / 1000000000000.0, 6)
+             AS inertia
+    FROM assign{_N_ITER}
+    GROUP BY cluster
+"""
+
+
+@register("llm_kmeans_iterate", oracle=_KMEANS_ORACLE)
+def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means: initialize clusters from the ground-truth label
+    (k=10 deterministic seeds — no RNG), then {_N_ITER} Lloyd
+    iterations of re-center (exact 1e9 fixed-point means) → re-assign
+    (exact 1e12 integer squared distances, argmin tie-broken on
+    cluster id). Output: per-cluster cardinality + inertia (sum of
+    final assignment distances) — the quantities a training loop
+    monitors for convergence.
+
+    The whole loop is ONE declarative plan (3 unrolled rounds — no
+    actions, no checkpoints needed at this depth); Catalyst sees the
+    full lineage and pipelines the per-iteration aggregates. Scale per
+    iteration: one groupBy (cluster, pos) whose output is k×64 rows,
+    one BROADCAST of those centroids back, one (vec, cluster) distance
+    aggregate — linear in corpus, constant in k. At billions of
+    vectors the unrolled plan becomes the dedup_graph-style driver
+    loop with per-round checkpoints and a movement-count stop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    assign = emb.select("vec_id", F.col("label").alias("cluster"))
+
+    for _ in range(_N_ITER):
+        centroids = (
+            exploded.join(assign, "vec_id")
+            .groupBy(F.col("cluster").alias("c_id"), "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
+                    .cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+        diff = F.col("x").cast("double") - F.col("c")
+        dists = (
+            exploded.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "c_id")
+            .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_id"))
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("c_id").alias("cluster"), "dist_fp")
+        )
+
+    return assign.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("dist_fp").cast("double") / F.lit(1e12), 6).alias(
+            "inertia"
+        ),
+    )

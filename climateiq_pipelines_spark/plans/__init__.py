@@ -75,4 +75,5 @@ def load_all() -> None:
         vector_ext,
         queries_tpch_ext,
         mm_ext,
+        ml_iter,
     )
