@@ -52,6 +52,10 @@ HEADLINE = [
     "q7_volume_shipping",      # TPC-H Q7 nation-pair flow
     "q10_returned_items",      # TPC-H Q10 returned-revenue top-20
     "q12_priority_by_flag",    # TPC-H Q12 conditional-count shape
+    "llm_dedup_clusters",      # iterative connected-components dedup
+    "llm_kmeans_iterate",      # 3 unrolled Lloyd iterations
+    "llm_pq_encode",           # product-quantization vector codes
+    "llm_text_normalize",      # zero-shuffle C4-style cleaning
 ]
 
 

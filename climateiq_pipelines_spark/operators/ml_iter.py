@@ -75,6 +75,108 @@ _KMEANS_ORACLE = f"""
 """
 
 
+_PQ_ORACLE = """
+    WITH exploded AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, label, pos, x,
+             CAST((pos - 1) // 8 AS INTEGER) AS subspace
+      FROM exploded
+    ),
+    codebook AS (
+      SELECT label AS code, subspace, pos,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM sub GROUP BY label, subspace, pos
+    ),
+    sub_dists AS (
+      SELECT s.vec_id, s.subspace, cb.code,
+             SUM(CAST(floor((CAST(s.x AS DOUBLE) - cb.c)
+                            * (CAST(s.x AS DOUBLE) - cb.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM sub s JOIN codebook cb
+        ON cb.pos = s.pos AND cb.subspace = s.subspace
+      GROUP BY s.vec_id, s.subspace, cb.code
+    ),
+    best AS (
+      SELECT vec_id, subspace, code, dist_fp
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY dist_fp ASC, code) AS rn
+        FROM sub_dists
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(SUM(code * power(10, subspace)) AS BIGINT) AS pq_code,
+           round(CAST(SUM(dist_fp) AS DOUBLE) / 1000000000000.0, 6)
+             AS recon_err
+    FROM best
+    GROUP BY vec_id
+"""
+
+
+@register("llm_pq_encode", oracle=_PQ_ORACLE)
+def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION encode — the vector-compression building
+    block of IVF-PQ ANN indexes: the 64-d space splits into 8 subspaces
+    of 8 dims, each subspace gets a 10-entry codebook (label-seeded
+    sub-centroids, exact fixed-point means), and every vector is
+    encoded as its per-subspace nearest-codebook-entry ids — packed
+    into one BIGINT (digit j = subspace j's code) — plus the exact
+    integer reconstruction error. A 256-byte float vector becomes an
+    8-digit code; at 10^9 vectors that is the difference between an
+    in-memory index and not.
+
+    Same exactness spine as the rest of the vector family (1e9 means,
+    1e12 integer distances, argmin tie-break on code id), so the oracle
+    hash-matches bit for bit. Scale: the codebook is k × 64 rows
+    (BROADCAST); encoding is one linear distance aggregate per vector ×
+    subspace × code, shuffled on (vec_id, subspace) — never all-pairs.
+    Index-position note: Spark posexplode is 0-based, DuckDB
+    generate_subscripts 1-based — the subspace derivation accounts for
+    both."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("subspace", (F.col("pos") / 8).cast("int"))
+    codebook = sub.groupBy(
+        F.col("label").alias("code"), "subspace", "pos"
+    ).agg(
+        (
+            F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    sub_dists = (
+        sub.join(F.broadcast(codebook), ["subspace", "pos"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
+    )
+    w = W.partitionBy("vec_id", "subspace").orderBy(
+        F.asc("dist_fp"), F.asc("code")
+    )
+    best = (
+        sub_dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code", "dist_fp")
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.col("code") * F.pow(F.lit(10.0), F.col("subspace")))
+        .cast("long")
+        .alias("pq_code"),
+        F.round(F.sum("dist_fp").cast("double") / F.lit(1e12), 6).alias(
+            "recon_err"
+        ),
+    )
+
+
 @register("llm_kmeans_iterate", oracle=_KMEANS_ORACLE)
 def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-means: initialize clusters from the ground-truth label

@@ -199,6 +199,7 @@ BROADCAST_OK = {
     ("queries_tpch_ext.py", "cn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "nation"): "25-row literal dim (Q10)",
     ("ml_iter.py", "centroids"): "k x 64 rows per Lloyd iteration",
+    ("ml_iter.py", "codebook"): "k x 64 rows (8 subspaces x 8 dims x k)",
 }
 
 
@@ -225,7 +226,7 @@ LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
            "llm_text_normalize", "q7_volume_shipping",
            "q10_returned_items", "q12_priority_by_flag",
            "llm_cosine_topk_lsh", "stream_foreachbatch_sink",
-           "mm_binary_file_scan", "llm_kmeans_iterate"}
+           "mm_binary_file_scan", "llm_kmeans_iterate", "llm_pq_encode"}
 
 
 def test_mandated_families_fill_driver_window():
