@@ -177,6 +177,227 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_ORACLE = """
+    WITH exploded AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, label, pos, x,
+             CAST((pos - 1) // 8 AS INTEGER) AS subspace
+      FROM exploded
+    ),
+    codebook AS (
+      SELECT label AS code, subspace, pos,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM sub GROUP BY label, subspace, pos
+    ),
+    lut AS (
+      SELECT s.vec_id, s.subspace, cb.code,
+             SUM(CAST(floor((CAST(s.x AS DOUBLE) - cb.c)
+                            * (CAST(s.x AS DOUBLE) - cb.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM sub s JOIN codebook cb
+        ON cb.pos = s.pos AND cb.subspace = s.subspace
+      GROUP BY s.vec_id, s.subspace, cb.code
+    ),
+    db_codes AS (
+      SELECT vec_id, subspace, code
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY dist_fp ASC, code) AS rn
+        FROM lut
+      ) WHERE rn = 1
+    ),
+    centroids AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM exploded GROUP BY label, pos
+    ),
+    cell_dists AS (
+      SELECT e.vec_id, c.c_label,
+             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                            * (CAST(e.x AS DOUBLE) - c.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM exploded e JOIN centroids c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.c_label
+    ),
+    ranked_cells AS (
+      SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist_fp ASC, c_label) AS cell_rank
+      FROM cell_dists
+    ),
+    candidates AS (
+      SELECT p.vec_id AS q_id, a.vec_id AS cand_id
+      FROM (SELECT vec_id, c_label FROM ranked_cells WHERE cell_rank <= 3) p
+      JOIN (SELECT vec_id, c_label FROM ranked_cells WHERE cell_rank = 1) a
+        ON a.c_label = p.c_label
+      WHERE p.vec_id <> a.vec_id
+    ),
+    adc AS (
+      SELECT c.q_id, c.cand_id, SUM(l.dist_fp) AS adc_fp
+      FROM candidates c
+      JOIN db_codes dc ON dc.vec_id = c.cand_id
+      JOIN lut l ON l.vec_id = c.q_id
+                AND l.subspace = dc.subspace AND l.code = dc.code
+      GROUP BY c.q_id, c.cand_id
+    ),
+    shortlist AS (
+      SELECT q_id, cand_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_fp ASC, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= 20
+    ),
+    scored AS (
+      SELECT s.q_id, s.cand_id,
+             list_aggregate(list_transform(list_zip(qa.embedding, ca.embedding),
+               p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                               * 1000000000000) AS BIGINT)), 'sum') AS dot_fp
+      FROM shortlist s
+      JOIN embeddings qa ON qa.vec_id = s.q_id
+      JOIN embeddings ca ON ca.vec_id = s.cand_id
+    )
+    SELECT q_id AS vec_id, cand_id AS neighbor_id,
+           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dot_fp DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
+@register("llm_ivf_pq_topk", oracle=_IVFPQ_ORACLE)
+def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ query path — the way billion-scale ANN indexes
+    actually answer queries, assembled from this repo's own blocks:
+
+    1. COARSE: each query probes its nprobe=3 nearest cells
+       (label centroids, as llm_ivf_topk).
+    2. ADC: candidates are scored against their PQ codes via the
+       query's lookup table — dist ≈ Σ_subspace LUT[q, s, code(cand,s)]
+       — never touching candidate floats. The LUT is the (vec, subspace,
+       code)→distance relation; the SAME relation argmin'd per
+       (vec, subspace) yields the database codes (llm_pq_encode), a
+       reuse the oracle states explicitly.
+    3. SHORTLIST: ADC top-20 per query (integer asc, cand tie-break).
+    4. EXACT RE-RANK: integer dots on the shortlist only → top-5.
+
+    Everything is exact fixed-point integers, so ADC ranking, shortlist
+    membership, and the final top-5 all hash-match the SQL twin —
+    approximate ANN with a deterministic, checkable definition.
+
+    Scale: the ADC join expands candidates ×8 subspace rows of scalar
+    longs (no vectors move); at production scale the per-query LUT
+    (8×k ints) is broadcast with its query batch and ADC is a map-side
+    array lookup — the relational form here states the semantics the
+    batched kernel must preserve. The exact re-rank touches only
+    20 candidates/query — the whole point of PQ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    sub = exploded.withColumn("subspace", (F.col("pos") / 8).cast("int"))
+    codebook = sub.groupBy(
+        F.col("label").alias("code"), "subspace", "pos"
+    ).agg(
+        (
+            F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    lut = (
+        sub.join(F.broadcast(codebook), ["subspace", "pos"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
+    )
+    wsub = W.partitionBy("vec_id", "subspace").orderBy(
+        F.asc("dist_fp"), F.asc("code")
+    )
+    db_codes = (
+        lut.withColumn("rn", F.row_number().over(wsub))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cand_id"), "subspace", "code")
+    )
+
+    centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cdiff = F.col("x").cast("double") - F.col("c")
+    cell_dists = (
+        exploded.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(F.floor(cdiff * cdiff * F.lit(1e12))).alias("dist_fp"))
+    )
+    wcell = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_label"))
+    ranked = cell_dists.withColumn("cell_rank", F.row_number().over(wcell))
+    probes = ranked.filter(F.col("cell_rank") <= 3).select(
+        F.col("vec_id").alias("q_id"), "c_label"
+    )
+    assigns = ranked.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("c_label").alias("cell")
+    )
+    candidates = (
+        probes.join(assigns, probes.c_label == assigns.cell)
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id")
+    )
+    q_lut = lut.select(
+        F.col("vec_id").alias("q_id"), "subspace", "code", "dist_fp"
+    )
+    adc = (
+        candidates.join(db_codes, "cand_id")
+        .join(q_lut, ["q_id", "subspace", "code"])
+        .groupBy("q_id", "cand_id")
+        .agg(F.sum("dist_fp").alias("adc_fp"))
+    )
+    wadc = W.partitionBy("q_id").orderBy(F.asc("adc_fp"), F.asc("cand_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wadc))
+        .filter(F.col("rn") <= 20)
+        .select("q_id", "cand_id")
+    )
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cv = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    from climateiq_pipelines_spark.operators.llm import _S12, _int_dot
+
+    scored = (
+        shortlist.join(qv, "q_id")
+        .join(cv, "cand_id")
+        .select(
+            "q_id", "cand_id", _int_dot(F.col("q_emb"), F.col("c_emb")).alias("dot_fp")
+        )
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("dot_fp"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("cand_id").alias("neighbor_id"),
+            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
 @register("llm_kmeans_iterate", oracle=_KMEANS_ORACLE)
 def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-means: initialize clusters from the ground-truth label
