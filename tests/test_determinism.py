@@ -29,6 +29,7 @@ PROBE_KEYS = [
     "sort_multikey_scalable",  # two-phase rank == single-window rank
     "llm_dedup_clusters",      # component labels under any layout
     "stream_watermark_spans",  # span watermark from a groupBy, not order
+    "llm_kmeans_iterate",      # fixed-point Lloyd loop, any layout
 ]
 
 

@@ -64,6 +64,10 @@ EDGE_KEYS = [
     "q12_priority_by_flag",      # priority class split on edge orders
     "llm_cosine_topk_lsh",       # bit-identical vectors → dot ties in-bucket
     "q22_global_sales_opportunity",  # SQL surface over the edge tables
+    "llm_kmeans_iterate",        # Lloyd loop over duplicate vectors
+    "llm_pq_encode",             # PQ codes under exact sub-distance ties
+    "llm_ivf_pq_topk",           # ADC shortlist ties on identical vectors
+    "mm_binary_file_scan",       # binaryFile round-trip on edge payloads
 ]
 
 
