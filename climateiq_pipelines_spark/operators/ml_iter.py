@@ -253,7 +253,7 @@ _IVFPQ_ORACLE = """
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY adc_fp ASC, cand_id) AS rn
         FROM adc
-      ) WHERE rn <= 20
+      ) WHERE rn <= 50
     ),
     scored AS (
       SELECT s.q_id, s.cand_id,
@@ -287,7 +287,7 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        code)→distance relation; the SAME relation argmin'd per
        (vec, subspace) yields the database codes (llm_pq_encode), a
        reuse the oracle states explicitly.
-    3. SHORTLIST: ADC top-20 per query (integer asc, cand tie-break).
+    3. SHORTLIST: ADC top-50 per query (integer asc, cand tie-break).
     4. EXACT RE-RANK: integer dots on the shortlist only → top-5.
 
     Everything is exact fixed-point integers, so ADC ranking, shortlist
@@ -299,7 +299,9 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8×k ints) is broadcast with its query batch and ADC is a map-side
     array lookup — the relational form here states the semantics the
     batched kernel must preserve. The exact re-rank touches only
-    20 candidates/query — the whole point of PQ."""
+    50 candidates/query — the whole point of PQ. Shortlist width is
+    the recall dial: 50 recovers ~0.8 of the exact-IVF top-5 on the
+    fixture's 10-entry codebooks (pinned as a tripwire in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
@@ -369,7 +371,7 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wadc = W.partitionBy("q_id").orderBy(F.asc("adc_fp"), F.asc("cand_id"))
     shortlist = (
         adc.withColumn("rn", F.row_number().over(wadc))
-        .filter(F.col("rn") <= 20)
+        .filter(F.col("rn") <= 50)
         .select("q_id", "cand_id")
     )
     qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))

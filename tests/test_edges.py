@@ -171,3 +171,17 @@ def test_ivf_recall_vs_brute_force(spark):
     found = {(int(r.vec_id), int(r.neighbor_id)) for r in ivf.itertuples()}
     recall = len(truth & found) / len(truth)
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_ivf_pq_recall_vs_exact_ivf(spark):
+    """The ADC-shortlisted IVF-PQ path must recover most of what the
+    exact-rerank IVF path finds from the SAME probed cells — the gap is
+    purely PQ quantization error at the shortlist boundary. Floor is a
+    regression tripwire, not a target."""
+    sf = "/root/testdata/sf0.01"
+    exact = QUERIES["llm_ivf_topk"](spark, sf).toPandas()
+    pq = QUERIES["llm_ivf_pq_topk"](spark, sf).toPandas()
+    truth = {(int(r.vec_id), int(r.neighbor_id)) for r in exact.itertuples()}
+    found = {(int(r.vec_id), int(r.neighbor_id)) for r in pq.itertuples()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.6, f"IVF-PQ recall vs exact IVF collapsed: {recall:.3f}"
