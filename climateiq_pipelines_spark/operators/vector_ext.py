@@ -155,6 +155,89 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_winnow_fingerprint",
+    oracle="""
+    WITH positions AS (
+      SELECT unnest(range(1, (SELECT max(length(text)) FROM documents) + 1))
+        AS i
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(substr(text, CAST(i AS INTEGER), 8)) AS win_hash,
+             length(text) AS n
+      FROM documents CROSS JOIN positions
+      WHERE i <= greatest(1, length(text) - 7)
+    ),
+    windowed AS (
+      SELECT doc_id, i, n,
+             min(win_hash) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS sel
+      FROM wins
+    ),
+    selected AS (
+      SELECT DISTINCT doc_id, sel
+      FROM windowed
+      WHERE i <= greatest(1, n - 7 - 3)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_fingerprints,
+           min(sel) AS min_fingerprint,
+           max(sel) AS max_fingerprint
+    FROM selected
+    GROUP BY doc_id
+    """,
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE WINNOWING (the MOSS algorithm) — llm_fingerprint keeps two
+    global extremes; this key keeps the MINIMUM k-gram hash of every
+    sliding window of w=4 consecutive hashes (k=8 chars), deduplicated
+    per document. The guarantee that makes winnowing the standard
+    near-copy sketch: any shared substring of length ≥ w+k−1 = 11
+    forces a shared selected fingerprint, while the sketch size drops
+    to ~2/(w+1) of the k-gram count.
+
+    Plan: position explode → md5 per window (all codegen) → one
+    per-doc ordered window (rows between current and w−1 following,
+    min) → distinct → per-doc stats. One shuffle on doc_id; the window
+    is partitioned (never global). Ties on equal hashes resolve to the
+    VALUE min, so selection is engine-exact. At corpus scale the
+    selected (doc_id, fingerprint) relation feeds the same
+    posting-list self-join as llm_ngram_jaccard to produce copy
+    candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    wins = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "n",
+        F.col("i").cast("long").alias("i"),
+        F.md5(F.expr("substr(text, i, 8)")).alias("win_hash"),
+    )
+    ww = (
+        W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, 3)
+    )
+    selected = (
+        wins.withColumn("sel", F.min("win_hash").over(ww))
+        .filter(F.col("i") <= F.greatest(F.lit(1), F.col("n") - 7 - 3))
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("sel").alias("min_fingerprint"),
+        F.max("sel").alias("max_fingerprint"),
+    )
+
+
+@register(
     "llm_text_normalize",
     oracle="""
     WITH norm AS (

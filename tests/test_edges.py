@@ -68,6 +68,7 @@ EDGE_KEYS = [
     "llm_pq_encode",             # PQ codes under exact sub-distance ties
     "llm_ivf_pq_topk",           # ADC shortlist ties on identical vectors
     "mm_binary_file_scan",       # binaryFile round-trip on edge payloads
+    "llm_winnow_fingerprint",    # winnow windows over dup + short docs
 ]
 
 
