@@ -237,6 +237,122 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_SEL_SQL = """
+    positions AS (
+      SELECT unnest(range(1, (SELECT max(length(text)) FROM documents) + 1))
+        AS i
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(substr(text, CAST(i AS INTEGER), 8)) AS win_hash,
+             length(text) AS n
+      FROM documents CROSS JOIN positions
+      WHERE i <= greatest(1, length(text) - 7)
+    ),
+    windowed AS (
+      SELECT doc_id, i, n,
+             min(win_hash) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS sel
+      FROM wins
+    ),
+    selected AS (
+      SELECT DISTINCT doc_id, sel
+      FROM windowed
+      WHERE i <= greatest(1, n - 7 - 3)
+    )
+"""
+
+
+@register(
+    "llm_winnow_neardup",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sel FROM selected GROUP BY 1),
+    sized AS (
+      SELECT s.doc_id, s.sel, z.n_sel
+      FROM selected s JOIN sizes z ON z.doc_id = s.doc_id
+    )
+    SELECT a_id, b_id, n_shared,
+           round(n_shared * 1.0 / least(a_sel, b_sel), 6) AS containment
+    FROM (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared,
+             a.n_sel AS a_sel, b.n_sel AS b_sel
+      FROM sized a JOIN sized b
+        ON a.sel = b.sel AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.n_sel, b.n_sel
+    )
+    WHERE 2 * n_shared >= least(a_sel, b_sel)
+    """,
+)
+def llm_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-candidate pairs by WINNOW-SKETCH CONTAINMENT — the second
+    half of the MOSS pipeline: score = |shared fingerprints| / min
+    sketch size, threshold 1/2 expressed as the integer comparison
+    2·|∩| ≥ min (no float boundary ambiguity). The fixture's
+    distribution is strongly bimodal (probed at sf0.01: 25 pairs at
+    containment ≥ 0.8 — the planted copies — one at 0.56, the next
+    mass under 0.5), so 0.5 sits in the gap; raw shared-count
+    thresholds drown in the dense-vocabulary fixture's incidental
+    8-char collisions (117k pairs share ≥1 fingerprint).
+
+    Detects near-copies at SUBSTRING granularity: exact duplicates
+    share their whole sketch; permutations share only fingerprints of
+    preserved ≥ 11-char runs — ranking between exact dedup and
+    token-set near-dup in strictness, the gap winnowing exists to fill.
+
+    Plan: sketch sizes ride the fingerprint rows into the self-join
+    (the llm_minhash_lsh pattern, no corpus-sized broadcast); the
+    posting-list join runs over the already-2/(w+1)-compressed sketch.
+    At 100 TB: hash the digest to 8 bytes pre-shuffle and stoplist
+    fingerprints shared by >10^4 docs (boilerplate runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    wins = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "n",
+        F.col("i").cast("long").alias("i"),
+        F.md5(F.expr("substr(text, i, 8)")).alias("win_hash"),
+    )
+    ww = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, 3)
+    selected = (
+        wins.withColumn("sel", F.min("win_hash").over(ww))
+        .filter(F.col("i") <= F.greatest(F.lit(1), F.col("n") - 7 - 3))
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    sizes = selected.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sel"))
+    sized = selected.join(sizes, "doc_id")
+    a = sized.select(
+        F.col("doc_id").alias("a_id"), "sel", F.col("n_sel").alias("a_sel")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b_id"), "sel", F.col("n_sel").alias("b_sel")
+    )
+    min_size = F.least("a_sel", "b_sel")
+    return (
+        a.join(b, "sel")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_sel", "b_sel")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(2 * F.col("n_shared") >= min_size)
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.round(F.col("n_shared") / min_size, 6).alias("containment"),
+        )
+    )
+
+
 @register(
     "llm_text_normalize",
     oracle="""

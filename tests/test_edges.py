@@ -69,6 +69,7 @@ EDGE_KEYS = [
     "llm_ivf_pq_topk",           # ADC shortlist ties on identical vectors
     "mm_binary_file_scan",       # binaryFile round-trip on edge payloads
     "llm_winnow_fingerprint",    # winnow windows over dup + short docs
+    "llm_winnow_neardup",        # containment on exact dup + permutation
 ]
 
 

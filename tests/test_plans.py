@@ -227,7 +227,8 @@ LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
            "q10_returned_items", "q12_priority_by_flag",
            "llm_cosine_topk_lsh", "stream_foreachbatch_sink",
            "mm_binary_file_scan", "llm_kmeans_iterate", "llm_pq_encode",
-           "llm_ivf_pq_topk", "llm_winnow_fingerprint"}
+           "llm_ivf_pq_topk", "llm_winnow_fingerprint",
+           "llm_winnow_neardup"}
 
 
 def test_mandated_families_fill_driver_window():
