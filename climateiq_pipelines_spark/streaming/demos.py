@@ -108,6 +108,50 @@ def stream_dedup_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "append")
 
 
+@register("stream_stream_join_demo")  # rows-only: streaming execution
+def stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN — the last Structured Streaming capability
+    class in the surface: clicks and purchases (two watermarked streams
+    from the same source) inner-join on user_id with a time-bound
+    predicate (purchase within 1 h after the click). Watermarks on BOTH
+    sides plus the time bound are what make the join's state
+    DROPPABLE — without them each side buffers forever; with them Spark
+    evicts a buffered click once the purchase-side watermark passes
+    click_ts + 1 h. That state contract is the whole point of this
+    shape at 100 TB/day.
+
+    Rows-only by nature (incremental execution); with availableNow over
+    the finite fixture the emitted set equals the batch interval join —
+    pinned by tests/test_streaming_demos.py. Output: one row per
+    (click, purchase-within-window) pair, keyed columns only."""
+    ev = _read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return _run_to_memory(joined, "append")
+
+
 @register("stream_foreachbatch_sink")  # rows-only: streaming execution
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch INCREMENTAL SINK — the production pattern for

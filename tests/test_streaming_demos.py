@@ -68,6 +68,42 @@ def test_foreachbatch_sink_equals_batch_tumbling(spark):
     assert canon(demo) == canon(batch)
 
 
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """The watermarked stream-stream join over the finite fixture must
+    emit exactly the batch interval join's pairs (availableNow processes
+    everything before any state is evicted)."""
+    from climateiq_pipelines_spark.registry import load_table
+
+    demo = QUERIES["stream_stream_join_demo"](spark, SF_SMALL).toPandas()
+    ev = load_table(spark, SF_SMALL, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+        .toPandas()
+    )
+    canon = lambda pdf: sorted(map(tuple, pdf.itertuples(index=False)))
+    assert len(demo) > 0
+    assert canon(demo) == canon(batch)
+
+
 def test_span_watermark_drops_subset_of_rowexact(spark):
     """The per-span watermark is LAZIER than the row-exact one (it only
     advances at span boundaries), so it can never drop a row the
