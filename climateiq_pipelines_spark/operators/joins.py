@@ -120,8 +120,11 @@ def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("o_custkey") == F.col("c_custkey"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        # supplier is SF-proportional (10k rows/SF) — no broadcast hint;
+        # Catalyst/AQE broadcasts it while under the threshold and falls
+        # back to shuffle join at scale instead of OOMing the build side.
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )

@@ -460,7 +460,8 @@ _TOPK_ORACLE = f"""
       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id,
-           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk
+           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk,
+           'exact_blocknl' AS method
     FROM (
       SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY dot_fp DESC, neighbor_id) AS rnk
@@ -474,7 +475,9 @@ _TOPK_ORACLE = f"""
 BLOCKNL_MAX_VECTORS = 200_000
 
 
-def _cosine_topk_bucketed(emb: DataFrame, k: int) -> DataFrame:
+def _cosine_topk_bucketed(
+    emb: DataFrame, k: int, method: str = "simhash_bucketed"
+) -> DataFrame:
     """The >10^5-vector dispatch target of llm_cosine_topk: hyperplane
     simhash buckets (llm_simhash_bucket's signature) prune candidates to
     same-bucket pairs, exact integer-dot scoring + per-query window
@@ -515,6 +518,11 @@ def _cosine_topk_bucketed(emb: DataFrame, k: int) -> DataFrame:
             "neighbor_id",
             F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
             F.col("rnk").cast("int").alias("rnk"),
+            # Marker so a dispatched (approximate, bucket-local) result
+            # can never silently pass for the exact block-NL contract:
+            # the exact oracle pins method='exact_blocknl' and any
+            # dispatch at comparison scale hash-mismatches attributably.
+            F.lit(method).alias("method"),
         )
     )
 
@@ -565,6 +573,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("neighbor_id", T.LongType()),
             T.StructField("cos_sim", T.DoubleType()),
             T.StructField("rnk", T.IntegerType()),
+            T.StructField("method", T.StringType()),
         ]
     )
     k = 5
@@ -598,6 +607,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "neighbor_id": out_n,
                     "cos_sim": out_d,
                     "rnk": np.array(out_r, dtype=np.int32),
+                    "method": "exact_blocknl",
                 }
             )
 

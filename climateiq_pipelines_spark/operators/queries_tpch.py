@@ -68,7 +68,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust is segment-filtered but still SF-proportional (~30k rows/SF)
+        # — no broadcast hint; AQE broadcasts while small, shuffles at scale.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue_col(), "revenue"))
         .select(
@@ -148,7 +150,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        # big is a HAVING-filtered aggregate of lineitem — selective but
+        # SF-proportional — no broadcast hint; AQE decides from runtime size.
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",

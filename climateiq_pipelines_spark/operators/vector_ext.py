@@ -131,7 +131,8 @@ def _cosine_topk_lsh_oracle() -> str:
         ON a.signature = b.signature AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id,
-           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk
+           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk,
+           'simhash_bucketed' AS method
     FROM (
       SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY dot_fp DESC, neighbor_id) AS rnk

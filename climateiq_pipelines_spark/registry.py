@@ -116,8 +116,11 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-# events.ts physical schema is parquet TIMESTAMP(NANOS), read as INT64
-# under the nanosAsLong conf (the vectorized reader rejects nanos natively).
+# Legacy events fixture layout: ts stored as parquet TIMESTAMP(NANOS),
+# read as physical INT64 under the nanosAsLong conf (the vectorized reader
+# rejects nanos natively). Newer fixture generations store plain micros
+# TIMESTAMP (footer reads TimestampNTZType) — load_table branches on the
+# footer so both layouts load identically as timestamp_ntz.
 RAW_EVENTS_SCHEMA = _schema(
     _S("event_id", T.LongType()),
     _S("ts", T.LongType()),
@@ -151,21 +154,31 @@ def load_table(
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read the physical INT64 (nanosAsLong is a
-        # runtime SQL conf) and truncate to microseconds exactly as the
-        # DuckDB oracle does (ns div 1000), yielding timestamp_ntz.
-        # timestampadd on an NTZ literal stays NTZ and never consults the
-        # session timezone, so this is correct under any caller session.
+        # The events fixture has shipped in two layouts across driver
+        # generations; the parquet footer is authoritative and we branch
+        # on it:
+        #   (a) micros TIMESTAMP — footer reads ts: TimestampNTZType;
+        #       already the registry type, return as-is.
+        #   (b) TIMESTAMP(NANOS) — Spark's vectorized reader rejects it
+        #       natively; read the physical INT64 (nanosAsLong is a
+        #       runtime SQL conf) and truncate to microseconds exactly as
+        #       the DuckDB oracle does (ns div 1000), yielding
+        #       timestamp_ntz. timestampadd on an NTZ literal stays NTZ
+        #       and never consults the session timezone, so this is
+        #       correct under any caller session.
         #
-        # The conf is also declared in session.get_spark; it must
+        # The nanos conf is also declared in session.get_spark; it must
         # additionally be ensured here because the driver calls queries()
         # with its OWN session that never went through our factory. The
-        # set is idempotent (always "true", never varies) and is a
-        # documented session-wide requirement for reading this table.
+        # set is idempotent (always "true", never varies) and is
+        # harmless for layout (a).
         if spark.conf.get(NANOS_CONF, "false") != "true":
             spark.conf.set(NANOS_CONF, "true")
         df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            if assert_schema:
+                _assert_schema(name, df, SCHEMAS[name])
+            return df
         if assert_schema:
             _assert_schema(name, df, RAW_EVENTS_SCHEMA)
         return df.withColumn(
@@ -179,3 +192,82 @@ def load_table(
     if assert_schema:
         _assert_schema(name, df, SCHEMAS[name])
     return df
+
+
+def _events_footer_is_ntz(spark: SparkSession, sf_dir: str) -> bool:
+    """Probe the events parquet footer (metadata-only batch read) and
+    report which fixture layout is on disk: True for micros TIMESTAMP
+    (TimestampNTZType footer), False for legacy TIMESTAMP(NANOS)
+    (physical INT64 under nanosAsLong). Streaming reads require a
+    user-declared schema, so every streaming caller MUST branch on this
+    — a nanos fixture silently read under the ntz schema (or vice versa)
+    yields 1000x-collapsed timestamps, which no row-count check catches."""
+    if spark.conf.get(NANOS_CONF, "false") != "true":
+        spark.conf.set(NANOS_CONF, "true")
+    footer = spark.read.parquet(table_path(sf_dir, "events")).schema
+    return isinstance(footer["ts"].dataType, T.TimestampNTZType)
+
+
+def _events_stream_raw(spark: SparkSession, sf_dir: str, is_ntz: bool) -> DataFrame:
+    # The file-stream source wants a directory; the fixture table is a
+    # single file, so stream the sf dir with a glob pinned to it.
+    return (
+        spark.readStream.schema(SCHEMAS["events"] if is_ntz else RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+# Micros-since-epoch from an NTZ ts — tz-free by construction.
+_NTZ_TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+# Integer ns→µs division on the nanos layout: float '/ 1000' loses ±1 µs
+# (nanos epochs ~1.7e18 exceed double's 53-bit mantissa).
+_NANOS_TS_US = "ts div 1000"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture, normalized to the registry
+    layout but with ``ts`` cast to session-tz TIMESTAMP (Spark watermarks
+    reject TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Applies
+    the same footer-branched conversion chain as ``load_table``."""
+    is_ntz = _events_footer_is_ntz(spark, sf_dir)
+    raw = _events_stream_raw(spark, sf_dir, is_ntz)
+    if is_ntz:
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).cast("timestamp"),
+    )
+
+
+def _with_ts_us(df: DataFrame, is_ntz: bool) -> DataFrame:
+    expr = _NTZ_TS_US if is_ntz else _NANOS_TS_US
+    return df.select(
+        "event_id",
+        F.expr(expr).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def read_events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events frame with ``ts`` replaced by ``ts_us`` — micros
+    since epoch as a long, tz-free under both fixture layouts. The batch
+    twin of ``read_events_stream_micros`` for pinning stateful-operator
+    semantics."""
+    is_ntz = _events_footer_is_ntz(spark, sf_dir)
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return _with_ts_us(df, is_ntz)
+
+
+def read_events_stream_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events frame with ``ts`` replaced by ``ts_us`` (micros
+    since epoch, long) — for stateful operators keyed on gaps/absolute
+    micros where a tz cast would shift values."""
+    is_ntz = _events_footer_is_ntz(spark, sf_dir)
+    return _with_ts_us(_events_stream_raw(spark, sf_dir, is_ntz), is_ntz)

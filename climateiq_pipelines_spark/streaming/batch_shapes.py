@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.functions.helpers import sql_davg
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import RAW_EVENTS_SCHEMA, load_table
+from climateiq_pipelines_spark.registry import (
+    load_table,
+    read_events_stream,
+    read_events_stream_micros,
+)
 
 
 @register(
@@ -253,25 +257,13 @@ def stream_readstream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_tumbling_window / stream_watermark_late pair; this key proves
     the plan compiles and runs as a STREAMING query with bounded state.
 
-    The raw INT64 nanos ts is converted AFTER the streaming read exactly
-    as registry.load_table does for batch, then cast to a session-tz
-    timestamp: Spark watermarks require TIMESTAMP, not TIMESTAMP_NTZ
-    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — acceptable here because this
-    key is rows-only; the value-checked keys stay ntz-pure."""
-    # The file-stream source wants a directory; the fixture table is a
-    # single file, so stream the sf dir with a glob pinned to it.
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ).cast("timestamp"),
-        )
-    )
+    The ts column is footer-branched and converted by
+    registry.read_events_stream exactly as load_table does for batch,
+    then cast to a session-tz timestamp: Spark watermarks require
+    TIMESTAMP, not TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    — acceptable here because this key is rows-only; the value-checked
+    keys stay ntz-pure."""
+    raw = read_events_stream(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day"), "event_type")
@@ -362,14 +354,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["user_id", "session_start_us", "session_end_us", "n_events"],
             )
 
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # Integer ns→µs division: float '/ 1000' loses ±1 µs on nanos
-        # epochs (~1.7e18 exceeds double's 53-bit mantissa).
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
-    )
+    raw = read_events_stream_micros(spark, sf_dir).select("user_id", "ts_us")
     sessions = raw.groupBy("user_id").applyInPandasWithState(
         sessionize,
         out_schema,

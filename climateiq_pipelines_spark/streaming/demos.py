@@ -27,25 +27,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import RAW_EVENTS_SCHEMA, load_table
+from climateiq_pipelines_spark.registry import load_table, read_events_stream
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture with the same nanos→ntz→tz
-    conversion chain as streaming.batch_shapes.stream_readstream_demo
-    (watermarks require TIMESTAMP, not TIMESTAMP_NTZ)."""
-    return (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ).cast("timestamp"),
-        )
-    )
+    """readStream over the events fixture via registry.read_events_stream
+    — probes the parquet footer and applies the layout-correct ts
+    conversion (watermarks require TIMESTAMP, not TIMESTAMP_NTZ)."""
+    return read_events_stream(spark, sf_dir)
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:

@@ -41,10 +41,13 @@ def test_large_corpus_dispatches_to_bucketed(spark, monkeypatch):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert [f.name for f in df.schema.fields] == [
-        "vec_id", "neighbor_id", "cos_sim", "rnk",
+        "vec_id", "neighbor_id", "cos_sim", "rnk", "method",
     ]
     pdf = df.toPandas()
     assert len(pdf) > 0
+    # the r4 ADVICE marker: a dispatched result must self-identify so it
+    # can never silently pass for the exact block-NL contract
+    assert (pdf["method"] == "simhash_bucketed").all()
     # per-query contract: at most k=5 neighbors, rnk dense from 1,
     # cos_sim non-increasing in rnk
     for _, g in pdf.groupby("vec_id"):

@@ -98,8 +98,11 @@ def test_no_accidental_python_eval(key, spark):
 
 
 def test_q5_dimensions_broadcast(spark):
-    """join_multikey (Q5): region/nation/supplier dims must broadcast —
-    a dim falling back to shuffle join doubles the fact shuffles."""
+    """join_multikey (Q5): the bounded dims (region, asia_nations) must
+    broadcast via their hints.  supplier is SF-proportional so it
+    carries NO hint (r4 verdict: forced broadcast OOMs at 100x) — at
+    test scale Catalyst's size threshold still auto-broadcasts it, so
+    >=3 here, but the plan degrades gracefully to shuffle at scale."""
     plan = plan_of(spark, "join_multikey")
     assert len(re.findall("BroadcastHashJoin", plan)) >= 3, plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -183,9 +186,6 @@ BROADCAST_OK = {
     ("scans.py", "max_key"): "1-row max aggregate",
     ("joins.py", "region"): "5-row literal dim",
     ("joins.py", "asia_nations"): "<=25-row filtered nation dim",
-    ("joins.py", "supplier"): "TPC-H dim, 1e-2 of fact; Q5 pinned plan",
-    ("queries_tpch.py", "cust"): "segment-filtered customer dim (Q3)",
-    ("queries_tpch.py", "big"): "HAVING-aggregated orderkeys (Q18)",
     ("text_analysis.py", "profiles"): "30-row literal profile table",
     ("text_analysis.py", "centroids"): "n_labels x 64 rows",
     ("llm.py", "dfreq"): "vocabulary-sized doc-frequency table",
@@ -218,39 +218,58 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Hash-checked keys intentionally registered after slot 50 (added in a
-# later round than their family; covered by tools/driver_sim.py and
-# rotated into the window in a future round).
-LATE_OK = {"stream_watermark_spans", "sort_multikey_scalable",
-           "llm_dedup_clusters", "llm_simhash_multiprobe",
-           "llm_text_normalize", "q7_volume_shipping",
-           "q10_returned_items", "q12_priority_by_flag",
-           "llm_cosine_topk_lsh", "stream_foreachbatch_sink",
-           "mm_binary_file_scan", "llm_kmeans_iterate", "llm_pq_encode",
-           "llm_ivf_pq_topk", "llm_winnow_fingerprint",
-           "llm_winnow_neardup"}
+# Round-5 rotation targets (plans.load_all): the 30 keys the r4 events
+# fixture drift invalidated (24 crashed + 6 silently-wrong streaming
+# demos) — re-certified first under the fixed footer-branched loader.
+# The 7 drift victims that don't fit the 50-slot window (joins tail +
+# aggregates + scans) are the round-6 rotation; tools/driver_sim.py
+# covers them meanwhile.
+ROTATION_R5 = {
+    # streaming/batch_shapes (8)
+    "stream_tumbling_window", "stream_sliding_window",
+    "stream_session_window", "stream_watermark_late",
+    "stream_stateful_dedup", "stream_running_counts",
+    "stream_readstream_demo", "stream_stateful_sessions",
+    # streaming/demos (5) — incl. never-certified stream_watermark_spans
+    "stream_sliding_demo", "stream_dedup_watermark_demo",
+    "stream_stream_join_demo", "stream_foreachbatch_sink",
+    "stream_watermark_spans",
+    # never-certified + events-reading keys across modules
+    "set_dropdup_subset",
+    "udaf_grouped_pandas", "udtf_explode_sessions",
+    "win_lag_lead_delta", "win_moving_avg_rows", "win_first_last",
+    "fn_map", "fn_json",
+    "filter_between_dates",
+    "join_full_outer",
+}
 
 
-def test_mandated_families_fill_driver_window():
-    """Registration order IS correctness-priority order: the driver's
+def test_rotation_targets_fill_driver_window():
+    """Registration order IS certification-priority order: the driver's
     per-round artifact records only the first 50 registration-order keys
-    (CORRECTNESS_r02.json truncated there), so the mandated
-    LLM-data-pipeline families + scalar fns + streaming + TPC-H
-    composites + the UDF boundary must occupy that window exactly.
-    A refactor that reorders plans.load_all and silently pushes the
-    north-star families back out of driver certification fails here."""
+    (CORRECTNESS_r02.json truncated there), and load_all rotates each
+    round toward the keys with the oldest/no valid stamp.  This pin
+    encodes the CURRENT rotation (round 5: the events-drift victims) so
+    a refactor that reorders load_all and silently pushes the rotation
+    targets back out of driver certification fails here.  Update
+    ROTATION_R5 together with load_all each round — that is the policy,
+    not a historical layout."""
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    mandated = (
-        {k for k in QUERIES if k.startswith(("llm_", "mm_", "fn_", "stream_"))}
-        - {  # round-3+ demo keys live in late-loading modules by design
-            k for k in QUERIES if k.endswith("_demo") or k in LATE_OK
-        }
-    ) | {"q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
-         "udf_scalar_py", "udf_pandas_vectorized", "udaf_grouped_pandas",
-         "udtf_explode_sessions"}
-    missing = sorted(mandated - first50)
-    assert not missing, f"mandated keys outside the driver window: {missing}"
+    missing = sorted(ROTATION_R5 - first50)
+    assert not missing, f"rotation targets outside the driver window: {missing}"
+
+
+def test_driver_window_layout_matches_load_all_comment():
+    """ADVICE r4: the 50-key window layout was implicit in import order
+    and verified only by a comment.  Pin the boundary explicitly: the
+    window must end inside operators/joins with join_full_outer (slot
+    ~50) inside it, and the total key count must equal the full surface
+    so a module gaining/losing a @register call surfaces here."""
+    keys = list(QUERIES)
+    assert len(keys) == 129, len(keys)
+    assert keys[44] == "join_broadcast_dim", keys[40:50]
+    assert "join_full_outer" in keys[:50], keys[40:50]
 
 
 def test_bucketed_join_has_no_exchange(spark):

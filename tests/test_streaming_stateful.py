@@ -10,7 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import QUERIES
-from climateiq_pipelines_spark.registry import RAW_EVENTS_SCHEMA
+from climateiq_pipelines_spark.registry import read_events_micros
 
 from tests.conftest import SF_SMALL
 
@@ -18,16 +18,9 @@ GAP_US = 30 * 60 * 1_000_000
 
 
 def batch_closed_sessions(spark, sf_dir):
-    # Same raw-nanos source shape as the streaming operator under test.
-    ev = (
-        spark.read.schema(RAW_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # Integer division, matching the operator — float '/ 1000' would
-        # drift ±1 µs on nanos epochs AND mask the same drift in the
-        # operator under test.
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
-    )
+    # Same footer-branched micros source as the streaming operator under
+    # test (registry.read_events_stream_micros's batch twin).
+    ev = read_events_micros(spark, sf_dir).select("user_id", "ts_us")
     w = W.partitionBy("user_id").orderBy("ts_us")
     sess = (
         ev.withColumn("prev", F.lag("ts_us").over(w))
