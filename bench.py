@@ -56,6 +56,14 @@ HEADLINE = [
     "llm_kmeans_iterate",      # 3 unrolled Lloyd iterations
     "llm_pq_encode",           # product-quantization vector codes
     "llm_text_normalize",      # zero-shuffle C4-style cleaning
+    # round 5: TPC-H widening + training-pipeline ops
+    "q4_order_priority",       # EXISTS → left-semi with non-equi residual
+    "q13_customer_distribution",  # outer-join count histogram
+    "q14_promo_revenue",       # conditional revenue share
+    "q19_discounted_revenue",  # OR-of-conjunctions pushdown
+    "llm_ngram_contamination", # eval-slice 5-gram decontamination
+    "llm_mixture_weights",     # language-mixture reweighting
+    "llm_seqlen_histogram",    # power-of-two length histogram
 ]
 
 

@@ -1,0 +1,186 @@
+"""Round-5 training-data-pipeline extensions: benchmark
+DECONTAMINATION, language MIXTURE REWEIGHTING, and the sequence-length
+histogram — three operators every large-scale pretraining pipeline runs
+between dedup and packing. Loaded after the driver's 50-entry
+correctness window (plans.load_all); covered by tools/driver_sim.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+# The held-out "benchmark" slice of the fixture: one source plays the
+# role of an eval suite. In production this is the actual benchmark
+# corpus (tiny, fixed); here it is corpus-proportional, which is why the
+# eval side carries NO broadcast hint — AQE broadcasts while small.
+EVAL_SOURCE = "src0"
+# Word n-gram order for contamination. Production pipelines use 8-13;
+# the fixture's vocabulary is small enough that 5-grams already separate
+# true duplication from chance collision (probed: 3-grams match ~80% of
+# docs, 5-grams only the genuine copies).
+NGRAM_N = 5
+
+
+_CONTAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, len(w) - {NGRAM_N - 1}),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4])) AS shingle
+      FROM t
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = '{EVAL_SOURCE}')
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.source <> '{EVAL_SOURCE}'
+    GROUP BY s.doc_id
+"""
+
+
+@register("llm_ngram_contamination", oracle=_CONTAM_ORACLE)
+def llm_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents sharing any
+    word {NGRAM_N}-gram with the held-out eval slice (source =
+    EVAL_SOURCE), reporting the count of distinct shared n-grams per
+    contaminated doc — the standard n-gram-collision decontamination
+    step run before pretraining (eval leakage inflates benchmarks).
+
+    Shingles are generated exactly as llm_ngram_jaccard's: posexplode +
+    lead(1..{NGRAM_N - 1}) over (doc_id, pos) — fully codegen'd, one
+    linear doc_id shuffle; the tail positions (where lead is NULL) are
+    dropped explicitly rather than silently shortened (concat_ws skips
+    NULLs, which would fabricate short shingles that over-match).
+
+    Scale: the eval side of the join is a DISTINCT over the benchmark
+    corpus — in production a fixed few-MB set that AQE broadcasts, so
+    the train side never shuffles on shingle text at all; here it is
+    left unhinted (fixture eval is corpus-proportional, policy as per
+    the broadcast allowlist). Join keys at 100 TB should be
+    xxhash64(shingle) (8-byte keys, 2^-64 false-match — the hashed-
+    shingle trade documented in llm_ngram_jaccard); the fixture key
+    stays the shingle text so the DuckDB oracle is textual."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", i).over(win) for i in range(1, NGRAM_N)
+    ]
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(
+                parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    ev = (
+        sh.filter(F.col("source") == EVAL_SOURCE)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("source") != EVAL_SOURCE)
+        .join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+_MIXTURE_ORACLE = """
+    WITH s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+             AS token_share,
+           round((1.0 / COUNT(*) OVER ())
+                 / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 6)
+             AS sample_weight
+    FROM s
+"""
+
+
+@register("llm_mixture_weights", oracle=_MIXTURE_ORACLE)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language MIXTURE REWEIGHTING: per-language token shares and the
+    per-document sampling weight that retargets the corpus to a UNIFORM
+    language mixture (weight = target_share / actual_share) — the data-
+    mixing step that decides how often each slice is sampled during
+    training; any target vector substitutes for uniform by joining a
+    literal table of shares.
+
+    Plan: one hash aggregate over documents (token counts are
+    size(split()) — integer, exact, computed map-side), then window
+    functions over the |langs|-row AGGREGATE — the unpartitioned
+    windows here run over a bounded-cardinality frame (5 rows at any
+    corpus size), never over data rows, so the single-partition-window
+    rule (SURVEY §9.4) is respected. Shares and weights divide exact
+    integers cast to double, identically on both engines; round(…,6)
+    pins the textual repr."""
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    over_all = W.partitionBy()  # |langs| rows only — bounded
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(over_all)
+    n_langs = F.count(F.lit(1)).over(over_all)
+    return stats.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / n_langs) / share, 6).alias("sample_weight"),
+    )
+
+
+_SEQLEN_ORACLE = """
+    SELECT CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+    GROUP BY 1
+"""
+
+
+@register("llm_seqlen_histogram", oracle=_SEQLEN_ORACLE)
+def llm_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length HISTOGRAM on power-of-two buckets (bucket =
+    floor(log2(token_count)), i.e. doc lengths in [2^b, 2^{b+1})) —
+    the distribution every packing/curriculum decision reads, and the
+    input that sized llm_pack_sequences' budget.
+
+    The bucket is computed as length(bin(n)) - 1 — integer bit-length,
+    identical in both engines — NOT floor(log2(n)), whose libm ulp at
+    exact powers of two could flip a boundary doc between buckets.
+    Plan: map-side token count + bucket, one hash aggregate over ~16
+    groups; no joins, no windows — this is a pure map-combine-reduce
+    at any corpus size."""
+    n_tok = F.size(F.split("text", " "))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select((F.length(F.bin(n_tok)) - 1).cast("long").alias("len_bucket"),
+                n_tok.alias("n_tok"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

@@ -92,3 +92,10 @@ def load_all() -> None:
         ml_iter,
     )
     from climateiq_pipelines_spark.sources import scans  # noqa: F401
+
+    # Round-5 additions — registered last so the rotation window above
+    # is unaffected; rotated toward the front in a later round.
+    from climateiq_pipelines_spark.operators import (  # noqa: F401
+        queries_tpch_more,
+        llm_pipeline_ext,
+    )
