@@ -64,6 +64,7 @@ HEADLINE = [
     "llm_ngram_contamination", # eval-slice 5-gram decontamination
     "llm_mixture_weights",     # language-mixture reweighting
     "llm_seqlen_histogram",    # power-of-two length histogram
+    "llm_repetition_filter",   # intra-doc repetition quality gate
 ]
 
 

@@ -184,3 +184,99 @@ def llm_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+_REPETITION_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+    tc AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(MAX(cnt) AS BIGINT) AS max_token_cnt
+      FROM (SELECT doc_id, token, COUNT(*) AS cnt
+            FROM tok GROUP BY doc_id, token)
+      GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM t
+    ),
+    bc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_2grams,
+             CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_2grams_distinct
+      FROM bg GROUP BY doc_id
+    )
+    SELECT tc.doc_id, n_tokens,
+           round(CAST(max_token_cnt AS DOUBLE) / n_tokens, 6)
+             AS top_token_frac,
+           CASE WHEN COALESCE(n_2grams, 0) = 0 THEN 0.0
+                ELSE round(CAST(n_2grams - n_2grams_distinct AS DOUBLE)
+                           / n_2grams, 6) END AS dup_2gram_frac,
+           (COALESCE(n_2grams - n_2grams_distinct, 0) * 5
+              <= COALESCE(n_2grams, 0)
+            AND max_token_cnt * 10 <= n_tokens * 3) AS keep
+    FROM tc LEFT JOIN bc ON tc.doc_id = bc.doc_id
+"""
+
+
+@register("llm_repetition_filter", oracle=_REPETITION_ORACLE)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style INTRA-DOCUMENT repetition signals + keep gate: the
+    quality filter that drops template/boilerplate docs whose content
+    repeats itself — top-token frequency fraction and duplicate-bigram
+    fraction per doc, with keep = dup_2gram_frac <= 20% AND
+    top_token_frac <= 30%, both thresholds expressed as INTEGER
+    comparisons (dup*5 <= total, max*10 <= n*3) so no float threshold
+    ambiguity exists at the exact boundary.
+
+    Totality: docs with fewer than two tokens have no bigrams —
+    dup_2gram_frac is DEFINED as 0.0 there (left join + coalesce), so
+    every doc appears. Plan: token counts and bigram counts are two
+    independent doc_id-keyed aggregates (bigrams via the same
+    posexplode+lead shingle pattern as llm_ngram_contamination) joined
+    key-to-key — two linear shuffles on doc_id, no data-row windows
+    beyond the per-doc lead, map-side partials throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    tc = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.max("cnt").cast("long").alias("max_token_cnt"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = tok.select(
+        "doc_id",
+        F.when(
+            F.lead("w", 1).over(win).isNotNull(),
+            F.concat_ws(" ", "w", F.lead("w", 1).over(win)),
+        ).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    bc = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_2grams"),
+        F.countDistinct("bigram").alias("n_2grams_distinct"),
+    )
+    dup = F.col("n_2grams") - F.col("n_2grams_distinct")
+    return (
+        tc.join(bc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("max_token_cnt").cast("double") / F.col("n_tokens"), 6
+            ).alias("top_token_frac"),
+            F.when(F.coalesce(F.col("n_2grams"), F.lit(0)) == 0, 0.0)
+            .otherwise(F.round(dup.cast("double") / F.col("n_2grams"), 6))
+            .alias("dup_2gram_frac"),
+            (
+                (F.coalesce(dup, F.lit(0)) * 5 <= F.coalesce(F.col("n_2grams"), F.lit(0)))
+                & (F.col("max_token_cnt") * 10 <= F.col("n_tokens") * 3)
+            ).alias("keep"),
+        )
+    )

@@ -315,3 +315,38 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_quantity"), "sum_qty"),
         F.min("ship_day").alias("first_ship_day"),
     )
+
+
+@register(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           min(md5(text)) AS min_digest,
+           max(md5(text)) AS max_digest
+    FROM documents
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source breadth: dump the documents' text as line-
+    oriented .txt (spark.write.text — one line per doc; the fixture
+    texts are newline-free, asserted below so a future fixture can't
+    silently split docs), read it back with spark.read.text, and reduce
+    to line count + char count + min/max content digests. The oracle
+    runs on the ORIGINAL parquet table, so the hash proves the text
+    round-trip byte-lossless — the same contract as the CSV/JSON/ORC
+    keys. Scale: text files split by line for free parallelism; the
+    digest aggregate is map-side-combined scalars."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = os.path.join(_tmpdir("text"), "documents_text")
+    # Loud failure if any text would be split across lines on write.
+    if docs.filter(F.col("text").contains("\n")).limit(1).count() > 0:
+        raise ValueError("documents.text contains newlines; text sink would split docs")
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("n_chars"),
+        F.min(F.md5("value")).alias("min_digest"),
+        F.max(F.md5("value")).alias("max_digest"),
+    )

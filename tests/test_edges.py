@@ -70,6 +70,16 @@ EDGE_KEYS = [
     "mm_binary_file_scan",       # binaryFile round-trip on edge payloads
     "llm_winnow_fingerprint",    # winnow windows over dup + short docs
     "llm_winnow_neardup",        # containment on exact dup + permutation
+    # round 5 keys over the same adversarial corpus
+    "q4_order_priority",         # empty-quarter semi join (both engines empty)
+    "q13_customer_distribution", # custkey 3 with no orders → zero bucket
+    "q14_promo_revenue",         # no exact-'PROMO' part → NULL/zero share
+    "q19_discounted_revenue",    # l_quantity exactly on the BETWEEN bounds
+    "llm_ngram_contamination",   # docs shorter than the 5-gram window
+    "llm_mixture_weights",       # 3-lang corpus, single-doc strata
+    "llm_seqlen_histogram",      # 1-token doc → bucket 0 boundary
+    "llm_repetition_filter",     # 'scan scan scan scan scan' doc + 1-token doc
+    "scan_text_roundtrip",       # digest round-trip over adversarial texts
 ]
 
 
