@@ -65,6 +65,8 @@ HEADLINE = [
     "llm_mixture_weights",     # language-mixture reweighting
     "llm_seqlen_histogram",    # power-of-two length histogram
     "llm_repetition_filter",   # intra-doc repetition quality gate
+    "events_funnel_steps",     # ordered conversion funnel
+    "events_cohort_retention", # cohort retention triangle
 ]
 
 

@@ -98,4 +98,5 @@ def load_all() -> None:
     from climateiq_pipelines_spark.operators import (  # noqa: F401
         queries_tpch_more,
         llm_pipeline_ext,
+        events_analytics,
     )

@@ -80,6 +80,8 @@ EDGE_KEYS = [
     "llm_seqlen_histogram",      # 1-token doc → bucket 0 boundary
     "llm_repetition_filter",     # 'scan scan scan scan scan' doc + 1-token doc
     "scan_text_roundtrip",       # digest round-trip over adversarial texts
+    "events_funnel_steps",       # purchase-free user must not convert
+    "events_cohort_retention",   # single-day cohorts, week-0 boundary
 ]
 
 
