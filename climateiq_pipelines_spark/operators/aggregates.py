@@ -440,3 +440,46 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_distinct"),
     )
     return per_rows.unionByName(merged)
+
+
+@register(
+    "agg_unpivot_melt",
+    oracle=f"""
+    WITH m AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem WHERE l_orderkey % 10 = 0
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey % 10 = 0
+      UNION ALL SELECT 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey % 10 = 0
+      UNION ALL SELECT 'l_tax', l_tax
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    )
+    SELECT measure, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('val')} AS sum_val
+    FROM m GROUP BY measure
+    """,
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide→long reshape operator — four lineitem
+    measures melted to (measure, val) rows, then re-aggregated per
+    measure. Spark's native DataFrame.unpivot compiles to ONE Expand
+    node over a single scan (each input row emits 4 output rows
+    in-operator); the declarative UNION-ALL equivalent the oracle spells
+    out would scan the fact table FOUR times — at 100 TB that is the
+    difference between one pass and four. The melt feeds a partial
+    aggregate immediately, so the 4x row expansion never hits a
+    shuffle: combine happens map-side per measure."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    )
+    melted = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("val"), "sum_val"),
+    )

@@ -82,6 +82,7 @@ EDGE_KEYS = [
     "scan_text_roundtrip",       # digest round-trip over adversarial texts
     "events_funnel_steps",       # purchase-free user must not convert
     "events_cohort_retention",   # single-day cohorts, week-0 boundary
+    "agg_unpivot_melt",          # melt over boundary-valued measures
 ]
 
 
