@@ -67,6 +67,8 @@ HEADLINE = [
     "llm_repetition_filter",   # intra-doc repetition quality gate
     "events_funnel_steps",     # ordered conversion funnel
     "events_cohort_retention", # cohort retention triangle
+    "q21_suppliers_kept_waiting",  # semi+anti join composition
+    "q2_min_cost_supplier",    # correlated min-aggregate equality
 ]
 
 

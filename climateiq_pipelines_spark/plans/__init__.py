@@ -99,4 +99,5 @@ def load_all() -> None:
         queries_tpch_more,
         llm_pipeline_ext,
         events_analytics,
+        queries_tpch_hard,
     )

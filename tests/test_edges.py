@@ -83,6 +83,8 @@ EDGE_KEYS = [
     "events_funnel_steps",       # purchase-free user must not convert
     "events_cohort_retention",   # single-day cohorts, week-0 boundary
     "agg_unpivot_melt",          # melt over boundary-valued measures
+    "q21_suppliers_kept_waiting",  # semi+anti with single-supplier orders
+    "q2_min_cost_supplier",      # min-avg tie → both suppliers surface
 ]
 
 
