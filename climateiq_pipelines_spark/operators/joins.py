@@ -462,3 +462,83 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "sum_totalprice"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND ts <= asof_ts + INTERVAL 1 HOUR THEN asof_id END
+             AS asof_purchase_id,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND ts <= asof_ts + INTERVAL 1 HOUR
+                THEN date_diff('microsecond', asof_ts, ts) END
+             AS asof_lag_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS asof_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS asof_ts
+      FROM events
+    )
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (pandas merge_asof tolerance
+    semantics): the most recent strictly-earlier purchase of the same
+    user, but only if it happened within 1 hour — staler matches
+    become NULL rather than joining arbitrarily far back (the variant
+    every feature-store point-in-time join needs to avoid leaking
+    ancient state). Also emits the match lag in integer MICROSECONDS
+    (timestampdiff(MICROSECOND) ≡ DuckDB date_diff('microsecond') —
+    exact on both engines, unlike second-granularity diffs whose
+    boundary-counting conventions differ).
+
+    Same scalable shape as join_asof_last_event: one user_id shuffle,
+    two last_value(IGNORE NULLS) frames over the same window spec
+    (Spark evaluates both in ONE Window node), linear state — the
+    tolerance is a post-window projection, never a join predicate, so
+    no O(n²) point-in-time join appears at any scale."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    asof_id = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    asof_ts = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    within = asof_ts.isNotNull() & (
+        F.col("ts") <= asof_ts + F.expr("INTERVAL 1 HOUR")
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(within, asof_id).alias("asof_purchase_id"),
+        F.when(
+            within,
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "last(CASE WHEN event_type = 'purchase' THEN ts END, true) "
+                "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts)"
+            ),
+        ).alias("asof_lag_us"),
+    )

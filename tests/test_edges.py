@@ -85,6 +85,7 @@ EDGE_KEYS = [
     "agg_unpivot_melt",          # melt over boundary-valued measures
     "q21_suppliers_kept_waiting",  # semi+anti with single-supplier orders
     "q2_min_cost_supplier",      # min-avg tie → both suppliers surface
+    "join_asof_tolerance",       # purchase-free prefix + stale match → NULL
 ]
 
 

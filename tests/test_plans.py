@@ -267,7 +267,7 @@ def test_driver_window_layout_matches_load_all_comment():
     ~50) inside it, and the total key count must equal the full surface
     so a module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 143, len(keys)
+    assert len(keys) == 144, len(keys)
     assert keys[44] == "join_broadcast_dim", keys[40:50]
     assert "join_full_outer" in keys[:50], keys[40:50]
 
