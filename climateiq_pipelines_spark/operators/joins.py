@@ -152,24 +152,6 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_right_outer",
-    oracle="""
-    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
-    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_custkey
-    """,
-)
-def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-
-
-@register(
     "join_full_outer",
     oracle="""
     SELECT CASE WHEN user_id IS NULL THEN 'customer_only'
@@ -347,6 +329,91 @@ def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND ts <= asof_ts + INTERVAL 1 HOUR THEN asof_id END
+             AS asof_purchase_id,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND ts <= asof_ts + INTERVAL 1 HOUR
+                THEN date_diff('microsecond', asof_ts, ts) END
+             AS asof_lag_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS asof_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS asof_ts
+      FROM events
+    )
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (pandas merge_asof tolerance
+    semantics): the most recent strictly-earlier purchase of the same
+    user, but only if it happened within 1 hour — staler matches
+    become NULL rather than joining arbitrarily far back (the variant
+    every feature-store point-in-time join needs to avoid leaking
+    ancient state). Also emits the match lag in integer MICROSECONDS
+    (timestampdiff(MICROSECOND) ≡ DuckDB date_diff('microsecond') —
+    exact on both engines, unlike second-granularity diffs whose
+    boundary-counting conventions differ).
+
+    Same scalable shape as join_asof_last_event: one user_id shuffle,
+    two last_value(IGNORE NULLS) frames over the same window spec
+    (Spark evaluates both in ONE Window node), linear state — the
+    tolerance is a post-window projection, never a join predicate, so
+    no O(n²) point-in-time join appears at any scale. Both the gate
+    and the lag read the SAME computed _asof_ts column (ADVICE r5: the
+    lag previously re-derived the window as an embedded SQL string,
+    which could silently diverge from the DSL copy under edit)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    asof_id = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    asof_ts = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    enriched = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        asof_id.alias("_asof_id"),
+        asof_ts.alias("_asof_ts"),
+    )
+    within = F.col("_asof_ts").isNotNull() & (
+        F.col("ts") <= F.col("_asof_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(within, F.col("_asof_id")).alias("asof_purchase_id"),
+        F.when(
+            within, F.expr("timestampdiff(MICROSECOND, _asof_ts, ts)")
+        ).alias("asof_lag_us"),
+    )
+
+
+@register(
     "join_salted_skew",
     oracle=f"""
     SELECT c_mktsegment, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
@@ -362,7 +429,9 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     join runs on (key, salt) — a skewed key's rows now spread across 8
     shuffle partitions instead of hot-spotting one.
 
-    Scale: AQE's skew-join split handles MODERATE skew automatically;
+    Scale: AQE's skew-join split handles MODERATE skew automatically
+    with no code changes (plan-pinned by tests/test_plans.py::
+    test_aqe_skew_join_splits_hot_partition — the first-line answer);
     explicit salting is for the pathological key (one user = 10% of a
     100 TB fact) where a single post-split partition still exceeds
     executor memory. Cost: dim side × n_salts (broadcast-sized here;
@@ -464,81 +533,21 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rotated BELOW the round-6 driver certification window (fresh r5 stamp;
+# registration order is certification-priority order — see plans.load_all).
 @register(
-    "join_asof_tolerance",
+    "join_right_outer",
     oracle="""
-    SELECT event_id, user_id, ts, event_type,
-           CASE WHEN asof_ts IS NOT NULL
-                 AND ts <= asof_ts + INTERVAL 1 HOUR THEN asof_id END
-             AS asof_purchase_id,
-           CASE WHEN asof_ts IS NOT NULL
-                 AND ts <= asof_ts + INTERVAL 1 HOUR
-                THEN date_diff('microsecond', asof_ts, ts) END
-             AS asof_lag_us
-    FROM (
-      SELECT event_id, user_id, ts, event_type,
-             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
-                        IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS asof_id,
-             last_value(CASE WHEN event_type = 'purchase' THEN ts END
-                        IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS asof_ts
-      FROM events
-    )
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
     """,
 )
-def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with TOLERANCE (pandas merge_asof tolerance
-    semantics): the most recent strictly-earlier purchase of the same
-    user, but only if it happened within 1 hour — staler matches
-    become NULL rather than joining arbitrarily far back (the variant
-    every feature-store point-in-time join needs to avoid leaking
-    ancient state). Also emits the match lag in integer MICROSECONDS
-    (timestampdiff(MICROSECOND) ≡ DuckDB date_diff('microsecond') —
-    exact on both engines, unlike second-granularity diffs whose
-    boundary-counting conventions differ).
-
-    Same scalable shape as join_asof_last_event: one user_id shuffle,
-    two last_value(IGNORE NULLS) frames over the same window spec
-    (Spark evaluates both in ONE Window node), linear state — the
-    tolerance is a post-window projection, never a join predicate, so
-    no O(n²) point-in-time join appears at any scale."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    asof_id = F.last(
-        F.when(F.col("event_type") == "purchase", F.col("event_id")),
-        ignorenulls=True,
-    ).over(w)
-    asof_ts = F.last(
-        F.when(F.col("event_type") == "purchase", F.col("ts")),
-        ignorenulls=True,
-    ).over(w)
-    within = asof_ts.isNotNull() & (
-        F.col("ts") <= asof_ts + F.expr("INTERVAL 1 HOUR")
-    )
-    return events.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        F.when(within, asof_id).alias("asof_purchase_id"),
-        F.when(
-            within,
-            F.expr(
-                "timestampdiff(MICROSECOND, "
-                "last(CASE WHEN event_type = 'purchase' THEN ts END, true) "
-                "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts)"
-            ),
-        ).alias("asof_lag_us"),
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
     )

@@ -470,9 +470,21 @@ _TOPK_ORACLE = f"""
 """
 
 
-# Above this corpus size the block-NL build side no longer fits a
-# broadcast; llm_cosine_topk auto-dispatches to the bucketed LSH plan.
-BLOCKNL_MAX_VECTORS = 200_000
+# Block-NL dispatch bounds (llm_cosine_topk): the corpus build side must
+# fit comfortably in executor memory as float64, so the effective row
+# bound is BYTE-derived — min(hard row cap, byte budget / row bytes) —
+# not a bare row count (a 4096-dim corpus is 64x heavier per row than
+# the 64-dim fixture; a count-only cutoff would OOM it). Above the bound
+# the key auto-dispatches to the bucketed LSH plan.
+BLOCKNL_MAX_VECTORS = 200_000  # hard row cap (tests monkeypatch this)
+BLOCKNL_MAX_BYTES = 128 << 20  # 128 MiB of float64 corpus per executor
+
+
+def _blocknl_max_vectors(dim: int) -> int:
+    """Effective block-NL corpus bound for a given embedding dim —
+    reads the module attributes at call time so tests can monkeypatch
+    the row cap."""
+    return min(BLOCKNL_MAX_VECTORS, BLOCKNL_MAX_BYTES // max(dim, 1) // 8)
 
 
 def _cosine_topk_bucketed(
@@ -548,24 +560,31 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership cannot flip on float ulps.
 
     Scale: the corpus materialization is the broadcast dimension of a
-    block-NL, BOUNDED by a .take(BLOCKNL_MAX_VECTORS+1) probe — never
-    an unbounded collect. Above the bound the key AUTO-DISPATCHES to
-    _cosine_topk_bucketed (simhash-bucket-pruned per-bucket top-k, a
-    pure DataFrame plan with no driver materialization) instead of
-    refusing to run — exact block-NL under 2×10^5 vectors, bucketed
-    ANN beyond."""
+    block-NL, BOUNDED by a .take(max+1) probe — never an unbounded
+    collect — where max is BYTE-derived from the probed embedding dim
+    (_blocknl_max_vectors, r6: a count-only cutoff under-counts wide
+    embeddings). The collected matrix ships as a sparkContext.broadcast
+    (one torrent transfer per executor, reused across tasks — r6; the
+    closure previously re-serialized it per task batch). Above the
+    bound the key AUTO-DISPATCHES to _cosine_topk_bucketed
+    (simhash-bucket-pruned per-bucket top-k, a pure DataFrame plan with
+    no driver materialization) instead of refusing to run — exact
+    block-NL under the bound, bucketed ANN beyond."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.take(BLOCKNL_MAX_VECTORS + 1)
-    if len(rows) > BLOCKNL_MAX_VECTORS:
+    head = emb.take(1)
+    dim = len(head[0]["embedding"]) if head else 1
+    max_vectors = _blocknl_max_vectors(dim)
+    rows = emb.take(max_vectors + 1)
+    if len(rows) > max_vectors:
         return _cosine_topk_bucketed(emb, k=5)
     corpus_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
     order = np.argsort(corpus_ids)
-    corpus_ids, corpus = corpus_ids[order], corpus[order]
+    bc = spark.sparkContext.broadcast((corpus_ids[order], corpus[order]))
 
     schema = T.StructType(
         [
@@ -579,6 +598,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 5
 
     def topk(batches):
+        corpus_ids, corpus = bc.value
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q = np.array(
@@ -611,7 +631,11 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return emb.repartition(32).mapInPandas(topk, schema)
+    # Spread the query side across the session's actual parallelism
+    # (r6: was a hardcoded local[32] constant).
+    return emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(topk, schema)
 
 
 _KNN_ORACLE = f"""

@@ -43,25 +43,40 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 # entry 50), so registration order is certification-priority order and is
 # ROTATED each round toward the keys with the oldest (or no) valid
 # certification stamp.  Round-2 certified the relational 50; round-3 the
-# mandated llm/text/mm/fn/stream/tpch/udf families; round-4 the
-# 29 late-added keys (sorts/setops/demos/vector_ext/ml_iter/tpch_ext).
-# Round 5: the events-fixture drift (VERDICT r4) invalidated 24 keys and
-# left 6 streaming demos silently wrong — those 30 register first, under
-# the fixed footer-branched loader:
-#   batch_shapes (8) + demos (5) + setops (7) + udfs (4) + windows (8)
-#   + scalar (8) + filters (4) = 44, then joins (14) straddles slot 50
-#   (first 6 join keys incl. join_full_outer land inside).
-# Covered targets: all 6 §2.9 keys, both readstream demos, all 5 demo
-# keys (incl. never-certified stream_watermark_spans), set_dropdup_subset
-# (never certified), both events UDFs, the 3 events windows, fn_map/
-# fn_json, filter_between_dates, join_full_outer.  Left for the round-6
-# rotation: join_range_interval, join_asof_last_event, join_salted_skew,
-# agg_approx_count_distinct, agg_conditional_filter, agg_pivot,
-# scan_all_tables_counts.  tools/driver_sim.py remains the full-surface
-# gate covering every key regardless of order.
+# mandated llm/text/mm/fn/stream/tpch/udf families; round-4 the 29
+# late-added keys; round-5 the 30 events-fixture-drift victims.
+# Round 6 (SURVEY §10.8): the 15 round-5 additions that have never had a
+# driver row, the sketch/layout keys newly given SQL-checkable band
+# oracles, and the events-reading keys whose stamps predate the drift
+# fix:
+#   aggregates (16) + scans (9) + queries_tpch_more (4) +
+#   llm_pipeline_ext (4) + events_analytics (2) + queries_tpch_hard (2)
+#   = 37, then joins straddles slot 50 with its first 13 keys inside
+#   (join_asof_tolerance moved above join_salted_skew and
+#   join_right_outer — fresh r5 stamp — rotated to the module tail, so
+#   all four join targets land inside; the window closes after
+#   join_salted_skew).
+# Covered targets: agg_approx_count_distinct / agg_approx_percentile /
+# agg_hll_sketch_merge / sink_sorted_bucketed (newly SQL-checkable),
+# agg_conditional_filter, agg_pivot, agg_unpivot_melt,
+# scan_all_tables_counts, scan_text_roundtrip, q4/q13/q14/q19/q21/q2,
+# the four llm_pipeline_ext ops, both events composites,
+# join_range_interval, join_asof_last_event, join_asof_tolerance,
+# join_salted_skew.  tools/driver_sim.py remains the full-surface gate
+# covering every key regardless of order.
 def load_all() -> None:
     """Import every operator module so its @register calls run."""
     # Imported lazily to avoid circular imports at package import time.
+    from climateiq_pipelines_spark.operators import aggregates  # noqa: F401
+    from climateiq_pipelines_spark.sources import scans  # noqa: F401
+    from climateiq_pipelines_spark.operators import (  # noqa: F401
+        queries_tpch_more,
+        llm_pipeline_ext,
+        events_analytics,
+        queries_tpch_hard,
+        joins,
+    )
+    # --- driver window (50) ends inside joins, after join_salted_skew ---
     from climateiq_pipelines_spark.streaming import (  # noqa: F401
         batch_shapes,
         demos,
@@ -74,11 +89,6 @@ def load_all() -> None:
     from climateiq_pipelines_spark.functions import scalar  # noqa: F401
     from climateiq_pipelines_spark.operators import (  # noqa: F401
         filters,
-        joins,
-    )
-    # --- driver window (50) ends inside joins, after join_full_outer ---
-    from climateiq_pipelines_spark.operators import (  # noqa: F401
-        aggregates,
         sorts,
         queries_tpch,
         text_analysis,
@@ -90,14 +100,4 @@ def load_all() -> None:
         queries_tpch_ext,
         mm_ext,
         ml_iter,
-    )
-    from climateiq_pipelines_spark.sources import scans  # noqa: F401
-
-    # Round-5 additions — registered last so the rotation window above
-    # is unaffected; rotated toward the front in a later round.
-    from climateiq_pipelines_spark.operators import (  # noqa: F401
-        queries_tpch_more,
-        llm_pipeline_ext,
-        events_analytics,
-        queries_tpch_hard,
     )

@@ -194,6 +194,13 @@ def load_table(
     return df
 
 
+# Footer-probe memo keyed by (Spark app id, sf_dir): the fixture layout
+# is immutable within a session, so one metadata read per (session, dir)
+# suffices — several streaming keys in one bench/driver session
+# previously re-probed per call (ADVICE r5).
+_FOOTER_NTZ_MEMO: dict[tuple[str, str], bool] = {}
+
+
 def _events_footer_is_ntz(spark: SparkSession, sf_dir: str) -> bool:
     """Probe the events parquet footer (metadata-only batch read) and
     report which fixture layout is on disk: True for micros TIMESTAMP
@@ -201,11 +208,20 @@ def _events_footer_is_ntz(spark: SparkSession, sf_dir: str) -> bool:
     (physical INT64 under nanosAsLong). Streaming reads require a
     user-declared schema, so every streaming caller MUST branch on this
     — a nanos fixture silently read under the ntz schema (or vice versa)
-    yields 1000x-collapsed timestamps, which no row-count check catches."""
+    yields 1000x-collapsed timestamps, which no row-count check catches.
+    Memoized per (application id, sf_dir); the NANOS conf re-set stays
+    unconditional because the driver may hand us a fresh session config
+    with a stale memo entry never can (app id changes with the session).
+    """
     if spark.conf.get(NANOS_CONF, "false") != "true":
         spark.conf.set(NANOS_CONF, "true")
-    footer = spark.read.parquet(table_path(sf_dir, "events")).schema
-    return isinstance(footer["ts"].dataType, T.TimestampNTZType)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _FOOTER_NTZ_MEMO:
+        footer = spark.read.parquet(table_path(sf_dir, "events")).schema
+        _FOOTER_NTZ_MEMO[memo_key] = isinstance(
+            footer["ts"].dataType, T.TimestampNTZType
+        )
+    return _FOOTER_NTZ_MEMO[memo_key]
 
 
 def _events_stream_raw(spark: SparkSession, sf_dir: str, is_ntz: bool) -> DataFrame:
@@ -227,19 +243,29 @@ _NANOS_TS_US = "ts div 1000"
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture, normalized to the registry
-    layout but with ``ts`` cast to session-tz TIMESTAMP (Spark watermarks
-    reject TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Applies
-    the same footer-branched conversion chain as ``load_table``."""
+    layout but with ``ts`` as TIMESTAMP (Spark watermarks reject
+    TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) whose EPOCH
+    MICROS equal the NTZ wall-clock micros (``timestamp_micros`` over
+    the footer-branched micros expression, NOT a session-tz cast).
+    Pinning the epoch this way makes every downstream window boundary,
+    watermark cutoff, and ``ntz_of_window_bound`` restore tz-independent
+    — the streaming demo keys hash-match their batch/NTZ SQL oracles
+    under ANY driver session timezone. Applies the same footer-branched
+    conversion chain as ``load_table``."""
     is_ntz = _events_footer_is_ntz(spark, sf_dir)
     raw = _events_stream_raw(spark, sf_dir, is_ntz)
-    if is_ntz:
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestampadd(MICROSECOND, ts div 1000, "
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ).cast("timestamp"),
+    expr = _NTZ_TS_US if is_ntz else _NANOS_TS_US
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(expr)))
+
+
+def ntz_of_window_bound(col: str):
+    """Restore an epoch-pinned TIMESTAMP (from ``read_events_stream``,
+    or a window bound derived from one) to TIMESTAMP_NTZ wall-clock —
+    ``unix_micros`` reads the epoch directly, so the round-trip is exact
+    and never consults the session timezone."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({col}), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     )
 
 

@@ -18,6 +18,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -175,16 +176,30 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_sorted_bucketed")  # rows-only: physical layout is not SQL-observable
+@register(
+    "sink_sorted_bucketed",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_custkeys,
+           8 AS n_buckets,
+           TRUE AS buckets_sorted,
+           TRUE AS custkey_single_bucket
+    FROM orders
+    """,
+)
 def sink_sorted_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-clustered, sorted-within-partition write: repartition(8, key)
     + sortWithinPartitions, the bucketing layout that lets a downstream
-    reader join/merge on o_custkey without re-shuffling. Declared
-    rows-only (SURVEY §2.1): the layout itself is not observable from
-    SQL values. The returned frame audits the invariants instead — rows
-    survive, each bucket's keys are disjoint ranges per hash (n_buckets
-    files), every bucket is internally sorted (checked via a window scan
-    on the read-back)."""
+    reader join/merge on o_custkey without re-shuffling. The layout
+    itself is not directly expressible as SQL values, so the contract is
+    a 1-row AUDIT of the layout invariants, each SQL-pinnable: rows and
+    distinct keys survive the round-trip, all 8 buckets are non-empty,
+    every written file is internally sorted on (o_custkey, o_orderkey)
+    (observed via the parquet _metadata file_path/row_index columns —
+    the STORED order, robust to read-side file splitting), and every
+    custkey lands in exactly one bucket (|distinct (key, bucket)| =
+    |distinct key|). Any broken invariant flips a boolean or a count
+    and hash-mismatches against the oracle."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
@@ -196,12 +211,34 @@ def sink_sorted_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
-    return back.groupBy("bucket_id").agg(
+    back = spark.read.parquet(path).select(
+        "o_custkey",
+        "o_orderkey",
+        "bucket_id",
+        F.col("_metadata.file_path").alias("fpath"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    w = W.partitionBy("fpath").orderBy("ridx")
+    prev_ck = F.lag("o_custkey").over(w)
+    prev_ok = F.lag("o_orderkey").over(w)
+    in_order = (
+        prev_ck.isNull()
+        | (prev_ck < F.col("o_custkey"))
+        | ((prev_ck == F.col("o_custkey")) & (prev_ok <= F.col("o_orderkey")))
+    )
+    audited = back.withColumn("in_order", in_order)
+    return audited.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_custkeys"),
-        F.min("o_custkey").alias("min_custkey"),
-        F.max("o_custkey").alias("max_custkey"),
+        F.countDistinct("bucket_id").alias("n_buckets"),
+        F.min("in_order").alias("buckets_sorted"),
+        F.countDistinct("o_custkey", "bucket_id").alias("_n_kb"),
+    ).select(
+        "n_rows",
+        "n_custkeys",
+        "n_buckets",
+        "buckets_sorted",
+        (F.col("_n_kb") == F.col("n_custkeys")).alias("custkey_single_bucket"),
     )
 
 
@@ -339,9 +376,15 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest aggregate is map-side-combined scalars."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     path = os.path.join(_tmpdir("text"), "documents_text")
-    # Loud failure if any text would be split across lines on write.
-    if docs.filter(F.col("text").contains("\n")).limit(1).count() > 0:
-        raise ValueError("documents.text contains newlines; text sink would split docs")
+    # Loud failure if any text would be split across lines on write —
+    # Hadoop's line reader splits on '\n' AND bare '\r' (ADVICE r5), so
+    # guard both or a '\r' fixture would surface as an opaque digest
+    # mismatch instead of this clear error.
+    if docs.filter(F.col("text").rlike("[\\r\\n]")).limit(1).count() > 0:
+        raise ValueError(
+            "documents.text contains line breaks (\\r or \\n); "
+            "text sink would split docs"
+        )
     docs.write.mode("overwrite").text(path)
     back = spark.read.text(path)
     return back.agg(

@@ -32,6 +32,7 @@ from climateiq_pipelines_spark.functions.helpers import sql_davg
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import (
     load_table,
+    ntz_of_window_bound,
     read_events_stream,
     read_events_stream_micros,
 )
@@ -247,22 +248,31 @@ def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_readstream_demo")  # rows-only: genuinely streaming execution
+@register(
+    "stream_readstream_demo",
+    oracle="""
+    SELECT date_trunc('day', ts) AS win_start, event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_readstream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming surface: readStream over the events
     parquet, 1-hour watermark, 1-day tumbling count per type, processed
     with trigger(availableNow) into a memory sink, returned as the sink
-    table. Rows-only by nature (execution is incremental; the memory
-    sink is session-local). The logic is the checked
-    stream_tumbling_window / stream_watermark_late pair; this key proves
-    the plan compiles and runs as a STREAMING query with bounded state.
+    table — value-checked against the batch tumbling SQL (round-6
+    upgrade from rows-only; see streaming/demos.py module docstring for
+    the single-batch + epoch-pin argument that makes the oracle sound
+    under any session timezone).
 
     The ts column is footer-branched and converted by
     registry.read_events_stream exactly as load_table does for batch,
-    then cast to a session-tz timestamp: Spark watermarks require
-    TIMESTAMP, not TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
-    — acceptable here because this key is rows-only; the value-checked
-    keys stay ntz-pure."""
+    with its TIMESTAMP epoch pinned to the NTZ wall-clock micros: Spark
+    watermarks require TIMESTAMP, not TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the epoch pin lets
+    ntz_of_window_bound restore exact NTZ window starts on the way
+    out."""
     raw = read_events_stream(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "1 hour")
@@ -283,10 +293,45 @@ def stream_readstream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination(120)
     finally:
         query.stop()
-    return spark.sql("SELECT * FROM cps_stream_demo")
+    return spark.sql("SELECT * FROM cps_stream_demo").select(
+        ntz_of_window_bound("win_start").alias("win_start"),
+        "event_type",
+        "n_events",
+    )
 
 
-@register("stream_stateful_sessions")  # rows-only: streaming execution
+@register(
+    "stream_stateful_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us)
+                       <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM e
+    ), numbered AS (
+      SELECT user_id, ts_us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_seq,
+             min(ts_us) AS session_start_us,
+             max(ts_us) AS session_end_us,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM sessions s
+    WHERE session_seq < (SELECT max(session_seq) FROM sessions m
+                         WHERE m.user_id = s.user_id)
+    """,
+)
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL STREAMING OPERATOR — per-user sessionization via
     applyInPandasWithState: readStream over events, groupBy user_id,
@@ -294,13 +339,15 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     >30-minute gaps, EMITS closed sessions and carries the open tail
     session in the state store across micro-batches.
 
-    Rows-only by nature (incremental execution, session-local memory
-    sink), but the semantics are pinned harder than a row count:
-    test_streaming_stateful asserts the emitted set equals the batch
-    lag+cumsum sessionizer's output minus each user's final session
-    (which stays open in state when the availableNow stream ends —
-    exactly the documented contract of a session operator fed a finite
-    prefix of an infinite stream).
+    SQL-checkable (round-6 upgrade from rows-only): the emitted set
+    equals the batch lag+cumsum sessionizer's output minus each user's
+    FINAL session (which stays open in state when the availableNow
+    stream ends — exactly the documented contract of a session operator
+    fed a finite prefix of an infinite stream); the oracle is that SQL
+    over epoch micros, tz-free on both engines. Ties on ts_us are
+    harmless: a zero gap never opens a session, so session bounds and
+    counts are order-independent. test_streaming_stateful pins the same
+    equality against the in-engine batch sessionizer independently.
 
     Scale: this is the applyInPandasWithState pattern for operators
     Spark lacks natively — state is per-key and bounded (one open
@@ -337,9 +384,13 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             start_us = last_us = n = None
         closed = []
+        # Accumulate the group's FULL batch before sorting: a large
+        # group can arrive as several Arrow batches, and a per-batch
+        # sort would mis-order events across batch boundaries.
+        all_ts: list[int] = []
         for pdf in pdfs:
-            for ts_us in sorted(pdf["ts_us"]):
-                ts_us = int(ts_us)
+            all_ts.extend(int(t) for t in pdf["ts_us"])
+        for ts_us in sorted(all_ts):
                 if start_us is None:
                     start_us, last_us, n = ts_us, ts_us, 1
                 elif ts_us - last_us > gap_us:

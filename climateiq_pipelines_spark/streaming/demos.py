@@ -1,21 +1,32 @@
-"""Round-3 streaming keys — loaded LAST so they don't displace the
-mandated families from the driver's 50-entry correctness window (see
-plans.load_all; tools/driver_sim.py covers them regardless of order).
+"""Streaming demo keys — genuine readStream/writeStream executions of
+the §2.9 shapes, each SQL-CHECKABLE against a batch oracle (round-6
+upgrade; they were rows-only through round 5).
 
-Three keys complete the §2.9 batch↔streaming pairing:
+What makes the oracles sound: ``registry.read_events_stream`` pins the
+event-time TIMESTAMP's epoch to the NTZ wall-clock micros (no session-tz
+cast), so window boundaries land on the same wall-clock grid as the
+batch/NTZ formulations under ANY driver session timezone, and
+``ntz_of_window_bound`` restores emitted bounds to TIMESTAMP_NTZ
+exactly. The fixture is a single parquet file, so trigger(availableNow)
+processes it as ONE micro-batch: the first batch's watermark is unset,
+nothing is late-dropped, and each demo's emitted set equals its batch
+twin's — which is precisely the documented contract of these operators
+fed a finite prefix (equalities additionally pinned by
+tests/test_streaming_demos.py). A future multi-batch replay would be a
+DIFFERENT contract (watermarks advance between batches); these keys pin
+the single-batch one.
 
-- ``stream_sliding_demo`` (rows-only): the SLIDING-window formulation
-  running through a genuine readStream/writeStream, twinned with the
-  checked batch key ``stream_sliding_window`` (equality pinned by
-  tests/test_streaming_demos.py).
-- ``stream_dedup_watermark_demo`` (rows-only):
-  ``dropDuplicatesWithinWatermark`` through a genuine streaming query,
-  twinned with the checked batch key ``stream_stateful_dedup`` (kept
-  key-set equality pinned in tests).
-- ``stream_watermark_spans`` (sql): the scale-safe PER-SPAN watermark —
-  the batch replay of micro-batch watermark semantics with no
-  single-partition window over the data (the round-2 verdict's
-  weak-lite item on ``stream_watermark_late``).
+- ``stream_sliding_demo``: sliding window through a real streaming
+  query, twinned with the checked batch key ``stream_sliding_window``.
+- ``stream_dedup_watermark_demo``: ``dropDuplicatesWithinWatermark``
+  through a real streaming query; emitted key set = batch DISTINCT.
+- ``stream_stream_join_demo``: watermarked stream-stream interval join;
+  emitted pairs = the batch interval join.
+- ``stream_foreachbatch_sink``: update-mode foreachBatch parquet sink
+  with latest-batch-wins read-back = the batch tumbling aggregation.
+- ``stream_watermark_spans`` (batch): the scale-safe PER-SPAN watermark
+  — the batch replay of micro-batch watermark semantics with no
+  single-partition window over the data.
 """
 
 from __future__ import annotations
@@ -27,13 +38,19 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import load_table, read_events_stream
+from climateiq_pipelines_spark.registry import (
+    load_table,
+    ntz_of_window_bound,
+    read_events_stream,
+)
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture via registry.read_events_stream
-    — probes the parquet footer and applies the layout-correct ts
-    conversion (watermarks require TIMESTAMP, not TIMESTAMP_NTZ)."""
+    — probes the parquet footer, applies the layout-correct conversion,
+    and pins the TIMESTAMP epoch to the NTZ wall-clock micros
+    (watermarks require TIMESTAMP, not TIMESTAMP_NTZ; the epoch pin
+    keeps results session-tz independent)."""
     return read_events_stream(spark, sf_dir)
 
 
@@ -56,16 +73,25 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
-@register("stream_sliding_demo")  # rows-only: genuinely streaming execution
+@register(
+    "stream_sliding_demo",
+    oracle="""
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 21600) AS BIGINT) - k) * 21600
+                          * 1000000) AS win_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
 def stream_sliding_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING window (1 day every 6 h) through a true streaming query
     with a 1-hour watermark — the streaming counterpart of the checked
-    batch key stream_sliding_window. availableNow processes the finite
-    fixture in one pass, so the complete-mode result equals the batch
-    key's (watermarks only drop data that arrives after the watermark
-    advances between triggers); tests/test_streaming_demos.py pins that
-    equality. State: |open windows| × |keys| rows, bounded by the
-    watermark — the same bounded-state argument as tumbling."""
+    batch key stream_sliding_window, now value-checked against the SAME
+    epoch-grid oracle (module docstring explains why the single-batch
+    availableNow result equals the batch aggregation and why the
+    epoch-pinned event time makes it session-tz independent). State:
+    |open windows| × |keys| rows, bounded by the watermark — the same
+    bounded-state argument as tumbling."""
     agg = (
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -73,10 +99,16 @@ def stream_sliding_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("win_start"), "n_events")
     )
-    return _run_to_memory(agg, "complete")
+    sunk = _run_to_memory(agg, "complete")
+    return sunk.select(
+        ntz_of_window_bound("win_start").alias("win_start"), "n_events"
+    )
 
 
-@register("stream_dedup_watermark_demo")  # rows-only: streaming execution
+@register(
+    "stream_dedup_watermark_demo",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark through a true streaming query:
     keep one event per (user_id, event_type), where the watermark bounds
@@ -85,8 +117,8 @@ def stream_dedup_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits only the KEY columns: within one availableNow micro-batch the
     surviving representative row is arrival-order-dependent, but the
-    surviving key SET equals batch DISTINCT's exactly (pinned by
-    tests/test_streaming_demos.py against stream_stateful_dedup)."""
+    surviving key SET equals batch DISTINCT's exactly — which is the
+    oracle (plus the twin-equality pin in tests/test_streaming_demos)."""
     deduped = (
         _read_events_stream(spark, sf_dir)
         .select("user_id", "event_type", "ts")
@@ -97,7 +129,17 @@ def stream_dedup_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "append")
 
 
-@register("stream_stream_join_demo")  # rows-only: streaming execution
+@register(
+    "stream_stream_join_demo",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
 def stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM JOIN — the last Structured Streaming capability
     class in the surface: clicks and purchases (two watermarked streams
@@ -109,10 +151,10 @@ def stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     click_ts + 1 h. That state contract is the whole point of this
     shape at 100 TB/day.
 
-    Rows-only by nature (incremental execution); with availableNow over
-    the finite fixture the emitted set equals the batch interval join —
-    pinned by tests/test_streaming_demos.py. Output: one row per
-    (click, purchase-within-window) pair, keyed columns only."""
+    Single-batch availableNow emits exactly the batch interval join's
+    pairs (no state is evicted before the batch completes) — which is
+    the oracle. Output: one row per (click, purchase-within-window)
+    pair, keyed columns only, so the check is tz-free by construction."""
     ev = _read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -141,7 +183,15 @@ def stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
-@register("stream_foreachbatch_sink")  # rows-only: streaming execution
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT date_trunc('day', ts) AS win_start, event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch INCREMENTAL SINK — the production pattern for
     writing streaming aggregates to a plain-parquet lake: each
@@ -152,10 +202,10 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Update-mode emission means a group appears once per batch that
     changed it; with availableNow over the finite fixture the final
-    read-back equals the batch tumbling aggregation (pinned by
-    tests/test_streaming_demos.py). At 100 TB/day the same sink
-    pattern targets a partitioned table and the merge is a partition
-    overwrite keyed on (window day, batch watermark)."""
+    read-back equals the batch tumbling aggregation — which is the
+    oracle (win_start restored to NTZ via the epoch pin). At 100 TB/day
+    the same sink pattern targets a partitioned table and the merge is
+    a partition overwrite keyed on (window day, batch watermark)."""
     import atexit
     import shutil
     import tempfile
@@ -197,7 +247,11 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sunk.withColumn("rn", F.row_number().over(latest))
         .filter(F.col("rn") == 1)
-        .select("win_start", "event_type", "n_events")
+        .select(
+            ntz_of_window_bound("win_start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
     )
 
 

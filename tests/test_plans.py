@@ -35,6 +35,7 @@ NESTED_LOOP_OK = {
     "llm_minhash_lsh",  # 16-row literal seed table broadcast
     "llm_tfidf_topterms",  # 1-row corpus doc-count broadcast
     "q22_global_sales_opportunity",  # 1-row scalar-subquery threshold cross
+    "agg_hll_sketch_merge",  # 1-row merged-sketch x 1-row exact-count cross
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -45,6 +46,7 @@ PYTHON_EVAL_OK = {
     "udtf_explode_sessions",  # MapInPandas
     "llm_cosine_topk",  # Arrow block-NL (MapInPandas), measured 24x DuckDB
     "mm_decode_features",  # binary decode is Python by necessity
+    "mm_ppm_decode",  # native P6 codec runs in Python (MapInPandas)
     # compute-bound exact integer-dot re-rank: Spark evaluates zip_with/
     # aggregate HOFs interpreted (not codegen), measured 5x slower than
     # the Arrow+numpy twin on the million-candidate pair relation
@@ -194,6 +196,8 @@ BROADCAST_OK = {
     ("llm.py", "centroids"): "n_labels x 64 rows",
     ("aggregates.py", "nation"): "25-row literal dim",
     ("aggregates.py", "region"): "5-row literal dim",
+    ("aggregates.py", "bands"): "|priorities|-row (5) quantile-sketch aggregate",
+    ("aggregates.py", "exact_all"): "1-row exact-distinct aggregate",
     ("sorts.py", "off"): "N_PARTITIONS-row offset table (topology-bounded)",
     ("queries_tpch_ext.py", "sn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "cn"): "<=2-row filtered nation alias (Q7)",
@@ -218,29 +222,28 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-5 rotation targets (plans.load_all): the 30 keys the r4 events
-# fixture drift invalidated (24 crashed + 6 silently-wrong streaming
-# demos) — re-certified first under the fixed footer-branched loader.
-# The 7 drift victims that don't fit the 50-slot window (joins tail +
-# aggregates + scans) are the round-6 rotation; tools/driver_sim.py
-# covers them meanwhile.
-ROTATION_R5 = {
-    # streaming/batch_shapes (8)
-    "stream_tumbling_window", "stream_sliding_window",
-    "stream_session_window", "stream_watermark_late",
-    "stream_stateful_dedup", "stream_running_counts",
-    "stream_readstream_demo", "stream_stateful_sessions",
-    # streaming/demos (5) — incl. never-certified stream_watermark_spans
-    "stream_sliding_demo", "stream_dedup_watermark_demo",
-    "stream_stream_join_demo", "stream_foreachbatch_sink",
-    "stream_watermark_spans",
-    # never-certified + events-reading keys across modules
-    "set_dropdup_subset",
-    "udaf_grouped_pandas", "udtf_explode_sessions",
-    "win_lag_lead_delta", "win_moving_avg_rows", "win_first_last",
-    "fn_map", "fn_json",
-    "filter_between_dates",
-    "join_full_outer",
+# Round-6 rotation targets (plans.load_all, SURVEY §10.8): the 15
+# round-5 additions that never had a driver CORRECTNESS row, the four
+# sketch/layout keys newly given SQL-checkable band oracles, and the
+# events-reading keys whose last stamps predate the r5 drift fix.
+# tools/driver_sim.py covers the full surface meanwhile.
+ROTATION_R6 = {
+    # aggregates — newly SQL-checkable bands + stale events stamps + r5 add
+    "agg_approx_count_distinct", "agg_approx_percentile",
+    "agg_hll_sketch_merge", "agg_conditional_filter", "agg_pivot",
+    "agg_unpivot_melt",
+    # scans — newly SQL-checkable layout audit + stale/never-certified
+    "sink_sorted_bucketed", "scan_all_tables_counts", "scan_text_roundtrip",
+    # round-5 additions, never in a driver window
+    "q4_order_priority", "q13_customer_distribution", "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "llm_ngram_contamination", "llm_mixture_weights",
+    "llm_seqlen_histogram", "llm_repetition_filter",
+    "events_funnel_steps", "events_cohort_retention",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    # joins — drift-stale stamps + never-certified asof_tolerance
+    "join_range_interval", "join_asof_last_event", "join_asof_tolerance",
+    "join_salted_skew",
 }
 
 
@@ -249,27 +252,97 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there), and load_all rotates each
     round toward the keys with the oldest/no valid stamp.  This pin
-    encodes the CURRENT rotation (round 5: the events-drift victims) so
+    encodes the CURRENT rotation (round 6: the never-certified round-5
+    additions + newly-oracled sketch/layout keys + drift-stale joins) so
     a refactor that reorders load_all and silently pushes the rotation
     targets back out of driver certification fails here.  Update
-    ROTATION_R5 together with load_all each round — that is the policy,
+    ROTATION_R6 together with load_all each round — that is the policy,
     not a historical layout."""
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R5 - first50)
+    missing = sorted(ROTATION_R6 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
 
 
 def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Pin the boundary explicitly: the
-    window must end inside operators/joins with join_full_outer (slot
-    ~50) inside it, and the total key count must equal the full surface
-    so a module gaining/losing a @register call surfaces here."""
+    round-6 window opens with aggregates, ends inside operators/joins
+    with join_salted_skew in the LAST slot (index 49), and the total
+    key count must equal the full surface so a module gaining/losing a
+    @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 144, len(keys)
-    assert keys[44] == "join_broadcast_dim", keys[40:50]
-    assert "join_full_outer" in keys[:50], keys[40:50]
+    assert len(keys) == 145, len(keys)
+    assert keys[0] == "agg_pricing_summary", keys[:3]
+    assert keys[37] == "join_broadcast_dim", keys[35:50]
+    assert keys[49] == "join_salted_skew", keys[45:52]
+
+
+def test_round6_window_is_fully_oracle_checkable():
+    """Round-6 goal (VERDICT r5 #5): no slot in the 50-key driver window
+    is wasted on a rows-only key — every key in the window has a SQL
+    oracle, so the driver artifact can report 50/50 instead of 44/50."""
+    from climateiq_pipelines_spark.plans import ORACLES
+
+    keys = list(QUERIES)[:50]
+    missing = [k for k in keys if k not in ORACLES]
+    assert not missing, f"rows-only keys inside the driver window: {missing}"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join is the FIRST-LINE skew answer at scale (VERDICT r5
+    #7): the same hot-key shape join_salted_skew handles by hand must
+    be split by spark.sql.adaptive.skewJoin with NO code changes — the
+    executed adaptive plan carries the `skew=true` marker on the
+    sort-merge join. Manual salting remains the documented fallback for
+    the pathological key a single post-split partition still can't
+    hold. Thresholds are lowered to make test-scale partitions (a ~50k-
+    row hot key vs ~1.5k-row median partitions) register as skewed;
+    broadcast is disabled so the join actually shuffles, as it would at
+    fact×fact scale."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        # 32 shuffle partitions so the non-hot tail spreads thin enough
+        # for the hot partition to clear the skew factor vs the median
+        # (the 8-partition test default makes the median too fat).
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 100_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        dim = spark.range(0, n).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = fact.join(dim, "k").select("k")
+        rows = joined.collect()  # execute so AQE finalizes the plan
+        assert len(rows) == n
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_bucketed_join_has_no_exchange(spark):

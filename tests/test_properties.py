@@ -223,10 +223,13 @@ edge_lists = st.lists(
 @given(raw_edges=edge_lists)
 @settings(**SETTINGS)
 def test_connected_components_match_union_find(spark, raw_edges):
-    """The iterative min-label propagation must equal a union-find
-    reference on ANY graph: chains, cliques, self-loops, singletons."""
+    """BOTH component implementations — the registered alternating
+    star contraction and the min-label propagation reference — must
+    equal a union-find reference on ANY graph: chains, cliques,
+    self-loops, singletons."""
     from climateiq_pipelines_spark.operators.dedup_graph import (
         connected_components,
+        connected_components_propagation,
     )
 
     n_nodes = 12
@@ -253,11 +256,12 @@ def test_connected_components_match_union_find(spark, raw_edges):
     )
     if not edges:
         edges_df = edges_df.limit(0)
-    got = {
-        r["doc_id"]: r["label"]
-        for r in connected_components(nodes_df, edges_df).collect()
-    }
-    assert got == expected
+    for impl in (connected_components, connected_components_propagation):
+        got = {
+            r["doc_id"]: r["label"]
+            for r in impl(nodes_df, edges_df).collect()
+        }
+        assert got == expected, impl.__name__
 
 
 norm_texts = st.lists(

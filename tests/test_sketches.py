@@ -1,8 +1,14 @@
-"""The sketch keys are rows-only for the driver (sketch estimates are
-engine-specific), so pin their accuracy contracts here instead:
+"""The sketch keys emit their accuracy contracts as SQL-checkable
+booleans (the sketch VALUES are engine-specific, so the band — not the
+estimate — is the cross-engine contract; see each key's docstring).
+These tests re-derive the same bands independently against DuckDB's
+exact order statistics / distinct counts, so a regression that somehow
+kept the boolean TRUE while breaking the estimate would still surface:
 
 - agg_hll_sketch_merge: every per-priority DataSketches HLL estimate,
   and the merged-union ALL estimate, within 5% of the exact count.
+- agg_approx_count_distinct: every per-type HLL++ (rsd=0.01) estimate
+  within 5% of DuckDB's exact distinct count.
 - agg_approx_percentile: every approximate quantile within the
   Greenwald-Khanna rank-error bound of the TRUE quantile, measured
   against DuckDB's exact order statistics (a tolerance-banded oracle —
@@ -10,57 +16,94 @@ engine-specific), so pin their accuracy contracts here instead:
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from climateiq_pipelines_spark.plans import QUERIES
 from climateiq_pipelines_spark.registry import load_table
 
 from tests.conftest import SF_MED
 
 
-def test_hll_estimates_within_5pct(spark):
+def test_hll_estimates_within_5pct(spark, duck_med):
     pdf = QUERIES["agg_hll_sketch_merge"](spark, SF_MED).toPandas()
     per = pdf[pdf["o_orderpriority"] != "ALL"]
     assert len(per) >= 3
+    assert per["approx_within_5pct"].all(), pdf
+    # independent exact-count check against DuckDB
     for _, row in per.iterrows():
-        exact = row["exact_distinct"]
-        assert exact > 0
-        assert abs(row["approx_distinct"] - exact) / exact < 0.05, dict(row)
-    orders = load_table(spark, SF_MED, "orders")
-    overall_exact = orders.select("o_custkey").distinct().count()
-    merged = int(pdf[pdf["o_orderpriority"] == "ALL"]["approx_distinct"].iloc[0])
-    assert abs(merged - overall_exact) / overall_exact < 0.05
+        exact, = duck_med.execute(
+            "SELECT COUNT(DISTINCT o_custkey) FROM orders "
+            "WHERE o_orderpriority = ?",
+            [row["o_orderpriority"]],
+        ).fetchone()
+        assert row["exact_distinct"] == exact, dict(row)
+    merged = pdf[pdf["o_orderpriority"] == "ALL"]
+    assert len(merged) == 1 and merged["approx_within_5pct"].all(), pdf
+    overall_exact, = duck_med.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()
+    assert int(merged["exact_distinct"].iloc[0]) == overall_exact
 
 
 def test_approx_count_distinct_within_5pct(spark, duck_med):
-    """approx_count_distinct (HLL++, default rsd=0.05): every per-type
-    estimate must sit within 5% of the exact distinct user count —
-    the same banded-oracle discipline as the DataSketches key."""
+    """The registered key's boolean band, plus an independent re-check:
+    the raw rsd=0.01 estimate itself (recomputed here, since the key
+    emits only the band verdict) must sit within 5% of DuckDB's exact
+    distinct user count."""
     pdf = QUERIES["agg_approx_count_distinct"](spark, SF_MED).toPandas()
     assert len(pdf) >= 3
+    assert pdf["approx_within_5pct"].all(), pdf
+    est = {
+        r["event_type"]: r["approx"]
+        for r in load_table(spark, SF_MED, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx"))
+        .collect()
+    }
     for _, row in pdf.iterrows():
         exact, = duck_med.execute(
             "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = ?",
             [row["event_type"]],
         ).fetchone()
-        assert exact > 0
-        assert abs(row["approx_users"] - exact) / exact < 0.05, dict(row)
+        assert exact > 0 and row["exact_users"] == exact
+        assert abs(est[row["event_type"]] - exact) / exact < 0.05, dict(row)
 
 
 def test_approx_percentile_within_rank_error_band(spark, duck_med):
     """Spark's approx_percentile(accuracy=10000) guarantees rank error
-    <= 1/accuracy. Verify against the exact distribution in DuckDB: the
-    empirical rank of each approximate quantile value must sit within
-    eps of the target quantile (eps = 1/10000 plus one discrete step
-    1/n for the order-statistic granularity of small groups)."""
+    <= 1/accuracy. The key emits that band check as booleans; here the
+    raw quantile values are recomputed and verified against the exact
+    distribution in DuckDB: the empirical rank of each approximate
+    quantile value must sit within eps of the target quantile (eps =
+    1/10000 plus one discrete step 1/n for the order-statistic
+    granularity of small groups)."""
     pdf = QUERIES["agg_approx_percentile"](spark, SF_MED).toPandas()
     assert len(pdf) >= 3
+    assert pdf["p50_ok"].all() and pdf["p90_ok"].all(), pdf
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p90"])
+        for r in load_table(spark, SF_MED, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+            ).alias("ap")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("ap")[0].alias("p50"),
+            F.col("ap")[1].alias("p90"),
+        )
+        .collect()
+    }
     for _, row in pdf.iterrows():
         pri = row["o_orderpriority"]
         n, = duck_med.execute(
             "SELECT COUNT(*) FROM orders WHERE o_orderpriority = ?", [pri]
         ).fetchone()
         assert n == row["n_orders"]
-        for col, q in (("p50_approx", 0.5), ("p90_approx", 0.9)):
-            v = float(row[col])
+        for v, q in zip(approx[pri], (0.5, 0.9)):
+            v = float(v)
             # rank band of v: [#(x < v), #(x <= v)] / n
             lo, hi = duck_med.execute(
                 "SELECT COUNT(*) FILTER (WHERE o_totalprice < ?), "
@@ -69,4 +112,4 @@ def test_approx_percentile_within_rank_error_band(spark, duck_med):
                 [v, v, pri],
             ).fetchone()
             eps = 1.0 / 10000 + 1.0 / n
-            assert lo / n - eps <= q <= hi / n + eps, (pri, col, v, lo, hi, n)
+            assert lo / n - eps <= q <= hi / n + eps, (pri, v, lo, hi, n)
