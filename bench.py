@@ -69,6 +69,14 @@ HEADLINE = [
     "events_cohort_retention", # cohort retention triangle
     "q21_suppliers_kept_waiting",  # semi+anti join composition
     "q2_min_cost_supplier",    # correlated min-aggregate equality
+    # round 6: real-codec multimodal decode + TPC-H third wave
+    "mm_ppm_decode",           # native P6 decode through Arrow batches
+    "q8_market_share",         # two-level national market share
+    "q9_product_profit",       # widest star join, LIKE part filter
+    "q15_top_supplier",        # view + scalar-max equality
+    "q16_parts_supplier_relation",  # NOT IN anti + count-distinct grouping
+    "q17_small_qty_revenue",   # correlated per-part avg threshold
+    "q20_potential_promotion", # nested semi-join chain
 ]
 
 

@@ -177,7 +177,14 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_ORACLE = """
+# IVF-PQ shortlist width: a RECALL target, not a topology constant — 50
+# ADC candidates per query recover ~0.8 of the exact-IVF top-5 on the
+# fixture's 10-entry codebooks (tripwire-pinned in tests); widen to buy
+# recall, independent of cluster size. Shared by the engine plan and
+# the SQL oracle so the contract can never fork.
+PQ_SHORTLIST = 50
+
+_IVFPQ_ORACLE = f"""
     WITH exploded AS (
       SELECT vec_id, label,
              generate_subscripts(embedding, 1) AS pos,
@@ -253,7 +260,7 @@ _IVFPQ_ORACLE = """
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY adc_fp ASC, cand_id) AS rn
         FROM adc
-      ) WHERE rn <= 50
+      ) WHERE rn <= {PQ_SHORTLIST}
     ),
     scored AS (
       SELECT s.q_id, s.cand_id,
@@ -299,9 +306,9 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8×k ints) is broadcast with its query batch and ADC is a map-side
     array lookup — the relational form here states the semantics the
     batched kernel must preserve. The exact re-rank touches only
-    50 candidates/query — the whole point of PQ. Shortlist width is
-    the recall dial: 50 recovers ~0.8 of the exact-IVF top-5 on the
-    fixture's 10-entry codebooks (pinned as a tripwire in tests)."""
+    PQ_SHORTLIST candidates/query — the whole point of PQ. The
+    shortlist width is the RECALL dial (see the constant's comment),
+    deliberately independent of cluster topology."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
@@ -371,7 +378,7 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wadc = W.partitionBy("q_id").orderBy(F.asc("adc_fp"), F.asc("cand_id"))
     shortlist = (
         adc.withColumn("rn", F.row_number().over(wadc))
-        .filter(F.col("rn") <= 50)
+        .filter(F.col("rn") <= PQ_SHORTLIST)
         .select("q_id", "cand_id")
     )
     qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))

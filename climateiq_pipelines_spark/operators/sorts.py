@@ -95,9 +95,13 @@ def sort_multikey_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized shuffles are the range partitioning itself, and the plan
     contains no Window node whose partition spec is empty over the fact
     rows (pinned by tests/test_plans.py::test_scalable_rank_windows_are
-    _partitioned). At 100 TB the same plan holds with
-    N_PARTITIONS ~ O(cores)."""
-    n_parts = 16
+    _partitioned). N_PARTITIONS tracks the session's parallelism with a
+    floor of 16 (r6: was a fixed local constant) — the key tuple is
+    total, so ranks are boundary-independent and the answer is
+    identical at ANY partition count; the count only tunes partition
+    width, and at 100 TB defaultParallelism ~ O(cores) keeps it right
+    without edits."""
+    n_parts = max(spark.sparkContext.defaultParallelism, 16)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",

@@ -101,3 +101,8 @@ def load_all() -> None:
         mm_ext,
         ml_iter,
     )
+    # Round-6 additions — registered last so the certification window
+    # above is unaffected; rotation-targeted for round 7.
+    from climateiq_pipelines_spark.operators import (  # noqa: F401
+        queries_tpch_wave3,
+    )

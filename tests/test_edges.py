@@ -86,6 +86,17 @@ EDGE_KEYS = [
     "q21_suppliers_kept_waiting",  # semi+anti with single-supplier orders
     "q2_min_cost_supplier",      # min-avg tie → both suppliers surface
     "join_asof_tolerance",       # purchase-free prefix + stale match → NULL
+    # round 6 keys over the same adversarial corpus
+    "q8_market_share",           # no exact-'PROMO' part → empty share table
+    "q9_product_profit",         # no 'red' part → empty, engines must agree
+    "q15_top_supplier",          # max-equality over the tiny quarter slice
+    "q16_parts_supplier_relation",  # boundary sizes 1/50, no complaints set
+    "q17_small_qty_revenue",     # Brand#1 exists; threshold over 2-row parts
+    "q20_potential_promotion",   # no 'small%' part → empty dominant set
+    "mm_ppm_decode",             # P6 codec over adversarial texts (pad path)
+    "agg_approx_count_distinct", # exact-range HLL on tiny cardinalities
+    "agg_approx_percentile",     # GK band on tiny groups (1/n dominates)
+    "agg_hll_sketch_merge",      # merge of tiny sketches = exact counts
 ]
 
 

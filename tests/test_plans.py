@@ -204,6 +204,10 @@ BROADCAST_OK = {
     ("queries_tpch_ext.py", "nation"): "25-row literal dim (Q10)",
     ("ml_iter.py", "centroids"): "k x 64 rows per Lloyd iteration",
     ("ml_iter.py", "codebook"): "k x 64 rows (8 subspaces x 8 dims x k)",
+    ("queries_tpch_wave3.py", "region"): "1-row filtered region dim (Q8)",
+    ("queries_tpch_wave3.py", "asia_nations"): "<=25-row filtered nation dim (Q8)",
+    ("queries_tpch_wave3.py", "asia_cn"): "<=25-row filtered nation dim (Q8)",
+    ("queries_tpch_wave3.py", "sn"): "25-row literal nation dim (Q8/Q9)",
 }
 
 
@@ -272,7 +276,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 145, len(keys)
+    assert len(keys) == 151, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
