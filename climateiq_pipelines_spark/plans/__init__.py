@@ -106,3 +106,4 @@ def load_all() -> None:
     from climateiq_pipelines_spark.operators import (  # noqa: F401
         queries_tpch_wave3,
     )
+    from climateiq_pipelines_spark.sources import lakehouse  # noqa: F401

