@@ -63,11 +63,14 @@ PY_EVAL_NODES = (
 )
 
 
-def plan_of(spark, key: str) -> str:
-    df = QUERIES[key](spark, SF_SMALL)
+def plan_of_df(spark, df) -> str:
     return spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"
     )
+
+
+def plan_of(spark, key: str) -> str:
+    return plan_of_df(spark, QUERIES[key](spark, SF_SMALL))
 
 
 # --------------------------------------------------- whole-registry sweeps
@@ -342,6 +345,55 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         )
         assert "isFinalPlan=true" in plan, plan
         assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime bloom-filter join pruning — the OTHER no-code-change
+    scale lever next to AQE skew-split: when a selective filter sits on
+    the dim side of a shuffle join, Catalyst builds a bloom filter from
+    the filtered keys and injects might_contain() into the FACT scan,
+    dropping non-joining rows before the shuffle. At 100 TB this is the
+    difference between shuffling the full fact table and shuffling the
+    ~1/25 that can match. Thresholds are lowered so test-scale inputs
+    qualify; broadcast is disabled so the join actually shuffles (a
+    broadcast join gets DPP/filter pushdown through other means)."""
+    import pyspark.sql.functions as F
+
+    from climateiq_pipelines_spark.registry import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem").select(
+            "l_partkey", "l_quantity"
+        )
+        part = (
+            load_table(spark, SF_SMALL, "part")
+            .filter(F.col("p_brand") == "Brand#1")
+            .select("p_partkey")
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = plan_of_df(spark, j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
     finally:
         for k, v in old.items():
             if v is None:
