@@ -353,6 +353,19 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_wave3_string_filters_reach_scans(spark):
+    """Q20's prefix LIKE must push as StringStartsWith (range-
+    convertible — row-group skipping applies) and Q9's non-prefix LIKE
+    as StringContains into their part scans — the wave-3 docstring
+    claims, pinned."""
+    assert "StringStartsWith(p_name,small)" in plan_of(
+        spark, "q20_potential_promotion"
+    )
+    assert "StringContains(p_name,red)" in plan_of(
+        spark, "q9_product_profit"
+    )
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Runtime bloom-filter join pruning — the OTHER no-code-change
     scale lever next to AQE skew-split: when a selective filter sits on
