@@ -17,6 +17,8 @@ whale keys without salting.
 
 from __future__ import annotations
 
+import uuid
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -232,3 +234,62 @@ def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     return events.groupBy("user_id").applyInPandas(sessions, schema)
+
+
+_CHUNK = 10  # tokens per training chunk — the packing width of the demo
+
+
+@register(
+    "udtf_native_chunker",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+           CAST(len(t[k*{_CHUNK}+1 : k*{_CHUNK}+{_CHUNK}]) AS BIGINT) AS n_tokens,
+           array_to_string(t[k*{_CHUNK}+1 : k*{_CHUNK}+{_CHUNK}], ' ') AS chunk
+    FROM toks CROSS JOIN (SELECT unnest(range(0, 2000)) AS k)
+    WHERE k * {_CHUNK} < len(t)
+    """,
+)
+def udtf_native_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Python UDTF (Spark 3.5+/4 `@udtf` class API — r6,
+    completing the §2.11 UDF surface next to the mapInPandas-based
+    udtf_explode_sessions): a document CHUNKER that splits each doc's
+    token stream into fixed 10-token training chunks, one output row
+    per chunk, invoked through SQL as a LATERAL table function. This is
+    the registration path a SQL-first user extends the engine through
+    (`spark.udtf.register` + `LATERAL chunk(text)`), and the chunking
+    op itself is the context-window packing primitive every training
+    pipeline runs.
+
+    Split semantics are the NON-regex single-space split on both
+    engines (Python str.split(' ') keeps empty tokens exactly like
+    DuckDB string_split), so the chunk strings hash-match. The plan
+    runs one BatchEvalPythonUDTF over the pruned (doc_id, text)
+    projection — per-row Python is the declared cost of the UDTF
+    surface; the engine's own chunking ops (llm_pack_sequences) stay
+    JVM-side. The oracle's k-range (2000) bounds docs to 20k tokens —
+    asserted so growth fails loudly instead of silently truncating."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens bigint, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), _CHUNK):
+                c = toks[i : i + _CHUNK]
+                yield (i // _CHUNK, len(c), " ".join(c))
+
+    spark.udtf.register("cps_chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.filter(F.size(F.split("text", " ", -1)) >= 2000 * _CHUNK).limit(
+        1
+    ).count():
+        raise ValueError("doc exceeds the oracle's 2000-chunk bound")
+    view = f"cps_chunker_docs_{uuid.uuid4().hex[:12]}"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT doc_id, c.chunk_idx, c.n_tokens, c.chunk "
+        f"FROM {view}, LATERAL cps_chunk_doc(text) c"
+    )

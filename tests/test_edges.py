@@ -99,6 +99,7 @@ EDGE_KEYS = [
     "agg_hll_sketch_merge",      # merge of tiny sketches = exact counts
     "sink_merge_on_read",        # delete/upsert deltas over a 5-row base
     "sink_time_travel",          # v0 must not see the deltas on disk
+    "udtf_native_chunker",       # split semantics on adversarial texts
 ]
 
 

@@ -44,6 +44,7 @@ PYTHON_EVAL_OK = {
     "udf_pandas_vectorized",  # ArrowEvalPython
     "udaf_grouped_pandas",  # FlatMapGroupsInPandas
     "udtf_explode_sessions",  # MapInPandas
+    "udtf_native_chunker",  # BatchEvalPythonUDTF (native @udtf API)
     "llm_cosine_topk",  # Arrow block-NL (MapInPandas), measured 24x DuckDB
     "mm_decode_features",  # binary decode is Python by necessity
     "mm_ppm_decode",  # native P6 codec runs in Python (MapInPandas)
@@ -280,7 +281,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 153, len(keys)
+    assert len(keys) == 154, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
