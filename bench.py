@@ -77,6 +77,8 @@ HEADLINE = [
     "q16_parts_supplier_relation",  # NOT IN anti + count-distinct grouping
     "q17_small_qty_revenue",   # correlated per-part avg threshold
     "q20_potential_promotion", # nested semi-join chain
+    "llm_pii_redact",          # zero-shuffle regex redaction map
+    "llm_shuffle_shard",       # seeded shuffle + shard assignment
 ]
 
 

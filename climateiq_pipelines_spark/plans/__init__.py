@@ -107,3 +107,4 @@ def load_all() -> None:
         queries_tpch_wave3,
     )
     from climateiq_pipelines_spark.sources import lakehouse  # noqa: F401
+    from climateiq_pipelines_spark.operators import llm_data_ext  # noqa: F401

@@ -100,6 +100,8 @@ EDGE_KEYS = [
     "sink_merge_on_read",        # delete/upsert deltas over a 5-row base
     "sink_time_travel",          # v0 must not see the deltas on disk
     "udtf_native_chunker",       # split semantics on adversarial texts
+    "llm_pii_redact",            # regex agreement on adversarial texts
+    "llm_shuffle_shard",         # seeded order over duplicate/short docs
 ]
 
 
