@@ -79,6 +79,8 @@ HEADLINE = [
     "q20_potential_promotion", # nested semi-join chain
     "llm_pii_redact",          # zero-shuffle regex redaction map
     "llm_shuffle_shard",       # seeded shuffle + shard assignment
+    "q11_important_stock",     # scalar-subquery HAVING threshold
+    "llm_semdedup",            # cluster-scoped semantic dedup (SemDeDup)
 ]
 
 

@@ -169,3 +169,99 @@ def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
         "n_chars",
     )
+
+
+_SEMDEDUP_TAU_FP = 3 * 10**11  # cos >= 0.30 in the 1e12 fixed-point dot
+
+
+def _semdedup_oracle() -> str:
+    from climateiq_pipelines_spark.operators.llm import _sql_int_dot
+
+    dot = _sql_int_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH dup_counts AS (
+      SELECT b.vec_id,
+             COUNT(*) AS n_earlier_dups,
+             MAX({dot}) AS max_dot
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {dot} >= {_SEMDEDUP_TAU_FP}
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id,
+           e.label AS cluster_id,
+           coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
+           round(coalesce(d.max_dot, 0) / 1000000000000.0, 6)
+             AS max_earlier_sim,
+           d.vec_id IS NULL AS kept
+    FROM embeddings e LEFT JOIN dup_counts d ON e.vec_id = d.vec_id
+    """
+
+
+@register("llm_semdedup", oracle=_semdedup_oracle())
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023): prune
+    documents that are semantically redundant — near-identical in
+    embedding space — KEEPING one representative per near-dup set. The
+    paper's two-stage shape: (1) cluster the corpus so similarity is
+    only ever computed WITHIN a cluster, (2) inside each cluster drop
+    every point whose cosine to an already-kept (here: lower-vec_id)
+    point exceeds tau. The fixture's `label` column is the stage-1
+    cluster assignment (a production run materializes it with
+    `llm_kmeans_iterate` / `llm_centroid_assign` first — composing the
+    two registered keys IS the full paper pipeline).
+
+    Per vector the key emits its cluster, how many earlier in-cluster
+    near-dups it has, the strongest such similarity, and the `kept`
+    survivor verdict (kept := no earlier in-cluster neighbor at
+    cos >= 0.30). Keep-lowest-id is the deterministic stand-in for the
+    paper's keep-one policy — engine-orderable, unlike "keep random".
+
+    Exactness: similarities are exact int64 fixed-point dots
+    (llm._int_dot, Σ floor(x·y·1e12) — unit-norm fixture vectors make
+    dot == cosine), so the tau cut and both aggregates are bit-stable
+    cross-engine; the only float output is one exact int→double round.
+
+    Scale: the self-join shuffles on `label` once and is quadratic in
+    CLUSTER size only — the paper's point: k grows with n (k ∝ n keeps
+    expected cluster size constant, |pairs| ≈ n·c/2), so 100 TB never
+    sees an all-pairs product. The left join back is on vec_id, and
+    the dup-count side is at most one row per vector."""
+    from climateiq_pipelines_spark.operators.llm import _S12, _int_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = emb.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = (
+        a.join(b, "l")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dot_fp", _int_dot(F.col("a_emb"), F.col("b_emb")))
+        .filter(F.col("dot_fp") >= F.lit(_SEMDEDUP_TAU_FP))
+    )
+    dup_counts = pairs.groupBy(F.col("b_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_earlier_dups"),
+        F.max("dot_fp").alias("max_dot"),
+    )
+    return (
+        emb.select("vec_id", F.col("label").alias("cluster_id"))
+        .join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("n_earlier_dups"), F.lit(0)).alias(
+                "n_earlier_dups"
+            ),
+            F.round(
+                F.coalesce(F.col("max_dot"), F.lit(0)) / F.lit(float(_S12)), 6
+            ).alias("max_earlier_sim"),
+            F.col("n_earlier_dups").isNull().alias("kept"),
+        )
+    )

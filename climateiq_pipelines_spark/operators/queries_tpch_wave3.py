@@ -415,3 +415,83 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH nat_sup AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    vals AS (
+      SELECT l_partkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                      AS BIGINT)) AS v_micros
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM nat_sup)
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(v_micros) AS t_micros FROM vals)
+    SELECT l_partkey,
+           CAST(v_micros AS DOUBLE) / 1000000.0 AS part_value
+    FROM vals, tot
+    WHERE v_micros * 200 > t_micros
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) — the LAST of the 22
+    classic shapes; with it every TPC-H query the fixture's tables can
+    express is registered. Fixture-adapted (no partsupp / supplycost /
+    availqty): a part's "stock value" held by one nation's suppliers is
+    the discounted revenue its lineitems contribute through those
+    suppliers; report parts whose value exceeds 1/200 of the nation's
+    total — the canonical GROUP BY + scalar-subquery HAVING threshold.
+
+    Exactness: both sides of the threshold stay in INTEGER micro-units
+    (per-part BIGINT sum vs the BIGINT grand total; `v*200 > t` is pure
+    int64 arithmetic — no double rounding anywhere near the cut), so
+    the kept set is bit-identical cross-engine; the output value is the
+    single exact int→double conversion. Overflow headroom: Σ|rev|·1e6
+    for one nation tops out ~2.4e15 micro at sf0.1 — ×200 is 3 orders
+    under the 2^63 bound, and the bound scales linearly with SF (see
+    helpers.py for the widening policy past ~1e18).
+
+    Plan: nation (25 rows, bounded) broadcasts into supplier; the ~1/25
+    supplier slice left-semi-joins into lineitem UNHINTED — it is
+    SF-proportional (supplier = SF x 10k rows in TPC-H), so AQE
+    broadcasts it while under threshold (it does at every test SF) and
+    falls back to shuffle instead of OOMing the build side at cluster
+    scale (the round-5 BROADCAST_OK policy); one partial-agg'd
+    groupBy(l_partkey) shuffle builds vals; the grand total is a 1-row
+    aggregate that broadcast-crossJoins back — the standard
+    decorrelation of Q11's scalar subquery. At 1000 executors the only
+    data-sized exchange is the single partkey shuffle."""
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vals = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.floor(revenue_col() * 1_000_000)).alias("v_micros"))
+    )
+    tot = vals.agg(F.sum("v_micros").alias("t_micros"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("v_micros") * 200 > F.col("t_micros"))
+        .select(
+            "l_partkey",
+            (F.col("v_micros").cast("double") / F.lit(1e6)).alias("part_value"),
+        )
+    )

@@ -102,6 +102,8 @@ EDGE_KEYS = [
     "udtf_native_chunker",       # split semantics on adversarial texts
     "llm_pii_redact",            # regex agreement on adversarial texts
     "llm_shuffle_shard",         # seeded order over duplicate/short docs
+    "q11_important_stock",       # int-micros threshold over tiny nation slice
+    "llm_semdedup",              # bit-identical in-cluster vectors → dup ties
 ]
 
 

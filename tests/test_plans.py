@@ -212,6 +212,8 @@ BROADCAST_OK = {
     ("queries_tpch_wave3.py", "asia_nations"): "<=25-row filtered nation dim (Q8)",
     ("queries_tpch_wave3.py", "asia_cn"): "<=25-row filtered nation dim (Q8)",
     ("queries_tpch_wave3.py", "sn"): "25-row literal nation dim (Q8/Q9)",
+    ("queries_tpch_wave3.py", "nation"): "1-row nation filter (Q11)",
+    ("queries_tpch_wave3.py", "tot"): "1-row grand-total aggregate (Q11)",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
 }
 
@@ -281,7 +283,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 156, len(keys)
+    assert len(keys) == 158, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]

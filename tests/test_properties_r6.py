@@ -194,3 +194,178 @@ def test_q20_dominance_matches_reference(spark, tmp_path_factory, rows):
         for r in QUERIES["q20_potential_promotion"](spark, d).collect()
     }
     assert got == expected, (rows, got, expected)
+
+
+# ------------------------------------------------- Q11 stock threshold
+
+# (partkey 0..3, supp_idx 0..2, price 1..999, discount tenths 0..3) rows;
+# suppliers 0/2 belong to NATION_7, supplier 1 does not.
+q11_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=1, max_value=999),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+_SUPP_NATION = [7, 3, 7]
+
+
+def _write_q11_fixture(base, rows):
+    d = base / f"q11_{next(_counter)}"
+    d.mkdir()
+    s, i64, i32, f64 = pa.string(), pa.int64(), pa.int32(), pa.float64()
+    import datetime as dt
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), i32),
+                "n_name": pa.array([f"NATION_{i}" for i in range(25)], s),
+                "n_regionkey": pa.array([i % 5 for i in range(25)], i32),
+            }
+        ),
+        str(d / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([0, 1, 2], i64),
+                "s_name": pa.array([f"S{i}" for i in range(3)], s),
+                "s_nationkey": pa.array(_SUPP_NATION, i32),
+                "s_acctbal": pa.array([10.0, 20.0, 30.0], f64),
+            }
+        ),
+        str(d / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(len(rows)), i64),
+                "l_partkey": pa.array([r[0] for r in rows], i64),
+                "l_suppkey": pa.array([r[1] for r in rows], i64),
+                "l_linenumber": pa.array([1] * len(rows), i32),
+                "l_quantity": pa.array([1.0] * len(rows), f64),
+                "l_extendedprice": pa.array(
+                    [float(r[2]) for r in rows], f64
+                ),
+                "l_discount": pa.array([r[3] / 10.0 for r in rows], f64),
+                "l_tax": pa.array([0.0] * len(rows), f64),
+                "l_returnflag": pa.array(["N"] * len(rows), s),
+                "l_linestatus": pa.array(["O"] * len(rows), s),
+                "l_shipdate": pa.array(
+                    [dt.datetime(1996, 6, 1)] * len(rows),
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+@given(rows=q11_rows)
+@settings(**SETTINGS)
+def test_q11_threshold_matches_reference(spark, tmp_path_factory, rows):
+    """q11_important_stock on arbitrary tiny supply data must equal the
+    dict-arithmetic reference: per-part int64 micro-sums of discounted
+    revenue through NATION_7's suppliers, kept iff v*200 > grand total
+    — the same fixed-point ops in plain Python (IEEE doubles, like the
+    engine), including the empty-nation-slice → empty-result edge."""
+    base = tmp_path_factory.mktemp("q11prop")
+    d = _write_q11_fixture(base, rows)
+
+    vals = collections.Counter()
+    for part, supp, price, disc in rows:
+        if _SUPP_NATION[supp] != 7:
+            continue
+        vals[part] += math.floor(float(price) * (1 - disc / 10.0) * 1_000_000)
+    total = sum(vals.values())
+    expected = {
+        part: v / 1e6 for part, v in vals.items() if v * 200 > total
+    }
+    got = {
+        r["l_partkey"]: r["part_value"]
+        for r in QUERIES["q11_important_stock"](spark, d).collect()
+    }
+    assert got == expected, (rows, got, expected)
+
+
+# ---------------------------------------------------- SemDeDup survivor
+
+# n vectors of dim 4 over a coarse grid (collisions likely), labels 0..2.
+semdedup_vecs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # label
+        st.lists(
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+            min_size=4,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _write_semdedup_fixture(base, vecs):
+    d = base / f"sdd_{next(_counter)}"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([l for l, _ in vecs], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@given(vecs=semdedup_vecs)
+@settings(**SETTINGS)
+def test_semdedup_matches_reference(spark, tmp_path_factory, vecs):
+    """llm_semdedup on arbitrary tiny clustered vectors must equal the
+    brute-force reference: v is dropped iff SOME earlier same-label u
+    has int-fixed-point dot >= tau; dup count and max similarity match
+    exactly (grid values make identical vectors — dot ties — likely)."""
+    base = tmp_path_factory.mktemp("sddprop")
+    d = _write_semdedup_fixture(base, vecs)
+
+    def int_dot(a, b):
+        return sum(
+            math.floor(float(x) * float(y) * 1_000_000_000_000)
+            for x, y in zip(a, b)
+        )
+
+    tau = 3 * 10**11
+    expected = {}
+    for j, (lj, vj) in enumerate(vecs):
+        dots = [
+            int_dot(vi, vj)
+            for i, (li, vi) in enumerate(vecs[:j])
+            if li == lj and int_dot(vi, vj) >= tau
+        ]
+        expected[j] = (
+            lj,
+            len(dots),
+            round(max(dots) / 1e12, 6) if dots else 0.0,
+            not dots,
+        )
+    got = {
+        r["vec_id"]: (
+            r["cluster_id"],
+            r["n_earlier_dups"],
+            r["max_earlier_sim"],
+            r["kept"],
+        )
+        for r in QUERIES["llm_semdedup"](spark, d).collect()
+    }
+    assert got == expected, (vecs, got, expected)
