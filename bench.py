@@ -81,6 +81,7 @@ HEADLINE = [
     "llm_shuffle_shard",       # seeded shuffle + shard assignment
     "q11_important_stock",     # scalar-subquery HAVING threshold
     "llm_semdedup",            # cluster-scoped semantic dedup (SemDeDup)
+    "llm_dsir_weights",        # hashed-n-gram importance weighting (DSIR)
 ]
 
 

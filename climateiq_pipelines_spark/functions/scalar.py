@@ -332,3 +332,62 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("text")).alias("min_md5"),
         F.min(F.sha2("text", 256)).alias("min_sha256"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           {'key': o_orderkey, 'price': o_totalprice}.price
+             AS price_from_struct,
+           {'status': o_orderstatus,
+            'inner': {'d': o_orderdate}}.inner.d AS date_from_nested,
+           (ROW(o_orderstatus, o_totalprice) >
+            ROW('O', 150000.0::DOUBLE)) AS cmp_flag,
+           (ROW(o_orderstatus, o_custkey) =
+            ROW(o_orderstatus, o_custkey)) AS self_eq
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family — the §2.6 composite-type surface the other fn_*
+    keys don't touch: construction (struct / named_struct), field
+    access (getField), NESTING (struct inside struct, two-level
+    access), and lexicographic struct COMPARISON (field order = compare
+    order on both engines — Spark compares StructType values fieldwise
+    left-to-right exactly like DuckDB's ROW comparison; the pinned
+    cmp_flag exercises a string field deciding before a double field
+    gets consulted, plus the tie path falling through to the second
+    field).
+
+    Everything is JVM-side codegen (no shuffle, no Python): at 100 TB
+    this is a pure map stage, and the optimizer prunes unaccessed
+    struct fields from the scan (nested-schema pruning) — accessing
+    only `.inner.d` never materializes the sibling fields."""
+    orders = load_table(spark, sf_dir, "orders")
+    pair = F.struct(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    nested = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.struct(F.col("o_orderdate").alias("d")).alias("inner"),
+    )
+    cmp_ref = F.struct(
+        F.lit("O").alias("status"), F.lit(150000.0).alias("price")
+    )
+    return orders.select(
+        "o_orderkey",
+        pair.getField("price").alias("price_from_struct"),
+        nested.getField("inner").getField("d").alias("date_from_nested"),
+        (
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            )
+            > cmp_ref
+        ).alias("cmp_flag"),
+        (
+            F.struct("o_orderstatus", "o_custkey")
+            == F.struct("o_orderstatus", "o_custkey")
+        ).alias("self_eq"),
+    )

@@ -218,37 +218,63 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper's keep-one policy — engine-orderable, unlike "keep random".
 
     Exactness: similarities are exact int64 fixed-point dots
-    (llm._int_dot, Σ floor(x·y·1e12) — unit-norm fixture vectors make
-    dot == cosine), so the tau cut and both aggregates are bit-stable
-    cross-engine; the only float output is one exact int→double round.
+    (Σ floor(x·y·1e12), llm._int_dot's contract — unit-norm fixture
+    vectors make dot == cosine), so the tau cut and both aggregates
+    are bit-stable cross-engine; the only float output is one exact
+    int→double round. The numpy path reproduces the contract exactly:
+    per-component float64 products floored individually, then summed
+    — each floored term is an int-valued float64 and the 64-term sum
+    stays below 2^53, so the sum is exact in any association order.
 
-    Scale: the self-join shuffles on `label` once and is quadratic in
-    CLUSTER size only — the paper's point: k grows with n (k ∝ n keeps
-    expected cluster size constant, |pairs| ≈ n·c/2), so 100 TB never
-    sees an all-pairs product. The left join back is on vec_id, and
-    the dup-count side is at most one row per vector."""
-    from climateiq_pipelines_spark.operators.llm import _S12, _int_dot
+    Scale: ONE shuffle groups each cluster into a task; the pair
+    products run as an Arrow batch in numpy (each vector ships once
+    per cluster — the interpreted zip_with HOF twin materializes both
+    64-float arrays PER PAIR, the llm_ivf_topk lesson), quadratic in
+    CLUSTER size only — the paper's point: k grows with n (k ∝ n
+    keeps expected cluster size constant, so a cluster always fits a
+    task and |pairs| ≈ n·c/2), and 100 TB never sees an all-pairs
+    product. The left join back is on vec_id, and the dup-count side
+    is at most one row per vector."""
+    import numpy as np
+    import pandas as pd
+
+    from climateiq_pipelines_spark.operators.llm import _S12
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label").alias("l"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-    )
-    b = emb.select(
-        F.col("label").alias("l"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-    )
-    pairs = (
-        a.join(b, "l")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot_fp", _int_dot(F.col("a_emb"), F.col("b_emb")))
-        .filter(F.col("dot_fp") >= F.lit(_SEMDEDUP_TAU_FP))
-    )
-    dup_counts = pairs.groupBy(F.col("b_id").alias("vec_id")).agg(
-        F.count(F.lit(1)).alias("n_earlier_dups"),
-        F.max("dot_fp").alias("max_dot"),
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        a = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        out_id, out_n, out_max = [], [], []
+        # row-blocked j-loop: block b vs all earlier rows at once; the
+        # floor-per-component / exact-sum order matches _int_dot.
+        blk = 128
+        for s in range(1, len(ids), blk):
+            e = min(s + blk, len(ids))
+            # dots[j - s, i] = intdot(a[i], a[s + (j - s)]) for i < j
+            prods = np.floor(
+                a[s:e, None, :] * a[None, :e, :] * 1e12
+            ).sum(axis=2).astype(np.int64)
+            for j in range(s, e):
+                row = prods[j - s, :j]
+                hits = row[row >= _SEMDEDUP_TAU_FP]
+                if hits.size:
+                    out_id.append(ids[j])
+                    out_n.append(hits.size)
+                    out_max.append(hits.max())
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(out_id, dtype=np.int64),
+                "n_earlier_dups": np.array(out_n, dtype=np.int64),
+                "max_dot": np.array(out_max, dtype=np.int64),
+            }
+        )
+
+    dup_counts = emb.groupBy("label").applyInPandas(
+        score_cluster, "vec_id long, n_earlier_dups long, max_dot long"
     )
     return (
         emb.select("vec_id", F.col("label").alias("cluster_id"))
@@ -263,5 +289,182 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("max_dot"), F.lit(0)) / F.lit(float(_S12)), 6
             ).alias("max_earlier_sim"),
             F.col("n_earlier_dups").isNull().alias("kept"),
+        )
+    )
+
+
+# DSIR (Data Selection with Importance Resampling, Xie et al. 2023):
+# target = a small curated slice (two fixture sources stand in for the
+# high-quality corpus), raw = everything else; features are hashed word
+# n-grams (n<=2) in _DSIR_B buckets.
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_B = 64
+
+# Portable hex-pair -> 0..255 -> bucket arithmetic (ascii + CASE only,
+# identical on Java and RE2/DuckDB sides; no conv()/unhex() needed).
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _sql_hexval(c: str) -> str:
+    return f"(ascii({c}) - CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END)"
+
+
+def _dsir_oracle() -> str:
+    h1 = _sql_hexval("substr(md5(g), 31, 1)")
+    h2 = _sql_hexval("substr(md5(g), 32, 1)")
+    targets = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, source, w, pos FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+      WHERE w <> ''
+    ),
+    big AS (
+      SELECT doc_id, source,
+             w || '_' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS g
+      FROM words
+    ),
+    grams AS (
+      SELECT doc_id, source, w AS g FROM words
+      UNION ALL
+      SELECT doc_id, source, g FROM big WHERE g IS NOT NULL
+    ),
+    bucketed AS (
+      SELECT doc_id, source, (16 * {h1} + {h2}) % {_DSIR_B} AS bucket
+      FROM grams
+    ),
+    stats AS (
+      SELECT bucket,
+             COUNT(*) FILTER (WHERE source IN ({targets})) AS t_b,
+             COUNT(*) FILTER (WHERE source NOT IN ({targets})) AS r_b
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(t_b) AS t_tot, SUM(r_b) AS r_tot FROM stats),
+    ratio AS (
+      SELECT bucket,
+             CAST(floor(
+               (CAST(t_b + 1 AS DOUBLE) * CAST(r_tot + {_DSIR_B} AS DOUBLE))
+               / (CAST(r_b + 1 AS DOUBLE) * CAST(t_tot + {_DSIR_B} AS DOUBLE))
+               * 1000000) AS BIGINT) AS micro
+      FROM stats, tot
+    ),
+    docb AS (
+      SELECT doc_id, bucket, COUNT(*) AS n
+      FROM bucketed WHERE source NOT IN ({targets})
+      GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_grams,
+           CAST(SUM(n * micro) AS DOUBLE) / 1000000.0 AS dsir_score,
+           SUM(n * micro) > SUM(n) * 1000000 AS selected
+    FROM docb JOIN ratio USING (bucket)
+    GROUP BY doc_id
+    """
+
+
+@register("llm_dsir_weights", oracle=_dsir_oracle())
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): score every RAW document by how target-like its hashed
+    n-gram feature distribution is, the step that picks pretraining
+    data matching a small curated corpus. Features are word unigrams +
+    bigrams hashed into {B} buckets; per-bucket importance is the
+    add-one-smoothed probability ratio p_target(b)/p_raw(b); a doc's
+    score is the mean bucket-ratio over its grams, and `selected` is
+    the score > 1 cut (doc looks more target- than raw-like). The
+    paper's final Gumbel-noise resampling draw is RNG and stays out of
+    the hash-checked contract; `llm_stratified_sample`'s seeded-hash
+    ordering is the deterministic way to take the actual sample.
+
+    Determinism chain: the bucket hash is md5's last hex pair via
+    ascii arithmetic (identical on both engines); bucket ratios are
+    ONE fixed IEEE expression tree over exact int->double casts
+    ((t+1)·(R+B)) / ((r+1)·(T+B)) — two products, one division, one
+    floor-to-micros — so every per-bucket int64 `micro` matches
+    bit-for-bit; per-doc sums are pure int64 arithmetic. Cast budget:
+    counts stay below 2^53 through ~10^15 grams, far past this
+    fixture (the helpers.py widening note applies beyond).
+
+    Scale: gram generation is posexplode + one lead window over
+    (doc_id, pos) — the llm_ngram_jaccard discipline, one linear
+    doc_id-partitioned stage; bucket stats are a {B}-row map-side-
+    combined aggregate; the ratio table (<= {B} rows, bounded by
+    construction) broadcasts into the per-(doc,bucket) counts; the
+    final per-doc sum shuffles on doc_id once. No all-pairs, no
+    Python, no driver collect.""".replace("{B}", str(_DSIR_B))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    nxt = F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    big = words.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("w"), F.lit("_"), nxt).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    grams = words.select("doc_id", "source", F.col("w").alias("g")).unionAll(
+        big
+    )
+
+    def hexval(c):
+        a = F.ascii(c)
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    h = F.md5(F.col("g"))
+    bucket = (
+        16 * hexval(F.substring(h, 31, 1)) + hexval(F.substring(h, 32, 1))
+    ) % _DSIR_B
+    bucketed = grams.select("doc_id", "source", bucket.alias("bucket"))
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    stats = bucketed.groupBy("bucket").agg(
+        F.count(F.when(is_target, 1)).alias("t_b"),
+        F.count(F.when(~is_target, 1)).alias("r_b"),
+    )
+    tot = stats.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
+    )
+    ratio = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                (F.col("t_b") + 1).cast("double")
+                * (F.col("r_tot") + _DSIR_B).cast("double")
+            )
+            / (
+                (F.col("r_b") + 1).cast("double")
+                * (F.col("t_tot") + _DSIR_B).cast("double")
+            )
+            * F.lit(1e6)
+        ).alias("micro"),
+    )
+    docb = (
+        bucketed.filter(~is_target)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        docb.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            (
+                F.sum(F.col("n") * F.col("micro")).cast("double")
+                / F.lit(1e6)
+            ).alias("dsir_score"),
+            (
+                F.sum(F.col("n") * F.col("micro"))
+                > F.sum("n") * F.lit(1_000_000)
+            ).alias("selected"),
         )
     )

@@ -104,6 +104,8 @@ EDGE_KEYS = [
     "llm_shuffle_shard",         # seeded order over duplicate/short docs
     "q11_important_stock",       # int-micros threshold over tiny nation slice
     "llm_semdedup",              # bit-identical in-cluster vectors → dup ties
+    "fn_struct",                 # struct compare ties falling to field 2
+    "llm_dsir_weights",          # dup/short docs through hashed-gram buckets
 ]
 
 

@@ -36,6 +36,8 @@ NESTED_LOOP_OK = {
     "llm_tfidf_topterms",  # 1-row corpus doc-count broadcast
     "q22_global_sales_opportunity",  # 1-row scalar-subquery threshold cross
     "agg_hll_sketch_merge",  # 1-row merged-sketch x 1-row exact-count cross
+    "q11_important_stock",  # 1-row grand-total scalar-subquery cross
+    "llm_dsir_weights",  # 1-row gram-total cross into the 64-row ratio table
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -52,6 +54,10 @@ PYTHON_EVAL_OK = {
     # aggregate HOFs interpreted (not codegen), measured 5x slower than
     # the Arrow+numpy twin on the million-candidate pair relation
     "llm_ivf_topk",
+    # same lesson: per-cluster pair dots as one Arrow batch (each vector
+    # ships once per cluster) instead of a self-join materializing both
+    # 64-float arrays per pair through interpreted HOFs
+    "llm_semdedup",
 }
 
 PY_EVAL_NODES = (
@@ -214,6 +220,8 @@ BROADCAST_OK = {
     ("queries_tpch_wave3.py", "sn"): "25-row literal nation dim (Q8/Q9)",
     ("queries_tpch_wave3.py", "nation"): "1-row nation filter (Q11)",
     ("queries_tpch_wave3.py", "tot"): "1-row grand-total aggregate (Q11)",
+    ("llm_data_ext.py", "tot"): "1-row gram-total aggregate (DSIR)",
+    ("llm_data_ext.py", "ratio"): "<=64-row hashed-bucket ratio table (DSIR)",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
 }
 
@@ -283,7 +291,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 158, len(keys)
+    assert len(keys) == 160, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
