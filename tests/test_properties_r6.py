@@ -369,3 +369,96 @@ def test_semdedup_matches_reference(spark, tmp_path_factory, vecs):
         for r in QUERIES["llm_semdedup"](spark, d).collect()
     }
     assert got == expected, (vecs, got, expected)
+
+
+# ------------------------------------------------------ DSIR reference
+
+# Tiny corpora over a 4-word vocab: duplicates, empty docs, double
+# spaces, single tokens; first two docs are target (src0), rest raw.
+dsir_docs = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", ""]),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _write_dsir_fixture(base, docs):
+    d = base / f"dsir_{next(_counter)}"
+    d.mkdir()
+    texts = [" ".join(words) for words in docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(
+                    ["src0" if i < 2 else "src9" for i in range(len(texts))],
+                    pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@given(docs=dsir_docs)
+@settings(**SETTINGS)
+def test_dsir_matches_reference(spark, tmp_path_factory, docs):
+    """llm_dsir_weights on arbitrary tiny corpora must equal the plain-
+    Python reference: hashlib-md5 bucketed uni+bigrams, add-one ratios
+    through the same (t+1)(R+B)/((r+1)(T+B)) float expression, floored
+    micros, integer per-doc sums — including empty docs (absent from
+    the output on both sides) and double-space token gaps."""
+    import hashlib
+
+    base = tmp_path_factory.mktemp("dsirprop")
+    d = _write_dsir_fixture(base, docs)
+
+    B = 64
+
+    def bucket(g):
+        h = hashlib.md5(g.encode()).hexdigest()
+        return (16 * int(h[30], 16) + int(h[31], 16)) % B
+
+    def grams_of(words):
+        ws = [w for w in words if w != ""]
+        return ws + [f"{a}_{b}" for a, b in zip(ws, ws[1:])]
+
+    t_cnt, r_cnt = collections.Counter(), collections.Counter()
+    doc_buckets = {}
+    for i, words in enumerate(docs):
+        bs = [bucket(g) for g in grams_of(words)]
+        if i < 2:
+            t_cnt.update(bs)
+        else:
+            r_cnt.update(bs)
+            if bs:
+                doc_buckets[i] = collections.Counter(bs)
+    T, R = sum(t_cnt.values()), sum(r_cnt.values())
+    micro = {
+        b: math.floor(
+            (float(t_cnt[b] + 1) * float(R + B))
+            / (float(r_cnt[b] + 1) * float(T + B))
+            * 1e6
+        )
+        for b in set(t_cnt) | set(r_cnt)
+    }
+    expected = {}
+    for i, bs in doc_buckets.items():
+        n = sum(bs.values())
+        s = sum(cnt * micro[b] for b, cnt in bs.items())
+        expected[i] = (n, s / 1e6, s > n * 1_000_000)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"], r["selected"])
+        for r in QUERIES["llm_dsir_weights"](spark, d).collect()
+    }
+    assert got == expected, (docs, got, expected)
