@@ -82,6 +82,8 @@ HEADLINE = [
     "q11_important_stock",     # scalar-subquery HAVING threshold
     "llm_semdedup",            # cluster-scoped semantic dedup (SemDeDup)
     "llm_dsir_weights",        # hashed-n-gram importance weighting (DSIR)
+    "events_top_paths",        # 3-step path mining over user streams
+    "events_anomaly_zscore",   # exact-moment 3-sigma outlier summary
 ]
 
 

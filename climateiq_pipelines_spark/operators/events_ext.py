@@ -1,0 +1,183 @@
+"""Round-6 event-analytics extensions (second wave): top event PATHS
+and z-score ANOMALY summaries over the events table. Registered after
+the driver's 50-entry certification window (plans.load_all) so the
+round-6 rotation layout is untouched; covered by tools/driver_sim.py
+and rotation-targeted for round 7+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+_TOP_PATHS_K = 10
+
+_TOP_PATHS_ORACLE = f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             COUNT(*) AS n_occurrences
+      FROM ordered WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n_occurrences, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT path, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, path) AS rk
+      FROM paths
+    ) WHERE rk <= {_TOP_PATHS_K}
+"""
+
+
+@register("events_top_paths", oracle=_TOP_PATHS_ORACLE)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP EVENT PATHS — the sequence-mining staple of product
+    analytics: every consecutive 3-step path a user walks (ordered by
+    event time with event_id as the deterministic tie-break), counted
+    corpus-wide, top-{K} reported with a total order (count desc, path
+    asc — a row_number, not rank, so the result set is identical even
+    when counts tie at the cutoff).
+
+    Plan: ONE user-partitioned window produces both lookaheads (the
+    two lead()s share a single sort of each user's events — the
+    posexplode+lead shingle discipline applied to event streams);
+    path counting is a map-side-combined aggregate on the path string;
+    the final top-{K} is a TakeOrderedAndProject-sized problem (at
+    most |distinct paths| rows reach the rank stage, and the rank
+    window is a single partition over the AGGREGATED relation only —
+    |event_type|^3 is bounded, never the event stream itself).
+
+    At 100 TB: per-user state is the 3-event lookahead buffer; the
+    only data-sized shuffle is the user_id partitioning.""".replace(
+        "{K}", str(_TOP_PATHS_K)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(uw).alias("e2"),
+        F.lead("event_type", 2).over(uw).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = (
+        stepped.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    rw = W.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _TOP_PATHS_K)
+        .select("path", "n_occurrences", F.col("rank").cast("int"))
+    )
+
+
+_ANOMALY_ORACLE = """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+               AS sxx
+      FROM events GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n, sx, sxx,
+             sx / n AS mean,
+             CASE WHEN n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
+                  THEN sqrt((sxx - sx * sx / n) / (n - 1))
+                  ELSE 0 END AS std
+      FROM s
+    )
+    SELECT e.event_type,
+           CAST(max(st.n) AS BIGINT) AS n,
+           round(max(st.mean), 6) AS mean_value,
+           round(max(st.std), 6) AS std_value,
+           CAST(COUNT(*) FILTER (WHERE st.std > 0
+                 AND abs(e.value - st.mean) > 3 * st.std) AS BIGINT)
+             AS n_anomalies,
+           round(max(CASE WHEN st.std > 0
+                 THEN abs(e.value - st.mean) / st.std END), 6)
+             AS max_abs_z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    GROUP BY e.event_type
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-SCORE ANOMALY SUMMARY per event type: mean/std of `value`
+    from EXACT decimal moment sums (the agg_stats_moments recipe), a
+    per-event 3-sigma outlier test, and the per-type anomaly count and
+    max |z|. Monitoring pipelines run exactly this to flag metric
+    drift per event stream.
+
+    Determinism chain: per-row value*value is one IEEE multiply;
+    decimal(25,6) sums are exact (partition-order independent); the
+    mean/std expression trees are fixed (and IEEE sqrt is correctly
+    rounded, so std is bit-identical cross-engine); therefore every
+    per-event |value - mean| > 3*std comparison decides identically
+    on both engines, and the counts/maxima hash-match with only the
+    final round(…, 6) guarding the reported floats. Single-event
+    groups (n=1) and zero-variance groups take the std=0 branch: no
+    anomalies, NULL max_abs_z — both engines agree by the same CASE.
+
+    Plan: a |event_type|-row stats aggregate (map-side combined)
+    broadcasts back into the event scan; the flag evaluation is a
+    zero-shuffle codegen map; the final rollup groups on event_type
+    again. Two scans of events, one bounded broadcast, no window over
+    the raw stream."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dec = "decimal(25,6)"
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    st = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.when((F.col("n") >= 2) & (var > 0), F.sqrt(var))
+        .otherwise(F.lit(0.0))
+        .alias("std"),
+    )
+    flagged = ev.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "n",
+        "mean",
+        "std",
+        (
+            (F.col("std") > 0)
+            & (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"))
+        ).alias("is_anomaly"),
+        F.when(
+            F.col("std") > 0,
+            F.abs(F.col("value") - F.col("mean")) / F.col("std"),
+        ).alias("abs_z"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("mean"), 6).alias("mean_value"),
+        F.round(F.max("std"), 6).alias("std_value"),
+        F.count(F.when(F.col("is_anomaly"), 1)).alias("n_anomalies"),
+        F.round(F.max("abs_z"), 6).alias("max_abs_z"),
+    )

@@ -106,6 +106,8 @@ EDGE_KEYS = [
     "llm_semdedup",              # bit-identical in-cluster vectors → dup ties
     "fn_struct",                 # struct compare ties falling to field 2
     "llm_dsir_weights",          # dup/short docs through hashed-gram buckets
+    "events_top_paths",          # count ties at the top-k cutoff
+    "events_anomaly_zscore",     # single-event / zero-variance groups
 ]
 
 

@@ -462,3 +462,73 @@ def test_dsir_matches_reference(spark, tmp_path_factory, docs):
         for r in QUERIES["llm_dsir_weights"](spark, d).collect()
     }
     assert got == expected, (docs, got, expected)
+
+
+# ---------------------------------------------------- top event paths
+
+# (user 0..2, t 0..9, event_type a/b/c) tuples; duplicate timestamps
+# force the event_id tie-break, tiny streams force count ties at the
+# top-k cutoff.
+paths_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _write_events_fixture(base, rows):
+    import datetime as dt
+
+    d = base / f"ev_{next(_counter)}"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@given(rows=paths_events)
+@settings(**SETTINGS)
+def test_top_paths_matches_reference(spark, tmp_path_factory, rows):
+    """events_top_paths on arbitrary tiny streams must equal the plain-
+    Python reference: per-user (ts, event_id)-ordered trigrams, counted,
+    top-10 under the (count desc, path asc) total order — including the
+    duplicate-timestamp tie-break and count ties at the cutoff."""
+    base = tmp_path_factory.mktemp("pathsprop")
+    d = _write_events_fixture(base, rows)
+
+    by_user = collections.defaultdict(list)
+    for eid, (u, t, et) in enumerate(rows):
+        by_user[u].append((t, eid, et))
+    cnt = collections.Counter()
+    for u, evs in by_user.items():
+        seq = [et for _, _, et in sorted(evs)]
+        for i in range(len(seq) - 2):
+            cnt[">".join(seq[i : i + 3])] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expected = {
+        path: (n, rk + 1) for rk, (path, n) in enumerate(ranked)
+    }
+    got = {
+        r["path"]: (r["n_occurrences"], r["rank"])
+        for r in QUERIES["events_top_paths"](spark, d).collect()
+    }
+    assert got == expected, (rows, got, expected)
