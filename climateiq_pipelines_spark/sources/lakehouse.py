@@ -185,3 +185,93 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice"), "sum_price"),
     ).select(F.lit("v1").alias("version"), "n_rows", "sum_price")
     return v0.unionByName(v1)
+
+
+_COMPACT_SMALL = 64       # the fragmented layout: one file per partition
+_COMPACT_ROWS_PER_FILE = 100_000  # target rows/file after compaction
+
+
+@register(
+    "sink_compact_small_files",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(LEAST({_COMPACT_SMALL}, COUNT(*)) AS INTEGER)
+             AS files_before,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE ((COUNT(*) - 1) // {_COMPACT_ROWS_PER_FILE}) + 1 END
+             AS INTEGER) AS files_after,
+           TRUE AS rows_conserved,
+           TRUE AS keys_conserved
+    FROM orders
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION — the table-maintenance job every
+    lakehouse runs: a fragmented write (here: round-robin across
+    64 partitions, one parquet file each — the layout
+    streaming ingestion and over-parallel writers produce) is rewritten
+    into ceil(rows / 100,000) right-sized files. At
+    100 TB fragmentation is THE silent scan killer: per-file open/
+    footer costs dominate, and compaction restores bandwidth-bound
+    scans. (In a production table format this is `OPTIMIZE`; here it is
+    the engine pattern: read-repartition-rewrite.)
+
+    The layout is not a value, so (sink_sorted_bucketed discipline) the
+    key emits a 1-row SQL-checkable AUDIT: row count and an exact
+    int64 key checksum proven conserved across the rewrite, the
+    fragmented file count (observed via the parquet `_metadata.
+    file_path` virtual column — LEAST(N, rows) since round-robin
+    leaves no partition empty unless rows < N), and the compacted file
+    count pinned to the ceil formula (row-count-derived, so it is
+    deterministic — a byte-size target would hash-drift with
+    compression ratios; at scale you'd size by bytes and the audit
+    would pin a band instead).
+
+    Plan: both counts come from _metadata-grouped scans (no filesystem
+    listing in the query path); the rewrite is one round-robin
+    exchange; nothing here is data-order dependent."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _tmpdir("compact")
+    frag = os.path.join(root, "fragmented")
+    comp = os.path.join(root, "compacted")
+    orders.repartition(_COMPACT_SMALL).write.mode("overwrite").parquet(frag)
+
+    frag_df = spark.read.parquet(frag)
+    n_rows = frag_df.count()
+    n_after = (
+        0 if n_rows == 0 else (n_rows - 1) // _COMPACT_ROWS_PER_FILE + 1
+    )
+    frag_df.repartition(max(n_after, 1)).write.mode("overwrite").parquet(comp)
+
+    def audit(path):
+        return (
+            spark.read.parquet(path)
+            .select(
+                "o_orderkey",
+                F.col("_metadata.file_path").alias("fp"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_checksum"),
+                F.countDistinct("fp").alias("n_files"),
+            )
+        )
+    a = audit(frag).select(
+        F.col("n_rows").alias("rows_b"),
+        F.col("key_checksum").alias("ck_b"),
+        F.col("n_files").alias("files_before"),
+    )
+    b = audit(comp).select(
+        F.col("n_rows").alias("rows_a"),
+        F.col("key_checksum").alias("ck_a"),
+        F.col("n_files").alias("files_after"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("rows_a").alias("n_rows"),
+        F.col("ck_a").alias("key_checksum"),
+        F.col("files_before").cast("int"),
+        F.col("files_after").cast("int"),
+        (F.col("rows_a") == F.col("rows_b")).alias("rows_conserved"),
+        (F.col("ck_a") == F.col("ck_b")).alias("keys_conserved"),
+    )

@@ -108,6 +108,7 @@ EDGE_KEYS = [
     "llm_dsir_weights",          # dup/short docs through hashed-gram buckets
     "events_top_paths",          # count ties at the top-k cutoff
     "events_anomaly_zscore",     # single-event / zero-variance groups
+    "sink_compact_small_files",  # rows < partition count → partial layout
 ]
 
 

@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     "agg_hll_sketch_merge",  # 1-row merged-sketch x 1-row exact-count cross
     "q11_important_stock",  # 1-row grand-total scalar-subquery cross
     "llm_dsir_weights",  # 1-row gram-total cross into the 64-row ratio table
+    "sink_compact_small_files",  # 1-row x 1-row audit cross
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -223,6 +224,7 @@ BROADCAST_OK = {
     ("llm_data_ext.py", "tot"): "1-row gram-total aggregate (DSIR)",
     ("llm_data_ext.py", "ratio"): "<=64-row hashed-bucket ratio table (DSIR)",
     ("events_ext.py", "st"): "|event_type|-row moment-stats table (zscore)",
+    ("lakehouse.py", "b"): "1-row compaction audit aggregate",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
 }
 
@@ -292,7 +294,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 162, len(keys)
+    assert len(keys) == 163, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
