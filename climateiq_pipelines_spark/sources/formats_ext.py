@@ -1,0 +1,102 @@
+"""Round-6 source-format extension: malformed-record handling on CSV
+ingest — the PERMISSIVE / corrupt-record-column contract every
+real-world file ingest relies on (raw exports always contain bad
+rows; FAILFAST kills the job, DROPMALFORMED silently eats data, and
+PERMISSIVE quarantines). Registered after the driver's 50-entry
+certification window (plans.load_all).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.helpers import sql_dsum
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+# Deterministic corruption classes injected by key (disjoint by CASE
+# precedence): bad numeric field, missing field, extra field.
+_MALFORMED_ORACLE = f"""
+    WITH cls AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'type'
+                  WHEN o_orderkey % 89 = 0 THEN 'missing'
+                  WHEN o_orderkey % 83 = 0 THEN 'extra'
+                  ELSE 'clean' END AS c
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE c <> 'clean') AS BIGINT)
+             AS n_corrupt,
+           CAST(COUNT(*) FILTER (WHERE c IN ('type', 'missing'))
+             AS BIGINT) AS n_price_null,
+           CAST(COALESCE(SUM(k) FILTER (WHERE c <> 'clean'), 0)
+             AS BIGINT) AS corrupt_key_checksum,
+           (SELECT {sql_dsum("price")} FROM cls
+            WHERE c IN ('clean', 'extra')) AS parsed_price_sum
+    FROM cls
+    """
+
+
+@register("scan_csv_malformed", oracle=_MALFORMED_ORACLE)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-RECORD CSV ingest: orders is rendered to CSV lines
+    with three corruption classes injected deterministically by key —
+    a non-numeric price (key % 97), a missing field (% 89), an extra
+    trailing field (% 83) — then read back under PERMISSIVE with a
+    corrupt-record column, and the quarantine accounting is reduced to
+    one SQL-checkable audit row.
+
+    The audit pins Spark's documented PERMISSIVE semantics (probed,
+    Spark 4.1): parseable sibling fields SURVIVE a malformed row (the
+    key column parses on every class), the malformed field reads NULL,
+    and the raw line is quarantined in _corrupt_record — including the
+    extra-field class, where all declared columns parse fine and ONLY
+    the corrupt column marks the row. So: n_corrupt counts all three
+    classes, n_price_null only the first two, the corrupt-key checksum
+    proves quarantined rows stay attributable, and the parsed price
+    sum (fixed-point exact) covers clean + extra-field rows.
+
+    Exactness: the price round-trips Java double→shortest-string→
+    double lossless, and the sums are int64 micro-unit accumulations.
+    Scale: rendering and parsing are zero-shuffle map stages; the
+    audit is a 1-row aggregate. Quarantining malformed rows to a side
+    output instead of failing 10-hour jobs is THE ingest pattern at
+    100 TB; the corrupt class split here is the monitoring metric."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    k, price = F.col("k"), F.col("price")
+    base = F.concat(k.cast("string"), F.lit(","), price.cast("string"))
+    line = (
+        F.when(k % 97 == 0, F.concat(k.cast("string"), F.lit(",xx")))
+        .when(k % 89 == 0, k.cast("string"))
+        .when(k % 83 == 0, F.concat(base, F.lit(",extra")))
+        .otherwise(base)
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cps_csv_"), "orders_csv")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    back = (
+        spark.read.schema("k long, price double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(corrupt, 1)).alias("n_corrupt"),
+        F.count(F.when(F.col("price").isNull(), 1)).alias("n_price_null"),
+        F.coalesce(F.sum(F.when(corrupt, F.col("k"))), F.lit(0)).alias(
+            "corrupt_key_checksum"
+        ),
+        (
+            F.sum(F.floor(F.col("price") * 1_000_000)).cast("double")
+            / F.lit(1e6)
+        ).alias("parsed_price_sum"),
+    )

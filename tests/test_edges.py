@@ -109,6 +109,7 @@ EDGE_KEYS = [
     "events_top_paths",          # count ties at the top-k cutoff
     "events_anomaly_zscore",     # single-event / zero-variance groups
     "sink_compact_small_files",  # rows < partition count → partial layout
+    "scan_csv_malformed",        # corrupt classes over tiny key ranges
 ]
 
 
