@@ -389,32 +389,39 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts stay below 2^53 through ~10^15 grams, far past this
     fixture (the helpers.py widening note applies beyond).
 
-    Scale: gram generation is posexplode + one lead window over
-    (doc_id, pos) — the llm_ngram_jaccard discipline, one linear
-    doc_id-partitioned stage; bucket stats are a {B}-row map-side-
-    combined aggregate; the ratio table (<= {B} rows, bounded by
-    construction) broadcasts into the per-(doc,bucket) counts; the
-    final per-doc sum shuffles on doc_id once. No all-pairs, no
-    Python, no driver collect.""".replace("{B}", str(_DSIR_B))
+    Scale: gram generation is a ZERO-SHUFFLE map stage (bigrams by
+    index over the filtered word array — no lead() window sort), and
+    the multi-million-row gram stream is scanned ONCE: it collapses
+    map-side into (doc, bucket, side) counts (<= |docs| x {B} x 2
+    rows, materialized via localCheckpoint because the bucket-stats
+    consumer sits behind a broadcast boundary AQE will not reuse a
+    shuffle across); bucket stats and per-doc counts both derive from
+    that small relation; the ratio table (<= {B} rows, bounded by
+    construction) broadcasts back; the final per-doc sum shuffles on
+    doc_id once. No all-pairs, no Python, no driver collect.""".replace(
+        "{B}", str(_DSIR_B)
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    words = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
-        )
-        .filter(F.col("w") != "")
-    )
-    nxt = F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
-    big = words.select(
+    # Gram generation is a PURE MAP stage: bigrams come from the
+    # filtered word array by index (transform over sequence), not a
+    # lead() window — the window form needs a doc_id shuffle+sort per
+    # consuming branch; this form needs none (adjacency in the
+    # filtered array is identical to filtered posexplode + lead).
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    docs_arr = docs.select("doc_id", "source", ws.alias("ws"))
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> concat(ws[i], '_', ws[i + 1]))"
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = docs_arr.select(
         "doc_id",
         "source",
-        F.concat(F.col("w"), F.lit("_"), nxt).alias("g"),
-    ).filter(F.col("g").isNotNull())
-    grams = words.select("doc_id", "source", F.col("w").alias("g")).unionAll(
-        big
+        F.explode(F.concat(F.col("ws"), bigrams)).alias("g"),
     )
 
     def hexval(c):
@@ -425,11 +432,26 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         16 * hexval(F.substring(h, 31, 1)) + hexval(F.substring(h, 32, 1))
     ) % _DSIR_B
-    bucketed = grams.select("doc_id", "source", bucket.alias("bucket"))
     is_target = F.col("source").isin(*_DSIR_TARGET)
-    stats = bucketed.groupBy("bucket").agg(
-        F.count(F.when(is_target, 1)).alias("t_b"),
-        F.count(F.when(~is_target, 1)).alias("r_b"),
+    # ONE pass over the gram stream: aggregate to (doc, bucket, side)
+    # counts — map-side combine collapses the multi-million gram rows
+    # to at most |docs| x B before the only data-sized shuffle. Both
+    # the bucket stats and the per-doc counts derive from this small
+    # relation, so grams (and their md5s) are computed exactly once.
+    db = (
+        grams.select("doc_id", bucket.alias("bucket"), is_target.alias("t"))
+        .groupBy("doc_id", "bucket", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # Materialized once: the stats side feeds a BROADCAST subtree,
+        # and AQE does not reuse a shuffle exchange across that
+        # boundary (verified in the executed plan) — without this the
+        # gram scan + md5 run twice. The checkpointed relation is at
+        # most |docs| x B x 2 counted rows (dedup_graph precedent).
+        .localCheckpoint(eager=False)
+    )
+    stats = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("t"), F.col("n")).otherwise(0)).alias("t_b"),
+        F.sum(F.when(~F.col("t"), F.col("n")).otherwise(0)).alias("r_b"),
     )
     tot = stats.agg(
         F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
@@ -448,11 +470,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1e6)
         ).alias("micro"),
     )
-    docb = (
-        bucketed.filter(~is_target)
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    docb = db.filter(~F.col("t")).select("doc_id", "bucket", "n")
     return (
         docb.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
