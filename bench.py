@@ -84,6 +84,7 @@ HEADLINE = [
     "llm_dsir_weights",        # hashed-n-gram importance weighting (DSIR)
     "events_top_paths",        # 3-step path mining over user streams
     "events_anomaly_zscore",   # exact-moment 3-sigma outlier summary
+    "llm_semdedup_pipeline",   # k-means assign + cluster-scoped dedup
 ]
 
 

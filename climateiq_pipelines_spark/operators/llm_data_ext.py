@@ -174,6 +174,45 @@ def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU_FP = 3 * 10**11  # cos >= 0.30 in the 1e12 fixed-point dot
 
 
+def _score_cluster(pdf):
+    """Per-cluster Arrow batch: exact fixed-point pair dots vs every
+    EARLIER (lower-vec_id) vector in the cluster; emits one row per
+    vector that has at least one near-dup predecessor. Reproduces
+    llm._int_dot bit-for-bit: per-component float64 products floored
+    individually, then summed (int-valued float64s below 2^53 sum
+    exactly in any order). Shared by llm_semdedup (fixture-label
+    clusters) and llm_semdedup_pipeline (k-means-assigned clusters)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    a = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    out_id, out_n, out_max = [], [], []
+    # row-blocked j-loop: block b vs all earlier rows at once
+    blk = 128
+    for s in range(1, len(ids), blk):
+        e = min(s + blk, len(ids))
+        # prods[j - s, i] = intdot(a[i], a[j]) for i < j
+        prods = np.floor(a[s:e, None, :] * a[None, :e, :] * 1e12).sum(
+            axis=2
+        ).astype(np.int64)
+        for j in range(s, e):
+            row = prods[j - s, :j]
+            hits = row[row >= _SEMDEDUP_TAU_FP]
+            if hits.size:
+                out_id.append(ids[j])
+                out_n.append(hits.size)
+                out_max.append(hits.max())
+    return pd.DataFrame(
+        {
+            "vec_id": np.array(out_id, dtype=np.int64),
+            "n_earlier_dups": np.array(out_n, dtype=np.int64),
+            "max_dot": np.array(out_max, dtype=np.int64),
+        }
+    )
+
+
 def _semdedup_oracle() -> str:
     from climateiq_pipelines_spark.operators.llm import _sql_int_dot
 
@@ -235,46 +274,11 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     task and |pairs| ≈ n·c/2), and 100 TB never sees an all-pairs
     product. The left join back is on vec_id, and the dup-count side
     is at most one row per vector."""
-    import numpy as np
-    import pandas as pd
-
     from climateiq_pipelines_spark.operators.llm import _S12
 
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        a = np.array(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-        )
-        out_id, out_n, out_max = [], [], []
-        # row-blocked j-loop: block b vs all earlier rows at once; the
-        # floor-per-component / exact-sum order matches _int_dot.
-        blk = 128
-        for s in range(1, len(ids), blk):
-            e = min(s + blk, len(ids))
-            # dots[j - s, i] = intdot(a[i], a[s + (j - s)]) for i < j
-            prods = np.floor(
-                a[s:e, None, :] * a[None, :e, :] * 1e12
-            ).sum(axis=2).astype(np.int64)
-            for j in range(s, e):
-                row = prods[j - s, :j]
-                hits = row[row >= _SEMDEDUP_TAU_FP]
-                if hits.size:
-                    out_id.append(ids[j])
-                    out_n.append(hits.size)
-                    out_max.append(hits.max())
-        return pd.DataFrame(
-            {
-                "vec_id": np.array(out_id, dtype=np.int64),
-                "n_earlier_dups": np.array(out_n, dtype=np.int64),
-                "max_dot": np.array(out_max, dtype=np.int64),
-            }
-        )
-
     dup_counts = emb.groupBy("label").applyInPandas(
-        score_cluster, "vec_id long, n_earlier_dups long, max_dot long"
+        _score_cluster, "vec_id long, n_earlier_dups long, max_dot long"
     )
     return (
         emb.select("vec_id", F.col("label").alias("cluster_id"))
@@ -484,5 +488,110 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("n") * F.col("micro"))
                 > F.sum("n") * F.lit(1_000_000)
             ).alias("selected"),
+        )
+    )
+
+
+def _semdedup_pipeline_oracle() -> str:
+    from climateiq_pipelines_spark.operators.llm import (
+        _CENTROID_SQL,
+        _sql_int_dot,
+    )
+
+    dot = _sql_int_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH {_CENTROID_SQL},
+    emb2 AS (
+      SELECT e.vec_id, e.embedding, asg.assigned_label AS cluster
+      FROM embeddings e JOIN assigned asg ON e.vec_id = asg.vec_id
+    ),
+    dup_counts AS (
+      SELECT b.vec_id,
+             COUNT(*) AS n_earlier_dups,
+             MAX({dot}) AS max_dot
+      FROM emb2 a JOIN emb2 b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {dot} >= {_SEMDEDUP_TAU_FP}
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id,
+           e.cluster AS cluster_id,
+           coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
+           round(coalesce(d.max_dot, 0) / 1000000000000.0, 6)
+             AS max_earlier_sim,
+           d.vec_id IS NULL AS kept
+    FROM emb2 e LEFT JOIN dup_counts d ON e.vec_id = d.vec_id
+    """
+
+
+@register("llm_semdedup_pipeline", oracle=_semdedup_pipeline_oracle())
+def llm_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SemDeDup pipeline, end to end in one registered key:
+    stage 1 clusters the corpus with a k-means E-step (exact
+    fixed-point centroids per ground-truth label, then every vector
+    re-ASSIGNED to its nearest centroid — exactly llm_centroid_assign's
+    assignment, so some vectors land in a different cluster than their
+    label), stage 2 runs the per-cluster Arrow near-dup scorer over
+    the ASSIGNED clusters. llm_semdedup demonstrates stage 2 against
+    the fixture's given clusters; this key proves the composition —
+    what a production corpus run executes when no clustering exists
+    up front.
+
+    Exactness chain is the union of its parts: 1e9 fixed-point
+    centroid means, 1e12 fixed-point squared distances, argmin by
+    integer with c_label tie-break (llm_centroid_assign's contract),
+    then the _score_cluster fixed-point pair dots — every stage
+    bit-stable cross-engine, so cluster membership and dup verdicts
+    hash-match end to end.
+
+    Scale: centroids are a k x dim aggregate BROADCAST back (constant
+    size); assignment is one linear pass; the pair stage shuffles once
+    on the assigned cluster and is quadratic in cluster size only —
+    at 100 TB, k grows with n so clusters stay task-sized (the paper's
+    own scaling argument)."""
+    from climateiq_pipelines_spark.operators.llm import _S9, _S12
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.floor(F.col("x").cast("double") * _S9)).cast("double")
+            / F.lit(float(_S9))
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    dists = (
+        exploded.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(F.floor(diff * diff * F.lit(float(_S12)))).alias("dist_fp")
+        )
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_label"))
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster"))
+    )
+    emb2 = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    dup_counts = emb2.groupBy("cluster").applyInPandas(
+        _score_cluster, "vec_id long, n_earlier_dups long, max_dot long"
+    )
+    return (
+        emb2.select("vec_id", F.col("cluster").alias("cluster_id"))
+        .join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("n_earlier_dups"), F.lit(0)).alias(
+                "n_earlier_dups"
+            ),
+            F.round(
+                F.coalesce(F.col("max_dot"), F.lit(0)) / F.lit(float(_S12)), 6
+            ).alias("max_earlier_sim"),
+            F.col("n_earlier_dups").isNull().alias("kept"),
         )
     )

@@ -110,6 +110,7 @@ EDGE_KEYS = [
     "events_anomaly_zscore",     # single-event / zero-variance groups
     "sink_compact_small_files",  # rows < partition count → partial layout
     "scan_csv_malformed",        # corrupt classes over tiny key ranges
+    "llm_semdedup_pipeline",     # assignment ties + dup ties end to end
 ]
 
 
