@@ -85,6 +85,12 @@ HEADLINE = [
     "events_top_paths",        # 3-step path mining over user streams
     "events_anomaly_zscore",   # exact-moment 3-sigma outlier summary
     "llm_semdedup_pipeline",   # k-means assign + cluster-scoped dedup
+    # round 6b: relational breadth + corpus-pipeline third wave
+    "win_gap_islands",         # run-length islands per user stream
+    "events_markov_transitions",  # transition matrix + integer probs
+    "sort_zorder_locality",    # Morton key + per-tile locality audit
+    "llm_chunk_dedup",         # paragraph/chunk boilerplate dedup
+    "llm_unigram_logprob",     # unigram-LM millibit quality score
 ]
 
 

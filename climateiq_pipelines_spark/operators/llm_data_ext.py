@@ -595,3 +595,197 @@ def llm_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_earlier_dups").isNull().alias("kept"),
         )
     )
+
+
+_CHUNK_W = 10  # words per chunk
+_CHUNK_MIN_DOCS = 2  # chunk seen in >= this many distinct docs => boilerplate
+
+
+def _chunk_dedup_oracle() -> str:
+    return f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(
+               ws[({_CHUNK_W} * i + 1):({_CHUNK_W} * i + {_CHUNK_W})], ' ')
+               AS chunk
+      FROM ws, UNNEST(range(CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    boiler AS (
+      SELECT chunk FROM chunks
+      GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= {_CHUNK_MIN_DOCS}
+    ),
+    perdoc AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             COUNT(*) FILTER (WHERE b.chunk IS NOT NULL) AS n_boiler
+      FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_boiler AS BIGINT) AS n_boilerplate,
+           CAST(((n_chunks - n_boiler) * 1000000) // n_chunks AS BIGINT)
+             AS kept_micro
+    FROM perdoc
+    """
+
+
+@register("llm_chunk_dedup", oracle=_chunk_dedup_oracle())
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL BOILERPLATE DEDUP — the paragraph/line-dedup stage
+    of web-corpus pipelines (CCNet's per-paragraph hash dedup,
+    RefinedWeb's line-level removal): split every document into
+    consecutive 10-word chunks (the fixture corpus has no newlines,
+    so fixed-width word windows stand in for paragraphs), mark any
+    chunk that occurs in >= 2 DISTINCT documents as boilerplate,
+    and emit per-doc chunk counts plus the kept fraction in exact
+    integer micro-units ((kept * 1e6) DIV total — floor division on
+    both engines, no float in the hash). Exact-duplicate documents
+    make every one of their chunks boilerplate, so the key subsumes
+    doc-level exact dedup while additionally catching shared
+    headers/footers pasted into otherwise-unique docs.
+
+    Plan: chunking is a ZERO-SHUFFLE map (slice over the filtered
+    word array by index — the llm_dsir_weights gram discipline); the
+    exploded chunk stream collapses map-side into per-(doc, chunk)
+    rows; the boilerplate set is a chunk-keyed aggregate whose
+    distinct-doc count piggybacks on the same shuffle; the verdict
+    join is chunk-keyed and AQE-sized. At 100 TB chunks hash to
+    8-byte keys before the shuffle (xxhash64 here keeps the text
+    out of the exchange on the JOIN side too — both engines compare
+    equality on the raw chunk, so the key uses the raw string; a
+    production run would pre-hash)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    arr = docs.select("doc_id", ws.alias("ws"))
+    # sequence(0, n-1) DESCENDS when n = 0 (empty doc) — guard to an
+    # empty chunk list, mirroring DuckDB's range(0) = [].
+    chunks_expr = F.when(
+        F.size("ws") > 0,
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(ws) / {_CHUNK_W}.0)"
+            f" as int) - 1), i -> array_join(slice(ws, {_CHUNK_W} * i + 1,"
+            f" {_CHUNK_W}), ' '))"
+        ),
+    ).otherwise(F.expr("array()"))
+    chunks = arr.select(
+        "doc_id", F.explode(chunks_expr).alias("chunk")
+    )
+    per_doc_chunk = chunks.groupBy("doc_id", "chunk").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    boiler = (
+        per_doc_chunk.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _CHUNK_MIN_DOCS)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    verdicts = per_doc_chunk.join(boiler, "chunk", "left")
+    per_doc = verdicts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chunks"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_boiler"), F.col("n"))), F.lit(0)
+        ).alias("n_boilerplate"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_boilerplate",
+        F.expr(
+            "((n_chunks - n_boilerplate) * 1000000) div n_chunks"
+        ).cast("long").alias("kept_micro"),
+    )
+
+
+_LM_SELECT_MILLIBITS = 9500  # mean token log2-count cut, in millibits
+
+
+def _unigram_logprob_oracle() -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    dw AS (
+      SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY doc_id, w
+    ),
+    vocab AS (
+      SELECT w, SUM(n) AS cnt FROM dw GROUP BY w
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n * length(bin(cnt))) AS BIGINT) AS sum_bits,
+           CAST((SUM(n * length(bin(cnt))) * 1000) // SUM(n) AS BIGINT)
+             AS mean_millibits,
+           (SUM(n * length(bin(cnt))) * 1000) // SUM(n)
+             >= {_LM_SELECT_MILLIBITS} AS selected
+    FROM dw JOIN vocab USING (w)
+    GROUP BY doc_id
+    """
+
+
+@register("llm_unigram_logprob", oracle=_unigram_logprob_oracle())
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM LM QUALITY SCORE — the perplexity-lite corpus filter
+    (CCNet ranks documents by language-model score; the cheap seed
+    version is a corpus-trained unigram model): train token counts on
+    the corpus itself, score each document by its mean per-token
+    log2(count), and cut on a fixed threshold — documents of common,
+    well-distributed tokens score high; rare-token/noise documents
+    score low. The log2 is INTEGER log2: length(bin(cnt)) =
+    floor(log2(cnt)) + 1 on both engines (string length of the binary
+    rendering — no libm, no ulp risk), the per-doc mean is integer
+    millibits via floor division, and the selection boolean compares
+    integers, so every output is bit-stable cross-engine.
+
+    Plan: the word stream is scanned ONCE and collapsed map-side into
+    (doc, word, n) counts (the llm_dsir_weights single-pass
+    discipline, localCheckpoint for the same AQE-broadcast-boundary
+    reason); the vocabulary derives from that small relation; the
+    score join broadcasts the vocabulary-sized count table; the final
+    per-doc aggregate shuffles on doc_id once. At 100 TB the vocab
+    table is Zipf-bounded (vocabulary grows ~n^0.5), and the count
+    magnitudes stay within the int64 bit-budget forever (sum_bits <=
+    64 * n_tokens)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    words = docs.select("doc_id", F.explode(ws).alias("w"))
+    dw = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # Materialized once: the vocab side feeds a broadcast subtree
+        # and AQE will not reuse a shuffle exchange across that
+        # boundary (the llm_dsir_weights precedent) — without this the
+        # word explode runs twice.
+        .localCheckpoint(eager=False)
+    )
+    vocab = dw.groupBy("w").agg(F.sum("n").alias("cnt"))
+    bits = F.length(F.bin(F.col("cnt")))
+    return (
+        dw.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * bits).alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            F.expr("(sum_bits * 1000) div n_tokens").cast("long").alias(
+                "mean_millibits"
+            ),
+            (
+                F.expr("(sum_bits * 1000) div n_tokens")
+                >= _LM_SELECT_MILLIBITS
+            ).alias("selected"),
+        )
+    )

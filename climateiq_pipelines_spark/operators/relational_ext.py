@@ -1,0 +1,374 @@
+"""Round-6 relational breadth extensions (third wave): gaps-and-islands
+runs, Markov transition matrices, null-safe joins, bitwise scalar
+functions, boolean aggregates, and Z-order locality keys. Registered
+after the driver's 50-entry certification window (plans.load_all) so
+the round-6 rotation layout is untouched; covered by
+tools/driver_sim.py and rotation-targeted for round 7+.
+
+Scale notes per key live in the docstrings; the common discipline: the
+only data-sized shuffles are the grouping/window keys themselves, every
+post-aggregate window runs over a bounded relation, and all arithmetic
+that feeds the hash is integer-exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+_ISLANDS_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, event_type, ra - rt AS grp, COUNT(*) AS island_len
+      FROM ordered GROUP BY user_id, event_type, ra - rt
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(island_len) AS BIGINT) AS longest_island,
+           CAST(SUM(island_len) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, event_type
+"""
+
+
+@register("win_gap_islands", oracle=_ISLANDS_ORACLE)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS AND ISLANDS — the classic run-length shape SQL interviews
+    are made of and real stream analytics actually needs (consecutive
+    same-type event runs per user: retry bursts, streak detection,
+    sessionized repetition). An island is a maximal run of one
+    event_type in a user's time-ordered stream; the island id is the
+    row_number difference trick: rn(user) - rn(user, type) is constant
+    exactly within a run. Output: per (user, type) the island count,
+    the longest run, and total events — run-length statistics with no
+    timestamps in the hash (event ordering uses event_id as the
+    deterministic tie-break).
+
+    Plan: both row_numbers share ONE user_id shuffle (the second
+    window's (user_id, event_type) partitioning is a prefix-compatible
+    sort within it — Catalyst plans two Window nodes over one
+    Exchange); the double aggregate collapses map-side. Per-user state
+    is a counter pair — at 100 TB the only data-sized shuffle is the
+    user_id partitioning, identical to every other events key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wa = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(wa) - F.row_number().over(wt)).alias("grp"),
+    )
+    islands = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return islands.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("island_len").alias("longest_island"),
+        F.sum("island_len").alias("n_events"),
+    )
+
+
+_MARKOV_ORACLE = """
+    WITH steps AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM steps WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_micro
+    FROM cnt
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITION MATRIX over user event streams —
+    the "what happens after X" model behind next-event prediction,
+    funnel drop-off analysis, and sessionized UX work. One lead() per
+    user stream (event_id tie-break), transition counts, and each
+    row's conditional probability P(to | from) in exact integer
+    micro-units: (n * 1e6) DIV row-total — integer floor division on
+    both engines, so the probabilities are bit-identical and no float
+    ever enters the hash.
+
+    Plan: the lead() shares the standard user_id shuffle; counting is
+    a map-side-combined aggregate to at most |event_type|² rows; the
+    normalizing window runs over THAT bounded relation only
+    (partitioned by from_type — never the event stream). At 100 TB
+    the transition matrix is still |event_type|² rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(uw).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fw = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.expr("n * 1000000").cast("long").alias("_num"),
+        F.sum("n").over(fw).alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("_num div _den").cast("long").alias("p_micro"),
+    )
+
+
+_NULLSAFE_ORACLE = """
+    WITH lhs AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 7 = 0 THEN NULL
+                  ELSE o_custkey % 100 END AS k
+      FROM orders
+    ),
+    rhs AS (
+      SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE c_custkey % 100 END AS ck,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    )
+    SELECT lhs.k,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(rhs.n_cust) AS BIGINT) AS n_cust_matched
+    FROM lhs LEFT JOIN rhs ON lhs.k IS NOT DISTINCT FROM rhs.ck
+    GROUP BY lhs.k
+"""
+
+
+@register("join_null_safe", oracle=_NULLSAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM) — the
+    join discipline for nullable business keys, where plain `=` would
+    silently drop every NULL row instead of matching NULL groups
+    together. Both sides derive a nullable bucket key (orders: NULL
+    for every 7th customer; customer counts: NULL for every 5th), the
+    left join uses eqNullSafe, and the NULL bucket must MATCH (one
+    output row with k = NULL carrying the NULL-side customer count) —
+    the semantics `=` cannot express.
+
+    Plan: eqNullSafe is still an EQUI-join to Catalyst (keyed on
+    coalesce-normalized values), so it hash-partitions both sides —
+    never a nested loop; the right side pre-aggregates to ≤101 rows
+    before the join, so AQE broadcasts it. At 100 TB: identical to
+    any keyed join; NULL keys all land in one partition, which is why
+    the right side must be pre-aggregated (it is)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+            .otherwise(F.col("c_custkey") % 100)
+            .alias("ck")
+        )
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    joined = orders.join(cust, orders["k"].eqNullSafe(cust["ck"]), "left")
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("n_cust").alias("n_cust_matched"),
+    )
+
+
+_BITWISE_ORACLE = """
+    SELECT p_partkey,
+           CAST(p_partkey & 255 AS BIGINT)          AS band,
+           CAST(p_partkey | 4096 AS BIGINT)         AS ored,
+           CAST(xor(p_partkey, 1365) AS BIGINT)     AS xored,
+           CAST(~p_partkey AS BIGINT)               AS inverted,
+           CAST((p_partkey % 1024) << 3 AS BIGINT)  AS shifted_l,
+           CAST(p_partkey >> 2 AS BIGINT)           AS shifted_r,
+           CAST(bit_count(p_partkey) AS BIGINT)     AS n_bits,
+           CAST((p_partkey >> 3) & 1 AS BIGINT)     AS bit3
+    FROM part
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_ORACLE)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE FUNCTION SURFACE (§2.6 breadth): AND/OR/XOR masks,
+    complement, shifts, popcount, and single-bit probes — the
+    arithmetic behind bitmap flags, hash partitioning, bloom-filter
+    math, and the simhash/z-order keys elsewhere in this repo, here
+    demonstrated as first-class scalar functions over a keyed column.
+    Two's-complement semantics on int64 agree between the JVM and
+    DuckDB for every operation used (inputs are nonnegative keys; the
+    complement row proves sign handling too).
+
+    Plan: a zero-shuffle codegen map over the scan — bitwise ops are
+    single JVM instructions inside whole-stage codegen; column pruning
+    reads exactly one int column."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    pk = F.col("p_partkey")
+    return part.select(
+        "p_partkey",
+        pk.bitwiseAND(F.lit(255)).cast("long").alias("band"),
+        pk.bitwiseOR(F.lit(4096)).cast("long").alias("ored"),
+        pk.bitwiseXOR(F.lit(1365)).cast("long").alias("xored"),
+        F.bitwise_not(pk).cast("long").alias("inverted"),
+        F.shiftleft((pk % 1024).cast("int"), 3).cast("long").alias(
+            "shifted_l"
+        ),
+        F.shiftright(pk.cast("int"), 2).cast("long").alias("shifted_r"),
+        F.bit_count(pk).cast("long").alias("n_bits"),
+        F.shiftright(pk.cast("int"), 3).bitwiseAND(F.lit(1))
+        .cast("long")
+        .alias("bit3"),
+    )
+
+
+_BOOL_ORACLE = """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_above_1k,
+           bool_or(o_totalprice > 400000)  AS any_jumbo,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 400000) AS BIGINT)
+             AS n_jumbo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_bool_logic", oracle=_BOOL_ORACLE)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN AGGREGATES (§2.3 breadth): bool_and / bool_or /
+    count_if — the data-quality assertion primitives ("does EVERY
+    order clear the floor? does ANY exceed the ceiling? how many?")
+    that validation suites aggregate over billions of rows. Predicates
+    compare doubles to integer literals, so the booleans are exact on
+    both engines and no float reaches the hash.
+
+    Plan: all three fold into ONE map-side-combined hash aggregate
+    (bool_and/bool_or combine as min/max of a bit — constant state per
+    group); single shuffle on the 5-value priority key."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    price = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(price > 1000).alias("all_above_1k"),
+        F.bool_or(price > 400000).alias("any_jumbo"),
+        F.count_if(price > 400000).alias("n_jumbo"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _z_interleave_sql(x: str, y: str, div: str) -> str:
+    """16-bit Morton/Z-order interleave of two 8-bit coordinates as
+    pure integer arithmetic — bit i of x lands at position 2i+1, bit i
+    of y at 2i. Emitted as a SQL string so BOTH engines evaluate the
+    IDENTICAL expression tree; only the floor-division token differs
+    (`div` on Spark, `//` on DuckDB), and all operands are nonnegative
+    so the two floor semantics coincide."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({y}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    x = "o_custkey % 256"
+    y = "datediff('day', DATE '1992-01-01', o_orderdate) % 256"
+    z = _z_interleave_sql("xx", "yy", "//")
+    return f"""
+    WITH coords AS (
+      SELECT {x} AS xx, {y} AS yy FROM orders
+    ),
+    keyed AS (
+      SELECT xx, yy, {z} AS zkey FROM coords
+    )
+    SELECT CAST(zkey // 256 AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xx) AS BIGINT) AS x_min,
+           CAST(MAX(xx) AS BIGINT) AS x_max,
+           CAST(MIN(yy) AS BIGINT) AS y_min,
+           CAST(MAX(yy) AS BIGINT) AS y_max,
+           MAX(xx) - MIN(xx) <= 15 AS x_bounded,
+           MAX(yy) - MIN(yy) <= 15 AS y_bounded
+    FROM keyed GROUP BY zkey // 256
+    """
+
+
+@register("sort_zorder_locality", oracle=_zorder_oracle())
+def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) CLUSTERING KEY — the multi-dimensional layout
+    trick behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits of
+    two coordinates so that sorting by ONE scalar key co-locates rows
+    that are close in BOTH dimensions, which turns per-file min/max
+    stats into effective data-skipping indexes for predicates on
+    either column. The key quantizes (customer, order-day) to 8 bits
+    each, builds the 16-bit Morton code in pure integer arithmetic
+    (identical expression text on both engines), and AUDITS the
+    locality contract per 256-wide z-tile: every naturally-aligned
+    block of 256 consecutive z values must span ≤ a 16×16 rectangle —
+    the pinned booleans `x_bounded`/`y_bounded` are the data-skipping
+    guarantee itself (a wrong interleave breaks them immediately).
+
+    Plan: the Morton code is a zero-shuffle codegen map (16 unrolled
+    div/mod/multiply terms — no UDF, no loop at runtime); the tile
+    audit is one map-side-combined aggregate on the derived tile id.
+    At 100 TB you'd `repartitionByRange(zkey).sortWithinPartitions`
+    before writing (the sink_sorted_bucketed discipline); the audit
+    here proves the KEY delivers locality, which is the part a wrong
+    implementation silently loses."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("xx"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256
+        ).alias("yy"),
+    )
+    keyed = orders.withColumn(
+        "zkey", F.expr(_z_interleave_sql("xx", "yy", "div"))
+    )
+    tiles = keyed.groupBy(
+        F.expr("zkey div 256").cast("long").alias("tile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xx").cast("long").alias("x_min"),
+        F.max("xx").cast("long").alias("x_max"),
+        F.min("yy").cast("long").alias("y_min"),
+        F.max("yy").cast("long").alias("y_max"),
+    )
+    return tiles.select(
+        "tile",
+        "n_rows",
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+        (F.col("x_max") - F.col("x_min") <= 15).alias("x_bounded"),
+        (F.col("y_max") - F.col("y_min") <= 15).alias("y_bounded"),
+    )

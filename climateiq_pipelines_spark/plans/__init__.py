@@ -110,3 +110,4 @@ def load_all() -> None:
     from climateiq_pipelines_spark.operators import llm_data_ext  # noqa: F401
     from climateiq_pipelines_spark.operators import events_ext  # noqa: F401
     from climateiq_pipelines_spark.sources import formats_ext  # noqa: F401
+    from climateiq_pipelines_spark.operators import relational_ext  # noqa: F401

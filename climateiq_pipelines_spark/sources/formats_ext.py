@@ -1,9 +1,11 @@
-"""Round-6 source-format extension: malformed-record handling on CSV
+"""Round-6 source-format extensions: malformed-record handling on CSV
 ingest — the PERMISSIVE / corrupt-record-column contract every
 real-world file ingest relies on (raw exports always contain bad
 rows; FAILFAST kills the job, DROPMALFORMED silently eats data, and
-PERMISSIVE quarantines). Registered after the driver's 50-entry
-certification window (plans.load_all).
+PERMISSIVE quarantines) — and schema-evolution reads (mergeSchema
+over parquet batches written under different schema versions).
+Registered after the driver's 50-entry certification window
+(plans.load_all).
 """
 
 from __future__ import annotations
@@ -99,4 +101,64 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("price") * 1_000_000)).cast("double")
             / F.lit(1e6)
         ).alias("parsed_price_sum"),
+    )
+
+
+_EVOLUTION_ORACLE = f"""
+    WITH unioned AS (
+      SELECT p_partkey, p_retailprice,
+             CASE WHEN p_partkey % 2 = 1 THEN p_brand END AS p_brand
+      FROM part
+    )
+    SELECT p_brand IS NOT NULL AS has_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           {sql_dsum("p_retailprice")} AS sum_price
+    FROM unioned GROUP BY p_brand IS NOT NULL
+    """
+
+
+@register("scan_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION READ (mergeSchema): a dataset written in two
+    batches under DIFFERENT schema versions — v1 (even part keys)
+    lacks the later-added p_brand column, v2 (odd keys) carries it —
+    read back as ONE relation with `mergeSchema=true`, the additive-
+    column evolution contract every long-lived 100 TB dataset needs
+    (schemas change; historical files don't get rewritten). The merged
+    read must surface the union schema, with v1 rows reading NULL for
+    the new column; the output groups by column presence and pins row
+    counts, distinct values of the evolved column, and the exact
+    fixed-point price sum per side — a dropped batch, a mis-merged
+    schema, or a default other than NULL each breaks a different row.
+
+    Plan: two map-only writes, then one parquet scan whose footer
+    merge happens at PLANNING time (per-file schema reconciliation,
+    no data pass); the aggregate is map-side combined. At 100 TB,
+    `mergeSchema` full-footer listing is a driver cost paid per query
+    — production pins the merged schema in a catalog/table format
+    instead (the lakehouse.py keys); the READ semantics pinned here
+    are identical either way."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cps_evo_"), "part_evolved")
+    v1 = part.filter(F.col("p_partkey") % 2 == 0).select(
+        "p_partkey", "p_retailprice"
+    )
+    v2 = part.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_retailprice", "p_brand"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.col("p_brand").isNotNull().alias("has_brand")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        (
+            F.sum(F.floor(F.col("p_retailprice") * 1_000_000)).cast("double")
+            / F.lit(1e6)
+        ).alias("sum_price"),
     )

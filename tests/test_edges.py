@@ -111,6 +111,16 @@ EDGE_KEYS = [
     "sink_compact_small_files",  # rows < partition count → partial layout
     "scan_csv_malformed",        # corrupt classes over tiny key ranges
     "llm_semdedup_pipeline",     # assignment ties + dup ties end to end
+    # round 6b keys over the same adversarial corpus
+    "win_gap_islands",           # duplicate-ts runs, single-event islands
+    "events_markov_transitions", # self-loop transitions on dup-ts streams
+    "join_null_safe",            # NULL bucket must match NULL bucket
+    "fn_bitwise",                # bitwise ops over edge key ranges
+    "agg_bool_logic",            # all-true / all-false boundary groups
+    "sort_zorder_locality",      # tile audit over sparse edge keys
+    "scan_schema_evolution",     # one-sided batches on tiny key ranges
+    "llm_chunk_dedup",           # exact-dup docs → 100% boilerplate
+    "llm_unigram_logprob",       # dup/short docs through integer log2
 ]
 
 

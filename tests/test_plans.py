@@ -225,6 +225,7 @@ BROADCAST_OK = {
     ("llm_data_ext.py", "tot"): "1-row gram-total aggregate (DSIR)",
     ("llm_data_ext.py", "ratio"): "<=64-row hashed-bucket ratio table (DSIR)",
     ("llm_data_ext.py", "centroids"): "k x 64 centroid table (semdedup pipeline)",
+    ("llm_data_ext.py", "vocab"): "vocabulary-sized unigram count table (Zipf-bounded)",
     ("events_ext.py", "st"): "|event_type|-row moment-stats table (zscore)",
     ("lakehouse.py", "b"): "1-row compaction audit aggregate",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
@@ -296,7 +297,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 165, len(keys)
+    assert len(keys) == 174, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]

@@ -1,0 +1,288 @@
+"""Property-based checks for the round-6b operators (SURVEY §5.2 #3
+discipline): pure-Python references on ARBITRARY generated inputs — a
+third independent implementation beside the Spark plan and the DuckDB
+oracle.
+
+- The Morton/z-order property needs no Spark at all: the generated SQL
+  expression (evaluated by DuckDB, the same text Spark runs modulo the
+  div token) must equal a bit-twiddling Python reference on arbitrary
+  coordinates, and consecutive-block locality must hold by construction.
+- Gap-islands / Markov / chunk-dedup / unigram-logprob replay their
+  definitions with plain dict/itertools arithmetic over tiny generated
+  fixtures, exercising duplicate timestamps (event_id tie-break), empty
+  documents, and single-event users that the driver fixtures never hit.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from climateiq_pipelines_spark.operators.relational_ext import (
+    _z_interleave_sql,
+)
+from climateiq_pipelines_spark.plans import QUERIES
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+_counter = itertools.count()
+
+
+# --------------------------------------------------------- Morton code
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+@given(
+    x=st.integers(min_value=0, max_value=255),
+    y=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=200, deadline=None)
+def test_z_interleave_sql_matches_bit_reference(x, y):
+    """The generated z-order SQL (the exact text both engines evaluate,
+    DuckDB token) equals the bit-twiddling reference on any (x, y)."""
+    expr = _z_interleave_sql(str(x), str(y), "//")
+    got = duckdb.sql(f"SELECT {expr}").fetchone()[0]
+    assert got == _morton_ref(x, y), (x, y, got)
+
+
+@given(x=st.integers(min_value=0, max_value=255))
+@settings(max_examples=50, deadline=None)
+def test_z_tiles_bound_both_dims(x):
+    """Locality by construction: all 256 points of one x-row scatter
+    across z-tiles whose 16x16 bound holds — i.e. for every y, the
+    (x, y) point's tile, when decoded, stays within a 16-wide square
+    around (x, y). Checked via the reference (the SQL equality above
+    transfers it to the engines)."""
+    for y in range(0, 256, 17):
+        z = _morton_ref(x, y)
+        tile = z >> 8
+        # every point in this tile shares the high 4 bits of both dims:
+        # decode tile -> x-high, y-high nibbles (deinterleave 8 bits)
+        xh = yh = 0
+        for i in range(4):
+            xh |= ((tile >> (2 * i + 1)) & 1) << i
+            yh |= ((tile >> (2 * i)) & 1) << i
+        assert xh == x >> 4 and yh == y >> 4, (x, y, tile)
+
+
+# -------------------------------------------------- events fixtures
+
+events_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=9),  # minute (dups force ties)
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _write_events_fixture(base, rows):
+    import datetime as dt
+
+    d = base / f"ev_{next(_counter)}"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def _ordered_streams(rows):
+    by_user = collections.defaultdict(list)
+    for eid, (u, t, et) in enumerate(rows):
+        by_user[u].append((t, eid, et))
+    return {
+        u: [et for _, _, et in sorted(evs)] for u, evs in by_user.items()
+    }
+
+
+@given(rows=events_rows)
+@settings(**SETTINGS)
+def test_gap_islands_matches_reference(spark, tmp_path_factory, rows):
+    """win_gap_islands on arbitrary tiny streams must equal the
+    itertools.groupby reference — including duplicate timestamps
+    (event_id tie-break) and single-event islands."""
+    base = tmp_path_factory.mktemp("islprop")
+    d = _write_events_fixture(base, rows)
+
+    expected = {}
+    for u, stream in _ordered_streams(rows).items():
+        runs = collections.defaultdict(list)
+        for et, grp in itertools.groupby(stream):
+            runs[et].append(len(list(grp)))
+        for et, lens in runs.items():
+            expected[(u, et)] = (len(lens), max(lens), sum(lens))
+    got = {
+        (r["user_id"], r["event_type"]): (
+            r["n_islands"],
+            r["longest_island"],
+            r["n_events"],
+        )
+        for r in QUERIES["win_gap_islands"](spark, d).collect()
+    }
+    assert got == expected, (rows, got, expected)
+
+
+@given(rows=events_rows)
+@settings(**SETTINGS)
+def test_markov_matches_reference(spark, tmp_path_factory, rows):
+    """events_markov_transitions equals the Counter reference: per-user
+    consecutive pairs, counts, and floor((n * 1e6) / row_total)."""
+    base = tmp_path_factory.mktemp("mkvprop")
+    d = _write_events_fixture(base, rows)
+
+    cnt = collections.Counter()
+    for stream in _ordered_streams(rows).values():
+        cnt.update(zip(stream, stream[1:]))
+    totals = collections.Counter()
+    for (a, _), n in cnt.items():
+        totals[a] += n
+    expected = {
+        (a, b): (n, (n * 1_000_000) // totals[a])
+        for (a, b), n in cnt.items()
+    }
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p_micro"])
+        for r in QUERIES["events_markov_transitions"](spark, d).collect()
+    }
+    assert got == expected, (rows, got, expected)
+
+
+# ------------------------------------------------ documents fixtures
+
+docs_lists = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", ""]),
+        min_size=0,
+        max_size=25,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _write_docs_fixture(base, docs):
+    d = base / f"doc_{next(_counter)}"
+    d.mkdir()
+    texts = [" ".join(words) for words in docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["src0"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@given(docs=docs_lists)
+@settings(**SETTINGS)
+def test_chunk_dedup_matches_reference(spark, tmp_path_factory, docs):
+    """llm_chunk_dedup equals the plain-Python reference: 10-word
+    chunks over the filtered word list, boilerplate = chunk in >= 2
+    distinct docs, kept fraction by integer floor division. Empty docs
+    (no chunks) are absent from the output on both sides; duplicated
+    docs degenerate to 100% boilerplate."""
+    base = tmp_path_factory.mktemp("chunkprop")
+    d = _write_docs_fixture(base, docs)
+
+    chunks_by_doc = {}
+    for i, words in enumerate(docs):
+        ws = [w for w in words if w != ""]
+        chunks_by_doc[i] = [
+            " ".join(ws[j : j + 10]) for j in range(0, len(ws), 10)
+        ]
+    doc_count = collections.Counter()
+    for i, cs in chunks_by_doc.items():
+        doc_count.update(set(cs))
+    boiler = {c for c, n in doc_count.items() if n >= 2}
+    expected = {}
+    for i, cs in chunks_by_doc.items():
+        if not cs:
+            continue
+        nb = sum(1 for c in cs if c in boiler)
+        expected[i] = (
+            len(cs),
+            nb,
+            ((len(cs) - nb) * 1_000_000) // len(cs),
+        )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_boilerplate"], r["kept_micro"])
+        for r in QUERIES["llm_chunk_dedup"](spark, d).collect()
+    }
+    assert got == expected, (docs, got, expected)
+
+
+@given(docs=docs_lists)
+@settings(**SETTINGS)
+def test_unigram_logprob_matches_reference(spark, tmp_path_factory, docs):
+    """llm_unigram_logprob equals the plain-Python reference: corpus
+    token counts, per-token bits = floor(log2(cnt)) + 1 (bit_length),
+    integer millibit mean, >= 9500 selection."""
+    base = tmp_path_factory.mktemp("lmprop")
+    d = _write_docs_fixture(base, docs)
+
+    vocab = collections.Counter()
+    toks = {}
+    for i, words in enumerate(docs):
+        ws = [w for w in words if w != ""]
+        toks[i] = ws
+        vocab.update(ws)
+    expected = {}
+    for i, ws in toks.items():
+        if not ws:
+            continue
+        sum_bits = sum(vocab[w].bit_length() for w in ws)
+        mean_mb = (sum_bits * 1000) // len(ws)
+        expected[i] = (len(ws), sum_bits, mean_mb, mean_mb >= 9500)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["sum_bits"],
+            r["mean_millibits"],
+            r["selected"],
+        )
+        for r in QUERIES["llm_unigram_logprob"](spark, d).collect()
+    }
+    assert got == expected, (docs, got, expected)
