@@ -91,6 +91,9 @@ HEADLINE = [
     "sort_zorder_locality",    # Morton key + per-tile locality audit
     "llm_chunk_dedup",         # paragraph/chunk boilerplate dedup
     "llm_unigram_logprob",     # unigram-LM millibit quality score
+    "graph_pagerank",          # 3-iteration fixed-point power iteration
+    "llm_inverted_index",      # token -> top-5 posting lists + df
+    "llm_sliding_chunks",      # overlapping RAG chunker (zero-shuffle)
 ]
 
 

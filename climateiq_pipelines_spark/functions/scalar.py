@@ -391,3 +391,66 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.struct("o_orderstatus", "o_custkey")
         ).alias("self_eq"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://ex' || (doc_id % 7) || '.example.com/docs/'
+               || doc_id || '?q=' || lang || '&page=' || (doc_id % 13)
+               || '#frag' || (doc_id % 3) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'q=([^&#]*)', 1) AS q_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family — completes the §2.8 string surface with
+    Spark's dedicated `parse_url` (PROTOCOL / HOST / PATH / QUERY /
+    per-key QUERY / REF), the parser every clickstream or crawl
+    pipeline leans on. The fixture has no URL column, so URLs are
+    CONSTRUCTED deterministically from doc_id and lang (same
+    expression both engines — the llm_pii_redact injection
+    discipline); what is under test is the PARSING. DuckDB has no
+    parse_url, so the oracle re-derives each component with anchored
+    RE2 regexes — an independent second implementation, which is
+    exactly what makes the equality meaningful: Spark's Java URI
+    parser and the regex spec must agree on every component, on
+    every row.
+
+    Plan: construction + parsing are one zero-shuffle codegen map
+    stage (parse_url is a JVM intrinsic; no Python, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    url = F.concat(
+        F.lit("https://ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("#frag"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q")).alias(
+            "q_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
+    )

@@ -1,0 +1,128 @@
+"""Round-6 graph-analytics extension: PageRank power iteration over the
+customer–supplier purchase graph. Together with
+`dedup_graph.connected_components` (min-label / star contraction) this
+gives the repo both canonical iterative-graph shapes: component
+labelling and degree-normalized centrality. Registered after the
+driver's 50-entry certification window (plans.load_all);
+rotation-targeted for round 7+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+_PR_ITERS = 3
+_PR_R0 = 1_000_000  # initial rank, micro-units
+_PR_BASE = 150_000  # (1 - d) in micros, d = 0.85
+
+
+def _pagerank_oracle() -> str:
+    # 3 unrolled power iterations as CTE stages — the identical integer
+    # arithmetic the engine runs: c(u) = r(u) // deg(u) per edge,
+    # r'(v) = BASE + (Σ c(u) * 85) // 100.
+    stages = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        stages.append(
+            f"""r{i} AS (
+      SELECT s.v AS node, {_PR_BASE} + (SUM(p.r // d.deg) * 85) // 100 AS r
+      FROM sym s
+      JOIN {prev} p ON p.node = s.u
+      JOIN deg d ON d.node = s.u
+      GROUP BY s.v
+    )"""
+        )
+        prev = f"r{i}"
+    joined_stages = ",\n    ".join(stages)
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+    r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS r FROM deg),
+    {joined_stages}
+    SELECT f.node AS node_id,
+           f.node % 2 = 1 AS is_supplier,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(f.r AS BIGINT) AS rank_micro
+    FROM {prev} f JOIN deg d ON d.node = f.node
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the bipartite customer–supplier purchase graph —
+    degree-normalized centrality, the second canonical iterative graph
+    shape beside connected components (`llm_dedup_clusters`): which
+    suppliers sit at the center of the purchase network, weighted by
+    how concentrated each buyer's attention is. Nodes are customers
+    (2k) and suppliers (2k+1); an undirected edge per DISTINCT
+    purchase relationship; 3 power iterations of
+    r'(v) = 0.15 + 0.85 · Σ_(u→v) r(u)/deg(u).
+
+    Exactness: ranks live in int64 micro-units; each per-edge
+    contribution is floor(r(u) / deg(u)) (integer division), each
+    damping step is (Σ · 85) DIV 100 — every iteration is pure integer
+    arithmetic, so 3 rounds compose bit-identically on both engines
+    (the llm_kmeans_iterate unrolled-fixed-point contract applied to
+    graphs). Iteration count is fixed at 3 for hash-checkability; a
+    production run iterates to an L1-residual threshold with the same
+    per-round plan.
+
+    Plan: the edge list is built ONCE (orderkey join, distinct pair
+    aggregate), symmetrized, and the degree table derives from it; the
+    (edge, deg) relation materializes via localCheckpoint and is
+    REUSED by all 3 iterations — per iteration the plan is one
+    node-keyed join (rank → edge source) + one map-side-combined sum
+    on the destination, i.e. 2 shuffles per round, the same discipline
+    as connected_components. No driver-side loop state: the 3 rounds
+    are unrolled into one lazy plan. At 100 TB: rank and degree state
+    is node-sized (≪ edge-sized); hot hubs are the skew risk and AQE's
+    skew-join split handles the rank join (pinned for the identical
+    shape by test_aqe_skew_join_splits_hot_partition)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # (src, dst, src-degree) — built once, reused by every iteration.
+    edge_deg = (
+        sym.join(deg, sym["u"] == deg["node"])
+        .select("u", "v", "deg")
+        .localCheckpoint(eager=False)
+    )
+    ranks = deg.select("node", F.lit(_PR_R0).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contribs = edge_deg.join(
+            ranks, edge_deg["u"] == ranks["node"]
+        ).select("v", F.expr("r div deg").alias("c"))
+        ranks = contribs.groupBy(F.col("v").alias("node")).agg(
+            (F.lit(_PR_BASE) + F.expr("(sum(c) * 85) div 100")).alias("r")
+        )
+    return ranks.join(deg.select("node", "deg"), "node").select(
+        F.col("node").alias("node_id"),
+        (F.col("node") % 2 == 1).alias("is_supplier"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("r").cast("long").alias("rank_micro"),
+    )

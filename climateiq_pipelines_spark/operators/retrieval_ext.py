@@ -1,0 +1,151 @@
+"""Round-6 retrieval-infrastructure extensions: inverted-index
+(posting-list) construction and overlapping sliding-window chunking —
+the two build-side ops of a retrieval / RAG corpus pipeline (the read
+side is the ANN family: llm_cosine_topk / llm_ivf_topk / llm_knn_query).
+Registered after the driver's 50-entry certification window
+(plans.load_all); rotation-targeted for round 7+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+_POSTINGS_K = 5
+
+_INVERTED_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    tf AS (
+      SELECT w AS token, doc_id, COUNT(*) AS tf
+      FROM words GROUP BY w, doc_id
+    ),
+    ranked AS (
+      SELECT token, doc_id, tf,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY token) AS df
+      FROM tf
+    )
+    SELECT token, CAST(rk AS INTEGER) AS rank, doc_id,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rk <= {_POSTINGS_K}
+"""
+
+
+@register("llm_inverted_index", oracle=_INVERTED_ORACLE)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX CONSTRUCTION — the build step of every keyword
+    retrieval system (BM25 serving, contamination lookups, corpus
+    search): token → top-5 posting list by term frequency, with each
+    token's document frequency alongside. The posting order is a TOTAL
+    order (tf desc, doc_id asc — row_number, not rank), so tf ties at
+    the cutoff can never flip the result set between engines.
+
+    Plan: the word stream collapses map-side into (token, doc, tf)
+    counts — ONE data-sized shuffle; the top-k and df windows share a
+    single token partitioning (WindowGroupLimit prunes the rank
+    filter before materializing full posting lists). At 100 TB this is
+    the canonical index-build shape: token-partitioned, per-token
+    state bounded by the posting cutoff, hot tokens (stopwords) are
+    the skew risk — production salts or drops stopword postings; the
+    df column is what that decision reads."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    words = docs.select("doc_id", F.explode(ws).alias("token"))
+    tf = words.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    tw = W.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    dfw = W.partitionBy("token")
+    return (
+        tf.withColumn("rank", F.row_number().over(tw))
+        .withColumn("df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("rank") <= _POSTINGS_K)
+        .select(
+            "token",
+            F.col("rank").cast("int"),
+            "doc_id",
+            "tf",
+            F.col("df").cast("long"),
+        )
+    )
+
+
+_CHUNK_WIDTH = 64
+_CHUNK_STRIDE = 48  # overlap = 16 tokens
+
+
+def _sliding_chunks_oracle() -> str:
+    return f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             ws[({_CHUNK_STRIDE} * i + 1):({_CHUNK_STRIDE} * i
+                + {_CHUNK_WIDTH})] AS cw
+      FROM ws, UNNEST(range(CAST(ceil(len(ws) / {_CHUNK_STRIDE}.0)
+                            AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           md5(array_to_string(cw, ' ')) AS chunk_digest
+    FROM chunks
+    """
+
+
+@register("llm_sliding_chunks", oracle=_sliding_chunks_oracle())
+def llm_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING SLIDING-WINDOW CHUNKING — the RAG / embedding-stage
+    chunker: windows of 64 tokens advancing by a 48-token stride (16
+    tokens of overlap), so no semantic boundary is ever lost to a hard
+    cut. One row per (doc, chunk) with the token count and the md5
+    digest of the chunk text — the digest pins the FULL chunk content,
+    so an off-by-one in the stride arithmetic or slicing hash-fails
+    immediately. Chunk count = ceil(n / stride); the final windows are
+    short by construction (identical formula both engines; empty docs
+    produce no chunks).
+
+    Contrast with the two sibling chunkers: `llm_pack_sequences` packs
+    WHOLE documents into fixed token budgets (training batches);
+    `udtf_native_chunker` cuts disjoint fixed windows (the UDTF API
+    demo); this key is the overlapping variant retrieval actually
+    indexes. Plan: a ZERO-SHUFFLE map stage end to end — the window
+    index sequence, per-index array slice, join, and digest all run
+    inside codegen over the scan; at 100 TB this is a pure map over
+    the corpus, the cheapest possible shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    arr = docs.select("doc_id", ws.alias("ws"))
+    # sequence(0, n-1) DESCENDS when n = 0 — guard empty docs to [].
+    idx = F.when(
+        F.size("ws") > 0,
+        F.expr(
+            f"sequence(0, cast(ceil(size(ws) / {_CHUNK_STRIDE}.0) as int)"
+            " - 1)"
+        ),
+    ).otherwise(F.expr("array()"))
+    chunks = arr.select(
+        "doc_id", "ws", F.explode(idx).alias("chunk_idx")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.expr(
+            f"slice(ws, {_CHUNK_STRIDE} * chunk_idx + 1, {_CHUNK_WIDTH})"
+        ).alias("cw"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cw").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_digest"),
+    )

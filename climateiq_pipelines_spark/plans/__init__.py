@@ -111,3 +111,5 @@ def load_all() -> None:
     from climateiq_pipelines_spark.operators import events_ext  # noqa: F401
     from climateiq_pipelines_spark.sources import formats_ext  # noqa: F401
     from climateiq_pipelines_spark.operators import relational_ext  # noqa: F401
+    from climateiq_pipelines_spark.operators import graph_ext  # noqa: F401
+    from climateiq_pipelines_spark.operators import retrieval_ext  # noqa: F401

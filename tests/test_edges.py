@@ -121,6 +121,10 @@ EDGE_KEYS = [
     "scan_schema_evolution",     # one-sided batches on tiny key ranges
     "llm_chunk_dedup",           # exact-dup docs → 100% boilerplate
     "llm_unigram_logprob",       # dup/short docs through integer log2
+    "graph_pagerank",            # star-shaped purchase graph, dup edges
+    "llm_inverted_index",        # tf ties at the posting cutoff
+    "llm_sliding_chunks",        # docs shorter than one stride
+    "fn_url",                    # parse_url vs regex on edge doc ids
 ]
 
 

@@ -286,3 +286,119 @@ def test_unigram_logprob_matches_reference(spark, tmp_path_factory, docs):
         for r in QUERIES["llm_unigram_logprob"](spark, d).collect()
     }
     assert got == expected, (docs, got, expected)
+
+
+# ------------------------------------------------------- pagerank
+
+# (custkey, suppkey) purchase pairs; duplicates force the DISTINCT
+# edge set, single-customer graphs force star shapes.
+purchase_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=3),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _write_purchase_fixture(base, pairs):
+    import datetime as dt
+
+    d = base / f"pr_{next(_counter)}"
+    d.mkdir()
+    n = len(pairs)
+    ts = pa.timestamp("us")
+    t0 = dt.datetime(1995, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+                "o_custkey": pa.array([p[0] for p in pairs], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array([100.0] * n, pa.float64()),
+                "o_orderdate": pa.array([t0] * n, ts),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([p[1] for p in pairs], pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([100.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([t0] * n, ts),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+@given(pairs=purchase_pairs)
+@settings(**SETTINGS)
+def test_pagerank_matches_reference(spark, tmp_path_factory, pairs):
+    """graph_pagerank on arbitrary tiny purchase graphs equals the
+    plain-Python power iteration: distinct symmetric edges, integer
+    floor division per contribution, (sum * 85) // 100 + 150000 per
+    round, 3 rounds."""
+    base = tmp_path_factory.mktemp("prprop")
+    d = _write_purchase_fixture(base, pairs)
+
+    edges = {(c * 2, s * 2 + 1) for c, s in pairs}
+    sym = list(edges) + [(v, u) for u, v in edges]
+    deg = collections.Counter(u for u, _ in sym)
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(3):
+        s = collections.Counter()
+        for u, v in sym:
+            s[v] += r[u] // deg[u]
+        r = {v: 150_000 + (s[v] * 85) // 100 for v in s}
+    expected = {
+        n: (n % 2 == 1, deg[n], rank) for n, rank in r.items()
+    }
+    got = {
+        row["node_id"]: (
+            row["is_supplier"],
+            row["degree"],
+            row["rank_micro"],
+        )
+        for row in QUERIES["graph_pagerank"](spark, d).collect()
+    }
+    assert got == expected, (pairs, got, expected)
+
+
+@given(docs=docs_lists)
+@settings(**SETTINGS)
+def test_sliding_chunks_matches_reference(spark, tmp_path_factory, docs):
+    """llm_sliding_chunks equals the plain-Python reference: stride-48
+    width-64 windows over the filtered word list, ceil(n/48) chunks,
+    md5 digests of the joined chunk text; empty docs emit nothing."""
+    import hashlib
+
+    base = tmp_path_factory.mktemp("slideprop")
+    d = _write_docs_fixture(base, docs)
+
+    expected = {}
+    for i, words in enumerate(docs):
+        ws = [w for w in words if w != ""]
+        for j in range(0, -(-len(ws) // 48)):
+            cw = ws[48 * j : 48 * j + 64]
+            expected[(i, j)] = (
+                len(cw),
+                hashlib.md5(" ".join(cw).encode()).hexdigest(),
+            )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_digest"])
+        for r in QUERIES["llm_sliding_chunks"](spark, d).collect()
+    }
+    assert got == expected, (docs, got, expected)
