@@ -94,6 +94,8 @@ HEADLINE = [
     "graph_pagerank",          # 3-iteration fixed-point power iteration
     "llm_inverted_index",      # token -> top-5 posting lists + df
     "llm_sliding_chunks",      # overlapping RAG chunker (zero-shuffle)
+    "llm_bm25_score",          # lexical top-10 BM25 ranking
+    "mm_wav_decode",           # native RIFF/PCM16 decode through Arrow
 ]
 
 

@@ -303,3 +303,41 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=list(schema.fieldNames()))
 
     return frames.mapInPandas(decode, schema)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode (r6b): RIFF/WAVE PCM payloads parsed natively —
+    RIFF container walk (chunk id + little-endian size, word-aligned),
+    fmt validation (PCM, 16-bit), data chunk into an (n, channels)
+    int16 array — no external codec. Malformed containers fail loudly
+    (bad magic, truncated chunk, missing fmt/data, non-PCM), never
+    return garbage samples. Returns {n_channels, sample_rate, samples}.
+    """
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) != sz:
+            raise ValueError(f"truncated {cid!r} chunk: want {sz}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _brate, _block, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+    if n_ch < 1 or len(data) % (2 * n_ch) != 0:
+        raise ValueError("data chunk not a whole number of frames")
+    samples = np.frombuffer(data, "<i2").reshape(-1, n_ch)
+    return {"n_channels": n_ch, "sample_rate": rate, "samples": samples}

@@ -149,3 +149,118 @@ def llm_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cw").cast("long").alias("n_tokens"),
         F.md5(F.array_join("cw", " ")).alias("chunk_digest"),
     )
+
+
+_BM25_QUERY = ("table", "spark", "query")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+# The full per-(doc, term) BM25 contribution as ONE shared SQL text —
+# both engines evaluate the IDENTICAL expression tree over exact
+# integer inputs (tf, df, dl, n_docs, total_dl), so every intermediate
+# double matches bit-for-bit except ln(), whose libm output is
+# immediately floored to int64 micros (idf_micro) — the one
+# library-dependent value enters the arithmetic as an integer.
+# Contribution = idf * (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)),
+# floored to micros for exact integer summation (the dsum policy).
+_BM25_CONTRIB_SQL = f"""
+  CAST(floor(
+    CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000)
+         AS BIGINT) / 1000000.0
+    * (tf * ({_BM25_K1} + 1.0))
+    / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+         + {_BM25_B} * CAST(dl AS DOUBLE)
+           / (CAST(total_dl AS DOUBLE) / n_docs)))
+    * 1000000) AS BIGINT)
+"""
+
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words WHERE w IN ({terms}) GROUP BY doc_id, w
+    ),
+    dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    contrib AS (
+      SELECT tf.doc_id, {_BM25_CONTRIB_SQL} AS c
+      FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), tot
+    ),
+    sc AS (
+      SELECT doc_id, COUNT(*) AS n_matched, SUM(c) AS s
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(s AS DOUBLE) / 1000000.0 AS bm25,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, n_matched, s,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM sc
+    ) WHERE rk <= {_BM25_TOPK}
+    """
+
+
+@register("llm_bm25_score", oracle=_bm25_oracle())
+def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 FULL-TEXT RANKING — the read side of `llm_inverted_index`:
+    score every document against a fixed 3-term query with the real
+    BM25 formula (k1 = 1.2, b = 0.75, the Robertson idf in its
+    always-positive ln(1 + ·) form) and return the top-10 under a
+    total order (score desc, doc_id). This is the lexical half of
+    every hybrid retrieval stack; the ANN keys are the dense half.
+
+    Exactness: the per-(doc, term) contribution is ONE shared SQL text
+    evaluated by BOTH engines over exact integer inputs — identical
+    IEEE expression tree; ln(), the only libm call, is floored to
+    int64 micros immediately, and per-doc scores are exact integer
+    sums of those micros (the dsum policy), so ranking ties are
+    decided identically. Plan: the word stream collapses to (doc,
+    term, tf) for the 3 query terms (filter BEFORE the shuffle — the
+    posting fetch, not a corpus scan), doc lengths aggregate once,
+    the 1-row corpus stats and ≤3-row df table broadcast, and the
+    top-10 is TakeOrderedAndProject — never a data-sized sort. At
+    100 TB the tf filter is the index lookup; everything downstream
+    is bounded by |matching docs|."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    words = docs.select("doc_id", F.explode(ws).alias("w"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        words.filter(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(_BM25_CONTRIB_SQL).alias("c"))
+    )
+    sc = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"), F.sum("c").alias("s")
+    )
+    top = sc.orderBy(F.desc("s"), F.asc("doc_id")).limit(_BM25_TOPK)
+    rw = W.orderBy(F.desc("s"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        "doc_id",
+        "n_matched",
+        (F.col("s").cast("double") / F.lit(1e6)).alias("bm25"),
+        F.col("rank").cast("int"),
+    )

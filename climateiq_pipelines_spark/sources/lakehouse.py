@@ -275,3 +275,87 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rows_a") == F.col("rows_b")).alias("rows_conserved"),
         (F.col("ck_a") == F.col("ck_b")).alias("keys_conserved"),
     )
+
+
+_RANGE_PARTS = 8
+
+
+@register(
+    "sink_range_partitioned_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           TRUE AS files_bounded,
+           TRUE AS files_sorted,
+           TRUE AS ranges_disjoint
+    FROM orders
+    """,
+)
+def sink_range_partitioned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-CLUSTERED WRITE + MIN/MAX MANIFEST AUDIT — the layout that
+    makes per-file statistics an index: `repartitionByRange(8, key)` +
+    `sortWithinPartitions(key)` writes files whose key ranges are
+    PAIRWISE DISJOINT, so a reader (or a table format's manifest) can
+    prune every file whose [min, max] misses the predicate — the
+    data-skipping contract Iceberg/Delta manifests encode, here
+    audited from first principles via the `_metadata` columns.
+
+    The audit re-reads the files, derives each file's (min, max, rows,
+    stored order) and reduces to ONE SQL-checkable row: rows + key
+    checksum conserved, file count within the requested partition
+    bound, every file internally sorted (observed via
+    `_metadata.row_index` — the STORED order), and all [min, max]
+    ranges disjoint (checked by sorting the per-file stats and
+    comparing each min to the previous max — a window over the ≤8-row
+    stats relation). Range boundaries come from sampling, so WHICH
+    boundaries are chosen is not part of the contract — every invariant
+    audited here holds for ANY boundary choice, which is exactly what
+    makes the key deterministic.
+
+    At 100 TB: this is the OPTIMIZE/sort step before handing data to a
+    manifest-tracking format; z-ordering (sort_zorder_locality) is the
+    multi-dimensional variant of the same idea."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = os.path.join(_tmpdir("range"), "orders_ranged")
+    (
+        orders.repartitionByRange(_RANGE_PARTS, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("fpath"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    from pyspark.sql import Window as W
+
+    fw = W.partitionBy("fpath").orderBy("ridx")
+    prev = F.lag("o_orderkey").over(fw)
+    per_file = (
+        back.withColumn(
+            "in_order", prev.isNull() | (prev <= F.col("o_orderkey"))
+        )
+        .groupBy("fpath")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("ksum"),
+            F.min("o_orderkey").alias("kmin"),
+            F.max("o_orderkey").alias("kmax"),
+            F.min("in_order").alias("sorted_ok"),
+        )
+    )
+    # ≤8-row stats relation: disjointness via a lag over the min-sorted
+    # file list (bounded window — never the data).
+    sw = W.orderBy("kmin")
+    staged = per_file.withColumn("prev_max", F.lag("kmax").over(sw))
+    return staged.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("ksum").alias("key_checksum"),
+        (F.count(F.lit(1)).between(1, _RANGE_PARTS)).alias("files_bounded"),
+        F.min("sorted_ok").alias("files_sorted"),
+        F.min(
+            F.col("prev_max").isNull()
+            | (F.col("prev_max") < F.col("kmin"))
+        ).alias("ranges_disjoint"),
+    )

@@ -125,6 +125,9 @@ EDGE_KEYS = [
     "llm_inverted_index",        # tf ties at the posting cutoff
     "llm_sliding_chunks",        # docs shorter than one stride
     "fn_url",                    # parse_url vs regex on edge doc ids
+    "llm_bm25_score",            # dup docs -> identical scores, id tiebreak
+    "mm_wav_decode",             # short texts fully 'x'-padded rasters
+    "sink_range_partitioned_stats",  # tiny table -> fewer files than parts
 ]
 
 

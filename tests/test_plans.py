@@ -39,6 +39,7 @@ NESTED_LOOP_OK = {
     "q11_important_stock",  # 1-row grand-total scalar-subquery cross
     "llm_dsir_weights",  # 1-row gram-total cross into the 64-row ratio table
     "sink_compact_small_files",  # 1-row x 1-row audit cross
+    "llm_bm25_score",  # 1-row corpus-stats broadcast cross (N, avgdl)
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -60,6 +61,7 @@ PYTHON_EVAL_OK = {
     # 64-float arrays per pair through interpreted HOFs
     "llm_semdedup",
     "llm_semdedup_pipeline",  # stage 2 is the same Arrow pair scorer
+    "mm_wav_decode",  # native RIFF/PCM codec runs in Python (MapInPandas)
 }
 
 PY_EVAL_NODES = (
@@ -226,6 +228,8 @@ BROADCAST_OK = {
     ("llm_data_ext.py", "ratio"): "<=64-row hashed-bucket ratio table (DSIR)",
     ("llm_data_ext.py", "centroids"): "k x 64 centroid table (semdedup pipeline)",
     ("llm_data_ext.py", "vocab"): "vocabulary-sized unigram count table (Zipf-bounded)",
+    ("retrieval_ext.py", "dfq"): "<=|query|-row (3) document-frequency table (BM25)",
+    ("retrieval_ext.py", "tot"): "1-row corpus-stats aggregate (BM25)",
     ("events_ext.py", "st"): "|event_type|-row moment-stats table (zscore)",
     ("lakehouse.py", "b"): "1-row compaction audit aggregate",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
@@ -297,7 +301,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 178, len(keys)
+    assert len(keys) == 181, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]

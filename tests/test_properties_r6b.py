@@ -402,3 +402,67 @@ def test_sliding_chunks_matches_reference(spark, tmp_path_factory, docs):
         for r in QUERIES["llm_sliding_chunks"](spark, d).collect()
     }
     assert got == expected, (docs, got, expected)
+
+
+# ------------------------------------------------------- WAV codec
+
+
+def _wav_payload(n_ch, rate, raster, extra_chunk=False):
+    import struct
+
+    data_sz = len(raster)
+    body = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16
+    )
+    if extra_chunk:
+        body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body += b"data" + struct.pack("<I", data_sz) + raster
+    if data_sz & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+@given(
+    n_ch=st.integers(min_value=1, max_value=4),
+    n_frames=st.integers(min_value=1, max_value=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    extra=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_codec_roundtrip(n_ch, n_frames, rate, seed, extra):
+    """Any well-formed PCM16 WAV — arbitrary channel count, rate,
+    raster bytes (including negative samples and bytes that look like
+    chunk ids), and an unknown skippable chunk — decodes to exactly
+    its sample matrix."""
+    import numpy as np
+
+    from climateiq_pipelines_spark.operators.multimodal import _decode_wav
+
+    n = n_frames * n_ch * 2
+    raster = bytes((seed * 2654435761 + i * 40503) % 256 for i in range(n))
+    d = _decode_wav(_wav_payload(n_ch, rate, raster, extra))
+    assert d["n_channels"] == n_ch and d["sample_rate"] == rate
+    want = np.frombuffer(raster, "<i2").reshape(-1, n_ch)
+    assert (d["samples"] == want).all()
+
+
+def test_wav_codec_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from climateiq_pipelines_spark.operators.multimodal import _decode_wav
+
+    good = _wav_payload(1, 8000, b"\x01\x02\x03\x04")
+    _decode_wav(good)  # sanity
+    for bad in [
+        b"RIFX" + good[4:],                      # bad magic
+        good[:8] + b"WAVX" + good[12:],          # bad form type
+        good[:-2],                               # truncated data chunk
+        good[:12] + good[36:],                   # missing fmt
+        good[:20] + struct.pack("<H", 3) + good[22:],   # float fmt
+        good[:34] + struct.pack("<H", 8) + good[36:],   # 8-bit
+    ]:
+        with _pytest.raises(ValueError):
+            _decode_wav(bad)
