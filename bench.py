@@ -96,6 +96,7 @@ HEADLINE = [
     "llm_sliding_chunks",      # overlapping RAG chunker (zero-shuffle)
     "llm_bm25_score",          # lexical top-10 BM25 ranking
     "mm_wav_decode",           # native RIFF/PCM16 decode through Arrow
+    "llm_rrf_fusion",          # hybrid lexical+dense rank fusion
 ]
 
 

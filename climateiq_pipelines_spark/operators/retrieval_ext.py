@@ -264,3 +264,123 @@ def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / F.lit(1e6)).alias("bm25"),
         F.col("rank").cast("int"),
     )
+
+
+_RRF_K = 60  # the standard RRF damping constant
+
+
+def _rrf_oracle() -> str:
+    from climateiq_pipelines_spark.operators.llm import _sql_int_dot
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    dot = _sql_int_dot("e.embedding", "q.q_emb")
+    return f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words WHERE w IN ({terms}) GROUP BY doc_id, w
+    ),
+    dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    contrib AS (
+      SELECT tf.doc_id, {_BM25_CONTRIB_SQL} AS c
+      FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), tot
+    ),
+    sc AS (SELECT doc_id, SUM(c) AS s FROM contrib GROUP BY doc_id),
+    lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM sc
+    ),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+      SELECT e.vec_id, {dot} AS dot_fp
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    denser AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY dot_fp DESC, vec_id) AS rk
+      FROM dscored
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.vec_id) AS id,
+             l.rk AS lex_rank, d.rk AS dense_rank
+      FROM (SELECT * FROM lexr WHERE rk <= {_BM25_TOPK}) l
+      FULL JOIN (SELECT * FROM denser WHERE rk <= {_BM25_TOPK}) d
+        ON l.doc_id = d.vec_id
+    )
+    SELECT id,
+           CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(dense_rank AS INTEGER) AS dense_rank,
+           CAST(COALESCE(1000000 // ({_RRF_K} + lex_rank), 0)
+              + COALESCE(1000000 // ({_RRF_K} + dense_rank), 0)
+              AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (
+             ORDER BY COALESCE(1000000 // ({_RRF_K} + lex_rank), 0)
+                    + COALESCE(1000000 // ({_RRF_K} + dense_rank), 0) DESC,
+                    id) AS INTEGER) AS fused_rank
+    FROM fused
+    """
+
+
+@register("llm_rrf_fusion", oracle=_rrf_oracle())
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID-RETRIEVAL RANK FUSION (RRF, Cormack et al. 2009) — the
+    step every modern search stack runs after its lexical and dense
+    retrievers: fuse the BM25 top-10 (llm_bm25_score's ranking) with
+    the embedding top-10 (llm_knn_query's exact-dot ranking against
+    the vec_id-0 query) via Reciprocal Rank Fusion, score(d) =
+    Σ_lists 1/(60 + rank). Documents found by only one retriever keep
+    that single term — the property that makes RRF robust to score
+    scale mismatch between lists (it reads only RANKS, never scores).
+
+    Exactness: both input rankings are already total integer orders
+    (BM25 micro-sums; fixed-point dots), and the RRF terms are
+    computed as floor(1e6 / (60 + rank)) — pure integer floor
+    division on both engines — so fusion scores and the fused total
+    order (rrf desc, id) are bit-identical. Plan: each retriever's
+    top-10 is TakeOrderedAndProject (never a data-sized sort); the
+    fusion is a full outer join of two ≤10-row relations with a
+    bounded rank window. At 100 TB the retrievers scale as documented
+    on their own keys; the fusion cost is constant."""
+    from climateiq_pipelines_spark.operators.llm import _int_dot
+
+    lex = llm_bm25_score(spark, sf_dir).select(
+        F.col("doc_id").alias("l_id"), F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dscored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _int_dot(F.col("embedding"), F.col("q_emb")).alias("dot_fp"))
+    )
+    dtop = dscored.orderBy(F.desc("dot_fp"), F.asc("vec_id")).limit(
+        _BM25_TOPK
+    )
+    drw = W.orderBy(F.desc("dot_fp"), F.asc("vec_id"))
+    dense = dtop.withColumn("dense_rank", F.row_number().over(drw)).select(
+        F.col("vec_id").alias("d_id"), "dense_rank"
+    )
+    fused = lex.join(dense, lex["l_id"] == dense["d_id"], "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731 — tiny local shorthand
+        F.expr(f"1000000 div ({_RRF_K} + {c})"), F.lit(0)
+    )
+    rrf = (term("lex_rank") + term("dense_rank")).cast("long")
+    staged = fused.select(
+        F.coalesce(F.col("l_id"), F.col("d_id")).alias("id"),
+        F.col("lex_rank").cast("int"),
+        F.col("dense_rank").cast("int"),
+        rrf.alias("rrf_micro"),
+    )
+    fw = W.orderBy(F.desc("rrf_micro"), F.asc("id"))
+    return staged.withColumn(
+        "fused_rank", F.row_number().over(fw).cast("int")
+    )

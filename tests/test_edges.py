@@ -128,6 +128,7 @@ EDGE_KEYS = [
     "llm_bm25_score",            # dup docs -> identical scores, id tiebreak
     "mm_wav_decode",             # short texts fully 'x'-padded rasters
     "sink_range_partitioned_stats",  # tiny table -> fewer files than parts
+    "llm_rrf_fusion",            # identical vectors -> dense rank ties
 ]
 
 

@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "llm_dsir_weights",  # 1-row gram-total cross into the 64-row ratio table
     "sink_compact_small_files",  # 1-row x 1-row audit cross
     "llm_bm25_score",  # 1-row corpus-stats broadcast cross (N, avgdl)
+    "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -230,6 +231,7 @@ BROADCAST_OK = {
     ("llm_data_ext.py", "vocab"): "vocabulary-sized unigram count table (Zipf-bounded)",
     ("retrieval_ext.py", "dfq"): "<=|query|-row (3) document-frequency table (BM25)",
     ("retrieval_ext.py", "tot"): "1-row corpus-stats aggregate (BM25)",
+    ("retrieval_ext.py", "q"): "1-row query vector (RRF dense side)",
     ("events_ext.py", "st"): "|event_type|-row moment-stats table (zscore)",
     ("lakehouse.py", "b"): "1-row compaction audit aggregate",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
@@ -301,7 +303,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 181, len(keys)
+    assert len(keys) == 182, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
