@@ -97,6 +97,7 @@ HEADLINE = [
     "llm_bm25_score",          # lexical top-10 BM25 ranking
     "mm_wav_decode",           # native RIFF/PCM16 decode through Arrow
     "llm_rrf_fusion",          # hybrid lexical+dense rank fusion
+    "agg_linear_fit",          # least-squares fit from exact moments
 ]
 
 

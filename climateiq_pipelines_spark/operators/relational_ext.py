@@ -372,3 +372,80 @@ def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x_max") - F.col("x_min") <= 15).alias("x_bounded"),
         (F.col("y_max") - F.col("y_min") <= 15).alias("y_bounded"),
     )
+
+
+_FIT_ORACLE = """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(b, 9) AS slope,
+           round((sy - b * sx) / n, 9) AS intercept,
+           round(sy / n + b * (50 - sx / n), 6) AS pred_at_50
+    FROM (
+      SELECT *,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b
+      FROM s
+    )
+"""
+
+
+@register("agg_linear_fit", oracle=_FIT_ORACLE)
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR REGRESSION FROM EXACT MOMENTS — per-group least-squares
+    fit (price ~ quantity per return flag) computed the way a
+    distributed engine must: accumulate the exact decimal moment sums
+    (n, Σx, Σx², Σy, Σxy — associative, partition-order independent;
+    the agg_stats_moments recipe), then derive slope/intercept from
+    the closed form β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in ONE fixed
+    IEEE expression tree over those exact inputs, rounded at the
+    boundary (the fin policy — derived ratios are where engines
+    diverge, so only rounded values reach the hash). `pred_at_50` is
+    the fitted line evaluated at x = 50 — the "use the model" step.
+
+    This is what Spark's regr_slope/regr_intercept compute, but those
+    built-ins accumulate raw doubles, so their last ulps depend on
+    partition layout — exactly the nondeterminism the moment-sum
+    policy exists to kill (pinned by test_determinism). Plan: one
+    map-side-combined aggregate on the 3-value flag key; at 100 TB the
+    moment state is 5 numbers per group, and the decimal slow path
+    applies only to the squared measures that overflow long micros."""
+    li = load_table(spark, sf_dir, "lineitem")
+    DEC = "decimal(25,6)"
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (
+        F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"]
+    )
+    # Zero-variance groups (constant x, e.g. single-row edge groups)
+    # have an exactly-zero denominator — NULL fit on both engines
+    # instead of an ANSI divide-by-zero.
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    return s.select(
+        "l_returnflag",
+        n.alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(sy / n + slope * (F.lit(50) - sx / n), 6).alias(
+            "pred_at_50"
+        ),
+    )

@@ -30,6 +30,13 @@ PROBE_KEYS = [
     "llm_dedup_clusters",      # component labels under any layout
     "stream_watermark_spans",  # span watermark from a groupBy, not order
     "llm_kmeans_iterate",      # fixed-point Lloyd loop, any layout
+    # round 6b: new iterative / fixed-point / layout-adjacent keys
+    "graph_pagerank",          # 3 power iterations, integer fixed point
+    "llm_bm25_score",          # ln floored to micros + integer sums
+    "llm_dsir_weights",        # hashed-gram ratios, checkpointed pass
+    "sink_range_partitioned_stats",  # audit invariant to sampled bounds
+    "events_markov_transitions",     # integer probabilities, any layout
+    "agg_linear_fit",                # decimal moments -> rounded fit
 ]
 
 

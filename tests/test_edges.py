@@ -129,6 +129,7 @@ EDGE_KEYS = [
     "mm_wav_decode",             # short texts fully 'x'-padded rasters
     "sink_range_partitioned_stats",  # tiny table -> fewer files than parts
     "llm_rrf_fusion",            # identical vectors -> dense rank ties
+    "agg_linear_fit",            # tiny groups through the moment closed form
 ]
 
 
