@@ -98,6 +98,7 @@ HEADLINE = [
     "mm_wav_decode",           # native RIFF/PCM16 decode through Arrow
     "llm_rrf_fusion",          # hybrid lexical+dense rank fusion
     "agg_linear_fit",          # least-squares fit from exact moments
+    "llm_bpe_pair_stats",      # BPE merge-candidate discovery pass
 ]
 
 

@@ -79,15 +79,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the edge list is built ONCE (orderkey join, distinct pair
     aggregate), symmetrized, and the degree table derives from it; the
-    (edge, deg) relation materializes via localCheckpoint and is
-    REUSED by all 3 iterations — per iteration the plan is one
+    (edge, deg) subtree repeats identically under each unrolled round
+    and AQE's runtime stage reuse computes its shuffles once
+    (measured 2.5 s vs 3.9 s for a localCheckpoint barrier at sf0.1 —
+    the checkpoint's ExistingRDD scan forfeits both exchange reuse
+    and AQE's join re-planning). Per iteration the plan is one
     node-keyed join (rank → edge source) + one map-side-combined sum
-    on the destination, i.e. 2 shuffles per round, the same discipline
-    as connected_components. No driver-side loop state: the 3 rounds
-    are unrolled into one lazy plan. At 100 TB: rank and degree state
-    is node-sized (≪ edge-sized); hot hubs are the skew risk and AQE's
-    skew-join split handles the rank join (pinned for the identical
-    shape by test_aqe_skew_join_splits_hot_partition)."""
+    on the destination, i.e. 2 shuffles per round, the same
+    discipline as connected_components. No driver-side loop state:
+    the 3 rounds are unrolled into one lazy plan. At 100 TB: rank and
+    degree state is node-sized (≪ edge-sized); hot hubs are the skew
+    risk and AQE's skew-join split handles the rank join (pinned for
+    the identical shape by test_aqe_skew_join_splits_hot_partition);
+    at hundreds of rounds (not 3) lineage depth would warrant a
+    localCheckpoint every ~10 rounds — the dedup_graph discipline."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -106,12 +111,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    # (src, dst, src-degree) — built once, reused by every iteration.
-    edge_deg = (
-        sym.join(deg, sym["u"] == deg["node"])
-        .select("u", "v", "deg")
-        .localCheckpoint(eager=False)
-    )
+    # (src, dst, src-degree): identical subtree under every unrolled
+    # round — AQE stage reuse computes its shuffles once (see
+    # docstring for the measured checkpoint comparison).
+    edge_deg = sym.join(deg, sym["u"] == deg["node"]).select("u", "v", "deg")
     ranks = deg.select("node", F.lit(_PR_R0).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         contribs = edge_deg.join(

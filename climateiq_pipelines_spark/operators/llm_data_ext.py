@@ -789,3 +789,81 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("selected"),
         )
     )
+
+
+_BPE_TOPK = 10
+
+_BPE_ORACLE = f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    chars AS (
+      SELECT w, wc, regexp_extract_all(w, '.') AS cs FROM words
+    ),
+    pairs AS (
+      SELECT cs[i + 1] || '_' || cs[i + 2] AS pair, wc
+      FROM chars,
+           UNNEST(range(greatest(len(cs) - 1, 0))) AS t(i)
+    ),
+    pc AS (SELECT pair, SUM(wc) AS n FROM pairs GROUP BY pair)
+    SELECT pair, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+      FROM pc
+    ) WHERE rk <= {_BPE_TOPK}
+"""
+
+
+@register("llm_bpe_pair_stats", oracle=_BPE_ORACLE)
+def llm_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE-CANDIDATE DISCOVERY — the statistics pass of a BPE
+    tokenizer-training iteration (Sennrich et al. 2016): count every
+    adjacent symbol pair across the corpus, weighted by word
+    frequency, and rank the top merge candidates; the argmax pair IS
+    the merge a BPE step would learn. Overlapping adjacency is the
+    paper's own counting ('aaa' contributes (a,a) twice), reproduced
+    exactly by indexing the char array. The top-10 carries a total
+    order (count desc, pair asc) so frequency ties can never flip
+    the result set between engines.
+
+    Plan: the corpus collapses FIRST to (word, count) — the symbol
+    work then runs once per distinct word, not once per token (the
+    standard BPE-training trick; vocabulary is Zipf-bounded, so this
+    is the big win at 100 TB); char splitting and pair formation are
+    zero-shuffle array ops inside codegen; pair counts combine
+    map-side to |distinct pairs| ≤ |alphabet|² rows; the rank window
+    runs over that bounded relation. Iterating the full merge loop
+    re-segments with the learned merge and repeats — each iteration
+    is this exact plan over a rewritten symbol column."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    words = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = words.select(
+        "wc", F.expr("regexp_extract_all(w, '.', 0)").alias("cs")
+    )
+    pair_arr = F.when(
+        F.size("cs") >= 2,
+        F.expr(
+            "transform(sequence(0, size(cs) - 2),"
+            " i -> concat(cs[i], '_', cs[i + 1]))"
+        ),
+    ).otherwise(F.expr("array()"))
+    pairs = chars.select("wc", F.explode(pair_arr).alias("pair"))
+    pc = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+    rw = W.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        pc.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select(
+            "pair",
+            F.col("n").alias("n_occurrences"),
+            F.col("rank").cast("int"),
+        )
+    )

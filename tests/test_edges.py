@@ -130,6 +130,7 @@ EDGE_KEYS = [
     "sink_range_partitioned_stats",  # tiny table -> fewer files than parts
     "llm_rrf_fusion",            # identical vectors -> dense rank ties
     "agg_linear_fit",            # tiny groups through the moment closed form
+    "llm_bpe_pair_stats",        # 1-char words form no pairs; count ties
 ]
 
 
