@@ -99,6 +99,7 @@ HEADLINE = [
     "llm_rrf_fusion",          # hybrid lexical+dense rank fusion
     "agg_linear_fit",          # least-squares fit from exact moments
     "llm_bpe_pair_stats",      # BPE merge-candidate discovery pass
+    "llm_bpe_apply_merge",     # full BPE iteration: argmax + re-segment
 ]
 
 

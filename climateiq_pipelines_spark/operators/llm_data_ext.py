@@ -867,3 +867,150 @@ def llm_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int"),
         )
     )
+
+
+def _bpe_fold_case(endswith_fn: str) -> str:
+    """The merge-application fold body, shared semantics on both
+    engines (only the endswith function NAME differs): walking the
+    char list left to right, if the accumulated token string ends
+    with the merge's first symbol and the next char is its second,
+    fuse them — the paper's greedy non-overlapping application
+    ('aaa' under (a,a) -> [aa, a], never [a, aa] or [aa, aa]).
+    Tokens are chr(31)-separated in the accumulator (a byte no
+    fixture text contains), so the exact-token suffix test can never
+    false-positive on a token that merely ENDS with symbol a."""
+    return (
+        f"CASE WHEN {endswith_fn}(acc, chr(31) || a) AND c = b "
+        "THEN substr(acc, 1, length(acc) - length(a) - 1)"
+        " || chr(31) || a || b "
+        "ELSE acc || chr(31) || c END"
+    )
+
+
+_BPE2_ORACLE = f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    chars AS (
+      SELECT w, wc, regexp_extract_all(w, '.') AS cs FROM words
+    ),
+    p1 AS (
+      SELECT cs[i + 1] AS a, cs[i + 2] AS b, SUM(wc) AS n
+      FROM chars, UNNEST(range(greatest(len(cs) - 1, 0))) AS t(i)
+      GROUP BY a, b
+    ),
+    top1 AS (
+      SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1
+    ),
+    applied AS (
+      SELECT wc,
+             string_split(substr(
+               list_reduce(list_prepend('', cs),
+                 (acc, c) -> {_bpe_fold_case("ends_with")}), 2),
+               chr(31)) AS cs2
+      FROM chars, top1
+    ),
+    p2 AS (
+      SELECT cs2[i + 1] || '_' || cs2[i + 2] AS pair, SUM(wc) AS n
+      FROM applied, UNNEST(range(greatest(len(cs2) - 1, 0))) AS t(i)
+      GROUP BY pair
+    )
+    SELECT (SELECT a || '_' || b FROM top1) AS applied_merge,
+           pair, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+      FROM p2
+    ) WHERE rk <= {_BPE_TOPK}
+"""
+
+
+@register("llm_bpe_apply_merge", oracle=_BPE2_ORACLE)
+def llm_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FULL BPE TRAINING ITERATION, composed end to end: discover
+    the argmax merge pair (llm_bpe_pair_stats' statistics), APPLY it
+    to the vocabulary with the paper's greedy left-to-right
+    non-overlapping rule, and re-count pair statistics over the new
+    symbol sequences — the top-10 of iteration 2, with the applied
+    merge pinned in every row. Application is a string FOLD over each
+    word's char list (aggregate() on Spark, list_reduce() on DuckDB —
+    same lambda body modulo the endswith spelling, chr(31) token
+    separator so suffix tests are exact-token), run once per DISTINCT
+    word; 'aaa' under merge (a,a) correctly yields [aa, a].
+
+    Proves the training loop composes: iterating this plan k times
+    (re-segment with each learned merge) IS BPE training; each
+    iteration stays vocabulary-sized after the initial corpus
+    collapse, which is what makes tokenizer training tractable at
+    100 TB (the corpus is touched once; every iteration after that
+    touches only (word, count) pairs). The fold is a JVM-interpreted
+    higher-order function over ≤word-length lists — no Python, no
+    shuffle; the 1-row argmax broadcast-crosses into the map stage
+    (allowlisted, constant size)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    words = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = words.select(
+        "wc", F.expr("regexp_extract_all(w, '.', 0)").alias("cs")
+    )
+    idx = F.when(
+        F.size("cs") >= 2,
+        F.expr("sequence(0, size(cs) - 2)"),
+    ).otherwise(F.expr("array()"))
+    p1 = (
+        chars.select("wc", "cs", F.explode(idx).alias("i"))
+        .select(
+            F.expr("cs[i]").alias("a"),
+            F.expr("cs[i + 1]").alias("b"),
+            "wc",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("wc").alias("n"))
+    )
+    top1 = p1.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).select(
+        "a", "b"
+    )
+    applied = chars.crossJoin(F.broadcast(top1)).select(
+        "wc",
+        F.split(
+            F.expr(
+                "substr(aggregate(cs, '',"
+                f" (acc, c) -> {_bpe_fold_case('endswith')}), 2)"
+            ),
+            chr(31),
+        ).alias("cs2"),
+        F.concat_ws("_", "a", "b").alias("applied_merge"),
+    )
+    idx2 = F.when(
+        F.size("cs2") >= 2,
+        F.expr("sequence(0, size(cs2) - 2)"),
+    ).otherwise(F.expr("array()"))
+    p2 = (
+        applied.select(
+            "wc", "cs2", "applied_merge", F.explode(idx2).alias("i")
+        )
+        .select(
+            "applied_merge",
+            F.expr("concat(cs2[i], '_', cs2[i + 1])").alias("pair"),
+            "wc",
+        )
+        .groupBy("applied_merge", "pair")
+        .agg(F.sum("wc").alias("n"))
+    )
+    rw = W.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        p2.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select(
+            "applied_merge",
+            "pair",
+            F.col("n").alias("n_occurrences"),
+            F.col("rank").cast("int"),
+        )
+    )

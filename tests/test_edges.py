@@ -131,6 +131,7 @@ EDGE_KEYS = [
     "llm_rrf_fusion",            # identical vectors -> dense rank ties
     "agg_linear_fit",            # tiny groups through the moment closed form
     "llm_bpe_pair_stats",        # 1-char words form no pairs; count ties
+    "llm_bpe_apply_merge",       # greedy non-overlap on repeated chars
 ]
 
 

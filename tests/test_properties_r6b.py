@@ -466,3 +466,64 @@ def test_wav_codec_rejects_malformed():
     ]:
         with _pytest.raises(ValueError):
             _decode_wav(bad)
+
+
+# ---------------------------------------------------- BPE iteration
+
+bpe_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "aaa", "aab", "abab", "ba", "b", "abc"]),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _bpe_reference(docs):
+    """Plain-Python BPE iteration: pair stats -> argmax merge ->
+    greedy left-to-right application -> iteration-2 top-10."""
+    vocab = collections.Counter()
+    for words in docs:
+        vocab.update(w for w in words if w != "")
+    p1 = collections.Counter()
+    for w, wc in vocab.items():
+        for x, y in zip(w, w[1:]):
+            p1[(x, y)] += wc
+    if not p1:
+        return {}
+    a, b = min(p1, key=lambda k: (-p1[k], k))
+    p2 = collections.Counter()
+    for w, wc in vocab.items():
+        toks, i = [], 0
+        for c in w:
+            if toks and toks[-1] == a and c == b:
+                toks[-1] = a + b
+            else:
+                toks.append(c)
+        for x, y in zip(toks, toks[1:]):
+            p2[(x, y)] += wc
+    ranked = sorted(p2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return {
+        f"{x}_{y}": (f"{a}_{b}", n, rk + 1)
+        for rk, ((x, y), n) in enumerate(ranked)
+    }
+
+
+@given(docs=bpe_docs)
+@settings(**SETTINGS)
+def test_bpe_apply_merge_matches_reference(spark, tmp_path_factory, docs):
+    """llm_bpe_apply_merge on arbitrary tiny corpora equals the
+    plain-Python BPE iteration — including the greedy non-overlap
+    rule on runs ('aaa' under (a,a) -> [aa, a]) and frequency ties
+    broken by pair text."""
+    base = tmp_path_factory.mktemp("bpeprop")
+    d = _write_docs_fixture(base, docs)
+
+    expected = _bpe_reference(docs)
+    got = {
+        r["pair"]: (r["applied_merge"], r["n_occurrences"], r["rank"])
+        for r in QUERIES["llm_bpe_apply_merge"](spark, d).collect()
+    }
+    assert got == expected, (docs, got, expected)
