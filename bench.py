@@ -100,6 +100,8 @@ HEADLINE = [
     "agg_linear_fit",          # least-squares fit from exact moments
     "llm_bpe_pair_stats",      # BPE merge-candidate discovery pass
     "llm_bpe_apply_merge",     # full BPE iteration: argmax + re-segment
+    "join_interval_overlap",   # grid-bucketed interval-overlap join
+    "events_windowed_topk",    # per-day trending top-3
 ]
 
 

@@ -449,3 +449,157 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_at_50"
         ),
     )
+
+
+_IVL_A_MOD = 97  # sparse deterministic slices of orders -> interval sets
+_IVL_B_MOD = 89
+
+
+def _interval_overlap_oracle() -> str:
+    return f"""
+    WITH a AS (
+      SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+             o_orderdate + INTERVAL ((o_orderkey % 30) + 1) DAY AS a_end
+      FROM orders WHERE o_orderkey % {_IVL_A_MOD} = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+             o_orderdate + INTERVAL ((o_orderkey % 45) + 1) DAY AS b_end
+      FROM orders WHERE o_orderkey % {_IVL_B_MOD} = 1
+    )
+    SELECT a_key, b_key,
+           CAST(datediff('day',
+                greatest(a_start, b_start),
+                least(a_end, b_end)) AS BIGINT) AS overlap_days
+    FROM a JOIN b
+      ON a_start <= b_end AND b_start <= a_end
+    """
+
+
+@register("join_interval_overlap", oracle=_interval_overlap_oracle())
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN via GRID BUCKETING — the scale pattern for
+    joining two interval sets on "ranges intersect" (meeting-room
+    conflicts, session overlap, genomic ranges): a naive theta-join is
+    O(|A|·|B|); instead each interval EXPLODES onto the epoch-month
+    grid cells it covers (bounded fan-out — spans here are ≤46 days,
+    so ≤3 cells), candidates equi-join on the cell, duplicates from
+    multi-cell pairs collapse with DISTINCT, and the exact overlap
+    predicate verifies — the standard spatial-join discipline
+    (sort_zorder_locality is its storage-side twin). Both interval
+    sets derive deterministically from sparse orders slices; output
+    is each overlapping pair with its integer overlap length.
+
+    Plan-pinned: the join is an EQUI-join on the grid cell (hash
+    partitionable, AQE-sizable) with the range predicate as a
+    post-join filter, never a BroadcastNestedLoopJoin — at 100 TB
+    the cell key is what keeps this shuffle-joinable, and cell
+    granularity trades fan-out against candidate precision exactly
+    like LSH banding trades bands against probes. DuckDB's oracle
+    runs the direct theta form — same pairs, independently derived."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    a = orders.filter(F.col("o_orderkey") % _IVL_A_MOD == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_start"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " cast(o_orderkey % 30 as int) + 1, 0, 0, 0)"
+        ).alias("a_end"),
+    )
+    b = orders.filter(F.col("o_orderkey") % _IVL_B_MOD == 1).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " cast(o_orderkey % 45 as int) + 1, 0, 0, 0)"
+        ).alias("b_end"),
+    )
+
+    def with_cells(df, start, end):
+        # months-since-epoch grid; an interval covers every cell its
+        # [start, end] span touches (bounded: <=3 for <=46-day spans).
+        lo = F.expr(
+            f"(year({start}) - 1970) * 12 + month({start}) - 1"
+        )
+        hi = F.expr(f"(year({end}) - 1970) * 12 + month({end}) - 1")
+        return df.withColumn(
+            "cell", F.explode(F.sequence(lo, hi))
+        )
+    ac = with_cells(a, "a_start", "a_end")
+    bc = with_cells(b, "b_start", "b_end")
+    pairs = (
+        ac.join(bc, "cell")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_key", "b_key", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    return pairs.select(
+        "a_key",
+        "b_key",
+        F.datediff(
+            F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+        ).cast("long").alias("overlap_days"),
+    )
+
+
+_WTOPK_K = 3
+
+_WTOPK_ORACLE = f"""
+    WITH daily AS (
+      SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+               AS day,
+             event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type) AS rk
+      FROM daily
+    ) WHERE rk <= {_WTOPK_K}
+"""
+
+
+@register("events_windowed_topk", oracle=_WTOPK_ORACLE)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-WINDOW TOP-K — the trending-now dashboard shape: for every
+    day, the top-3 event types by volume, under a total order (count
+    desc, type asc) so ties at the cutoff resolve identically. Day
+    boundaries come from truncating the tz-free event time, identical
+    on both engines.
+
+    Plan: one map-side-combined (day, type) count — the only
+    data-sized shuffle — then the rank window runs over the
+    aggregated relation, partitioned BY DAY (many small groups, fully
+    parallel; WindowGroupLimit caps per-group state at k). The
+    streaming twin is this exact aggregate under a tumbling window
+    (stream_tumbling_window) with the rank applied per emitted
+    window. At 100 TB: per-day state is |event_type| rows."""
+    from climateiq_pipelines_spark.registry import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.select(
+        F.date_format(
+            F.to_date(F.date_trunc("day", F.col("ts"))), "yyyy-MM-dd"
+        ).alias("day"),
+        "event_type",
+    ).groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    dw = W.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        daily.withColumn("rank", F.row_number().over(dw))
+        .filter(F.col("rank") <= _WTOPK_K)
+        .select(
+            "day",
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("rank").cast("int"),
+        )
+    )

@@ -132,6 +132,8 @@ EDGE_KEYS = [
     "agg_linear_fit",            # tiny groups through the moment closed form
     "llm_bpe_pair_stats",        # 1-char words form no pairs; count ties
     "llm_bpe_apply_merge",       # greedy non-overlap on repeated chars
+    "join_interval_overlap",     # touching endpoints count as overlap
+    "events_windowed_topk",      # count ties at the per-day cutoff
 ]
 
 
