@@ -102,6 +102,7 @@ HEADLINE = [
     "llm_bpe_apply_merge",     # full BPE iteration: argmax + re-segment
     "join_interval_overlap",   # grid-bucketed interval-overlap join
     "events_windowed_topk",    # per-day trending top-3
+    "scan_dynamic_partition_pruning",  # runtime dim-driven pruning
 ]
 
 

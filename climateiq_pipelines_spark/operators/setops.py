@@ -178,3 +178,63 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return customer.exceptAll(supplier)
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, NULL AS priority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k, NULL AS price, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (
+      SELECT k, CAST(price AS DOUBLE) AS price, CAST(priority AS VARCHAR) AS priority FROM a
+      UNION ALL
+      SELECT k, CAST(price AS DOUBLE), CAST(priority AS VARCHAR) FROM b
+    )
+    SELECT priority IS NOT NULL AS has_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_checksum,
+           CAST(COALESCE(SUM(CAST(floor(price * 1000000) AS BIGINT)), 0)
+                AS BIGINT) AS price_micros
+    FROM u GROUP BY 1
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION BY NAME with missing-column fill — the schema-evolution
+    union (`unionByName(allowMissingColumns=True)`): two relations
+    whose column sets differ (one carries price, the other priority)
+    combine by COLUMN NAME, absent columns reading NULL — the
+    positional `UNION ALL` would silently misalign or reject. The
+    audit groups by column presence and pins counts, a key checksum,
+    and the exact fixed-point price sum, so a misaligned or dropped
+    column breaks a different row. Complements
+    `scan_schema_evolution` (the same contract at the FILE level via
+    mergeSchema).
+
+    Plan: two map-side projections and one union — no shuffle until
+    the audit aggregate; at 100 TB this is how heterogeneous batch
+    generations concatenate before a backfill."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy(
+        F.col("priority").isNotNull().alias("has_priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_checksum"),
+        F.coalesce(
+            F.sum(F.floor(F.col("price") * 1_000_000)), F.lit(0)
+        ).alias("price_micros"),
+    )

@@ -162,3 +162,64 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("sum_price"),
     )
+
+
+_DPP_ORACLE = f"""
+    WITH years AS (
+      SELECT DISTINCT year(o_orderdate) AS y
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN years ON year(o.o_orderdate) = years.y
+    GROUP BY 1
+    """
+
+
+@register("scan_dynamic_partition_pruning", oracle=_DPP_ORACLE)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING (DPP) — the runtime sibling of the
+    static pruning `sink_partitioned_parquet` pins: when the partition
+    filter is not a literal but comes from a JOINED dimension, Spark
+    builds the dim's key set at runtime and prunes fact PARTITIONS
+    before scanning them — the star-schema accelerant that turns
+    "join facts to a filtered dim" into "read only the matching
+    directories" at 100 TB. The key writes orders partitioned by
+    year, derives a filtered dimension (years containing URGENT
+    orders — a runtime-only set), joins fact to dim on the PARTITION
+    column, and aggregates; the executed fact scan carries a
+    dynamicpruning subquery in its PartitionFilters (pinned by
+    tests/test_plans.py::test_dynamic_partition_pruning_fires).
+
+    The oracle computes the same join against the original table —
+    row/value parity proves pruning LOSSLESS, the plan pin proves it
+    HAPPENED. Scale: the dim side must be broadcastable (it is:
+    |distinct years|); DPP degrades gracefully to a full scan when
+    the dim is too large — the fallback is correctness-neutral."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="cps_dpp_"), "orders_by_year"
+    )
+    orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["o_year"] == dim["y"])
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 1_000_000)).cast(
+                    "double"
+                )
+                / F.lit(1e6)
+            ).alias("sum_price"),
+        )
+    )

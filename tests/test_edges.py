@@ -134,6 +134,8 @@ EDGE_KEYS = [
     "llm_bpe_apply_merge",       # greedy non-overlap on repeated chars
     "join_interval_overlap",     # touching endpoints count as overlap
     "events_windowed_topk",      # count ties at the per-day cutoff
+    "scan_dynamic_partition_pruning",  # single-year edge slice
+    "set_union_by_name",         # one-sided splits on tiny key ranges
 ]
 
 

@@ -305,7 +305,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 187, len(keys)
+    assert len(keys) == 189, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
@@ -320,6 +320,19 @@ def test_round6_window_is_fully_oracle_checkable():
     keys = list(QUERIES)[:50]
     missing = [k for k in keys if k not in ORACLES]
     assert not missing, f"rows-only keys inside the driver window: {missing}"
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """scan_dynamic_partition_pruning's fact scan must carry a
+    dynamicpruning subquery in its partition filters — the runtime
+    dim-driven pruning that makes star joins read only matching
+    partitions at 100 TB. Row parity (parity tests) proves pruning is
+    lossless; this pin proves it actually HAPPENS."""
+    df = QUERIES["scan_dynamic_partition_pruning"](spark, SF_SMALL)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
 
 
 def test_aqe_skew_join_splits_hot_partition(spark):
