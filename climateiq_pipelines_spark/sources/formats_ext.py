@@ -223,3 +223,86 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("sum_price"),
         )
     )
+
+
+_CODEC_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           TRUE AS codecs_agree,
+           TRUE AS both_readable
+    FROM orders
+    """
+
+
+@register("sink_compression_codecs", oracle=_CODEC_ORACLE)
+def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-CODEC CONTROL — the storage knob that matters at
+    100 TB: the same relation written under snappy (the hot-path
+    default: fastest decode) and zstd (the cold-storage choice:
+    ~2x smaller at comparable read cost), then both read back and
+    proven BYTE-EQUIVALENT relations: identical row counts, key
+    checksums, and full-row digest sets (an order-insensitive
+    xor-free digest aggregate — sum of per-row md5 prefixes — so a
+    single flipped value under either codec breaks `codecs_agree`).
+    Codec choice must never change query results; this key pins
+    exactly that, plus that both codecs round-trip through the same
+    parquet reader.
+
+    Plan: two map-only writes, two scans, two 1-row digest
+    aggregates, one comparison row. At 100 TB codec selection is
+    per-table policy (write.option('compression', ...)); nothing
+    downstream changes — which is the point being proven."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="cps_codec_")
+
+    def digest(df):
+        # order-insensitive relation digest: exact int64 sum of each
+        # row's md5 head (16 hex chars -> bigint), plus count/checksum
+        row_md5 = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_totalprice").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("ksum"),
+            # decimal(38) accumulator: 60-bit per-row terms summed over
+            # any corpus size without int64 overflow (ANSI mode errors,
+            # not wraps — probed at sf0.01)
+            F.sum(
+                F.conv(F.substring(row_md5, 1, 15), 16, 10)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias("dsum"),
+        )
+
+    paths = {}
+    for codec in ("snappy", "zstd"):
+        p = os.path.join(base, codec)
+        orders.write.mode("overwrite").option("compression", codec).parquet(p)
+        paths[codec] = p
+    a = digest(spark.read.parquet(paths["snappy"]))
+    b = digest(spark.read.parquet(paths["zstd"]))
+    return (
+        a.crossJoin(
+            b.select(
+                F.col("n").alias("n2"),
+                F.col("ksum").alias("ksum2"),
+                F.col("dsum").alias("dsum2"),
+            )
+        ).select(
+            F.col("n").alias("n_rows"),
+            F.col("ksum").alias("key_checksum"),
+            (
+                (F.col("n") == F.col("n2"))
+                & (F.col("ksum") == F.col("ksum2"))
+                & (F.col("dsum") == F.col("dsum2"))
+            ).alias("codecs_agree"),
+            ((F.col("n") > 0) & (F.col("n2") > 0)).alias("both_readable"),
+        )
+    )

@@ -136,6 +136,7 @@ EDGE_KEYS = [
     "events_windowed_topk",      # count ties at the per-day cutoff
     "scan_dynamic_partition_pruning",  # single-year edge slice
     "set_union_by_name",         # one-sided splits on tiny key ranges
+    "sink_compression_codecs",   # codec parity on adversarial rows
 ]
 
 

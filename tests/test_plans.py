@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "sink_compact_small_files",  # 1-row x 1-row audit cross
     "llm_bm25_score",  # 1-row corpus-stats broadcast cross (N, avgdl)
     "llm_bpe_apply_merge",  # 1-row argmax-merge broadcast cross
+    "sink_compression_codecs",  # 1-row x 1-row digest-comparison cross
     "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
 }
 
@@ -305,7 +306,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 189, len(keys)
+    assert len(keys) == 190, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
