@@ -527,3 +527,98 @@ def test_bpe_apply_merge_matches_reference(spark, tmp_path_factory, docs):
         for r in QUERIES["llm_bpe_apply_merge"](spark, d).collect()
     }
     assert got == expected, (docs, got, expected)
+
+
+# -------------------------------------------- interval-overlap join
+
+ivl_orders = st.lists(
+    st.integers(min_value=0, max_value=120),  # day offsets
+    min_size=1,
+    max_size=30,
+)
+
+
+def _write_orders_fixture(base, day_offsets):
+    import datetime as dt
+
+    d = base / f"ivl_{next(_counter)}"
+    d.mkdir()
+    n = len(day_offsets)
+    ts = pa.timestamp("us")
+    t0 = dt.datetime(1995, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array([100.0] * n, pa.float64()),
+                "o_orderdate": pa.array(
+                    [t0 + dt.timedelta(days=o) for o in day_offsets], ts
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+@given(days=ivl_orders)
+@settings(**SETTINGS)
+def test_interval_overlap_matches_bruteforce(
+    spark, tmp_path_factory, days
+):
+    """join_interval_overlap (grid-bucketed) equals the brute-force
+    O(|A|·|B|) reference on arbitrary tiny interval sets — the grid
+    explode/equi-join/distinct pipeline must be exactly lossless,
+    including touching endpoints and intervals spanning 2-3 month
+    cells. Uses the engine's own A/B slicing rule (key % 97 == 0 /
+    key % 89 == 1), so keys 0 and 1 always yield one interval each."""
+    import datetime as dt
+
+    base = tmp_path_factory.mktemp("ivlprop")
+    d = _write_orders_fixture(base, days)
+
+    t0 = dt.date(1995, 1, 1)
+    a, b = [], []
+    for k, off in enumerate(days):
+        start = t0 + dt.timedelta(days=off)
+        if k % 97 == 0:
+            a.append((k, start, start + dt.timedelta(days=(k % 30) + 1)))
+        if k % 89 == 1:
+            b.append((k, start, start + dt.timedelta(days=(k % 45) + 1)))
+    expected = {}
+    for ak, as_, ae in a:
+        for bk, bs, be in b:
+            if as_ <= be and bs <= ae:
+                expected[(ak, bk)] = (min(ae, be) - max(as_, bs)).days
+    got = {
+        (r["a_key"], r["b_key"]): r["overlap_days"]
+        for r in QUERIES["join_interval_overlap"](spark, d).collect()
+    }
+    assert got == expected, (days, got, expected)
+
+
+@given(days=ivl_orders)
+@settings(**SETTINGS)
+def test_windowed_topk_matches_reference(spark, tmp_path_factory, days):
+    """events_windowed_topk equals the Counter reference on a
+    single-day stream with duplicate timestamps — count ties at the
+    k=3 cutoff must resolve by event_type text on both engines."""
+    rows = [(0, o % 10, ["view", "click", "purchase"][o % 3]) for o in days]
+    base = tmp_path_factory.mktemp("wtopkprop")
+    d = _write_events_fixture(base, rows)
+    daily = collections.Counter()
+    for _, _, et in rows:
+        daily[("2024-01-01", et)] += 1
+    ranked = sorted(daily.items(), key=lambda kv: (-kv[1], kv[0][1]))[:3]
+    expected = {
+        (day, et): (n, rk + 1)
+        for rk, ((day, et), n) in enumerate(ranked)
+    }
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["rank"])
+        for r in QUERIES["events_windowed_topk"](spark, d).collect()
+    }
+    assert got == expected, (rows, got, expected)
