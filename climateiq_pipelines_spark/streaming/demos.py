@@ -323,3 +323,66 @@ def stream_watermark_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("win_start"), "event_type", "n_on_time"
         )
     )
+
+
+@register(
+    "stream_windowed_topk_demo",
+    oracle="""
+    WITH daily AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                            * 86400 * 1000000) AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT win_start, event_type, n,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM daily
+    ) WHERE rk <= 3
+    """,
+)
+def stream_windowed_topk_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TRENDING TOP-K — the live-dashboard composition: a
+    true streaming query maintains per-(1-day window, event_type)
+    counts under a 1-hour watermark (complete-mode memory sink), and
+    the rank-per-window cut runs as a BATCH query over the sink — the
+    standard split for streaming top-k, because rank is not an
+    incremental aggregate (global ordering per window can flip on any
+    update, so streaming engines emit the counts and let the serving
+    layer rank; Spark rejects windowed row_number in update/append
+    streams for exactly this reason). Same single-batch availableNow
+    equality argument as the sibling demos (module docstring); the
+    batch twin of the whole composition is events_windowed_topk on
+    the day grid.
+
+    State: |open windows| × |event_type| count rows, watermark-
+    bounded; the rank stage reads only the aggregated sink —
+    per-window groups of |event_type| rows, fully parallel."""
+    agg = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sunk = _run_to_memory(agg, "complete")
+    dw = W.partitionBy("win_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        sunk.withColumn("rank", F.row_number().over(dw))
+        .filter(F.col("rank") <= 3)
+        .select(
+            ntz_of_window_bound("win_start").alias("win_start"),
+            "event_type",
+            "n_events",
+            F.col("rank").cast("int"),
+        )
+    )

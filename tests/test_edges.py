@@ -137,6 +137,7 @@ EDGE_KEYS = [
     "scan_dynamic_partition_pruning",  # single-year edge slice
     "set_union_by_name",         # one-sided splits on tiny key ranges
     "sink_compression_codecs",   # codec parity on adversarial rows
+    "stream_windowed_topk_demo", # streaming counts + rank on edge stream
 ]
 
 

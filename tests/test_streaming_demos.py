@@ -115,3 +115,38 @@ def test_span_watermark_drops_subset_of_rowexact(spark):
     assert set(e) <= set(s)
     for k, n_exact in e.items():
         assert s[k] >= n_exact, k
+
+
+def test_windowed_topk_demo_equals_batch_topk(spark):
+    """The streaming trending-top-k (complete-mode counts + batch rank
+    over the sink) must equal ranking the batch tumbling counts —
+    per 1-day window, top-3 by (count desc, type asc)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    demo = _fmt_ts(
+        QUERIES["stream_windowed_topk_demo"](spark, SF_SMALL), "win_start"
+    ).toPandas()
+    # independent batch derivation straight off the events table
+    from climateiq_pipelines_spark.registry import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("win_start"), "event_type"
+        )
+        .groupBy("win_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    dw = W.partitionBy("win_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    batch = _fmt_ts(
+        daily.withColumn("rank", F.row_number().over(dw))
+        .filter(F.col("rank") <= 3)
+        .select("win_start", "event_type", "n_events", F.col("rank").cast("int")),
+        "win_start",
+    ).toPandas()
+    assert len(demo) > 0
+    canon = lambda pdf: sorted(map(tuple, pdf.itertuples(index=False)))
+    assert canon(demo) == canon(batch)
