@@ -103,6 +103,7 @@ HEADLINE = [
     "join_interval_overlap",   # grid-bucketed interval-overlap join
     "events_windowed_topk",    # per-day trending top-3
     "scan_dynamic_partition_pruning",  # runtime dim-driven pruning
+    "events_rfm_segmentation", # quartile RFM customer scoring
 ]
 
 

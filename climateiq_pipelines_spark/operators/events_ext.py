@@ -181,3 +181,68 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_anomaly"), 1)).alias("n_anomalies"),
         F.round(F.max("abs_z"), 6).alias("max_abs_z"),
     )
+
+
+_RFM_ORACLE = """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+               AS spend_micros
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey)
+                AS INTEGER) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
+                AS INTEGER) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY spend_micros DESC, o_custkey)
+                AS INTEGER) AS m_score,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(spend_micros AS BIGINT) AS spend_micros
+    FROM cust
+"""
+
+
+@register("events_rfm_segmentation", oracle=_RFM_ORACLE)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the marketing-analytics staple: every
+    customer scored into quartiles on Recency (latest order date),
+    Frequency (order count), and Monetary value (exact fixed-point
+    spend), the (r, f, m) triple being the segment key campaigns
+    target. Every ntile runs over a TOTAL order (metric desc, custkey
+    asc), so quartile boundaries under tied metrics are deterministic
+    on both engines — the classic RFM pitfall (ties at a quartile
+    edge) resolved by construction; spend is summed in int64 micros
+    so the monetary ordering is exact.
+
+    Plan: one map-side-combined per-customer aggregate (the only
+    data-sized shuffle), then three ntile windows over the CUSTOMER
+    relation. The windows are unpartitioned by the semantics (global
+    quartiles) — at 100 TB with 10^9 customers, production swaps
+    exact ntile for approx_percentile quartile BOUNDARIES broadcast
+    back (the agg_percentiles recipe), trading exact edge placement
+    for a partitioned map; the exact form here IS the contract the
+    approximation is judged against."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000)).alias(
+            "spend_micros"
+        ),
+    )
+    rw = W.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    fw = W.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    mw = W.orderBy(F.desc("spend_micros"), F.asc("o_custkey"))
+    return cust.select(
+        "o_custkey",
+        F.ntile(4).over(rw).cast("int").alias("r_score"),
+        F.ntile(4).over(fw).cast("int").alias("f_score"),
+        F.ntile(4).over(mw).cast("int").alias("m_score"),
+        F.col("n_orders").alias("n_orders"),
+        "spend_micros",
+    )

@@ -138,6 +138,7 @@ EDGE_KEYS = [
     "set_union_by_name",         # one-sided splits on tiny key ranges
     "sink_compression_codecs",   # codec parity on adversarial rows
     "stream_windowed_topk_demo", # streaming counts + rank on edge stream
+    "events_rfm_segmentation",   # quartile edges under tied metrics
 ]
 
 
