@@ -104,6 +104,7 @@ HEADLINE = [
     "events_windowed_topk",    # per-day trending top-3
     "scan_dynamic_partition_pruning",  # runtime dim-driven pruning
     "events_rfm_segmentation", # quartile RFM customer scoring
+    "win_running_distinct",    # first-seen-flag running distinct
 ]
 
 

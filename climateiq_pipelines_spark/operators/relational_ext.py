@@ -603,3 +603,62 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int"),
         )
     )
+
+
+_RUNNING_DISTINCT_ORACLE = """
+    WITH f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_so_far
+    FROM f
+"""
+
+
+@register("win_running_distinct", oracle=_RUNNING_DISTINCT_ORACLE)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT per user stream — "how many distinct
+    event types has this user touched so far?", the engagement-breadth
+    signal feature stores compute. The naive formulation
+    (size(collect_set(...)) over a running frame) carries a GROWING
+    set per row — O(stream length) state and quadratic row widths;
+    this key uses the first-occurrence decomposition instead:
+    running_distinct = running SUM of an is-first-seen flag, where the
+    flag is row_number() = 1 over (user, type). Same answer, O(1)
+    per-row state, both windows plain integer arithmetic — the form
+    that survives 100 TB streams (and the same trick the streaming
+    stateful sessionizer's dedup uses).
+
+    Plan: the (user, type) flag window and the user running sum share
+    the user_id exchange (prefix-compatible sorts, the
+    win_gap_islands discipline); nothing but int flags ride the
+    shuffle. Both engines run the IDENTICAL decomposition, and the
+    event_id tie-break makes same-timestamp ordering exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ft = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    first_seen = F.when(F.row_number().over(ft) == 1, 1).otherwise(0)
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        first_seen.alias("first_seen"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(run).alias("n_distinct_so_far"),
+    )

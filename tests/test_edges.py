@@ -139,6 +139,7 @@ EDGE_KEYS = [
     "sink_compression_codecs",   # codec parity on adversarial rows
     "stream_windowed_topk_demo", # streaming counts + rank on edge stream
     "events_rfm_segmentation",   # quartile edges under tied metrics
+    "win_running_distinct",      # duplicate-ts first-seen ordering
 ]
 
 
