@@ -105,6 +105,7 @@ HEADLINE = [
     "scan_dynamic_partition_pruning",  # runtime dim-driven pruning
     "events_rfm_segmentation", # quartile RFM customer scoring
     "win_running_distinct",    # first-seen-flag running distinct
+    "events_inter_arrival_stats",  # integer-exact gap statistics
 ]
 
 

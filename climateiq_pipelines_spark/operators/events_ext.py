@@ -246,3 +246,66 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").alias("n_orders"),
         "spend_micros",
     )
+
+
+_INTERARRIVAL_ORACLE = """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  AS BIGINT) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@register("events_inter_arrival_stats", oracle=_INTERARRIVAL_ORACLE)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL GAP STATISTICS — the operational-health signal
+    behind rate monitoring and anomaly baselines: for every event, the
+    microsecond gap since the SAME USER's previous event (any type —
+    the user's activity rhythm), aggregated per arriving event type:
+    gap count, exact total, min/max, and integer-mean. Gaps are pure
+    int64 microsecond differences (epoch micros on both engines, the
+    join_asof_tolerance discipline), the mean is integer floor
+    division, and each user's first event contributes no gap — so
+    every output value is exact and engine-identical.
+
+    Plan: one lag() over the standard user_id exchange, then a
+    map-side-combined aggregate onto the |event_type|-row result. At
+    100 TB: identical shape to every other events key; the per-user
+    sort is the only data-sized work."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: timestampdiff works on ntz directly (the
+    # join_asof_tolerance discipline); unix_micros would demand a tz
+    # cast and reintroduce session-tz sensitivity.
+    gaps = (
+        ev.select(
+            "event_type", "ts", F.lag("ts").over(uw).alias("prev_ts")
+        )
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias(
+                "gap_us"
+            ),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
+    )

@@ -140,6 +140,7 @@ EDGE_KEYS = [
     "stream_windowed_topk_demo", # streaming counts + rank on edge stream
     "events_rfm_segmentation",   # quartile edges under tied metrics
     "win_running_distinct",      # duplicate-ts first-seen ordering
+    "events_inter_arrival_stats",  # zero gaps on duplicate timestamps
 ]
 
 
