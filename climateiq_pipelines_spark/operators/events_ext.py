@@ -1,8 +1,9 @@
-"""Round-6 event-analytics extensions (second wave): top event PATHS
-and z-score ANOMALY summaries over the events table. Registered after
-the driver's 50-entry certification window (plans.load_all) so the
-round-6 rotation layout is untouched; covered by tools/driver_sim.py
-and rotation-targeted for round 7+.
+"""Round-6 event-analytics extensions (second wave): top event PATHS,
+z-score ANOMALY summaries, RFM customer segmentation, and
+inter-arrival gap statistics over the events/orders tables.
+Registered after the driver's 50-entry certification window
+(plans.load_all) so the round-6 rotation layout is untouched; covered
+by tools/driver_sim.py and rotation-targeted for round 7+.
 """
 
 from __future__ import annotations

@@ -1,14 +1,17 @@
-"""Round-6 training-data pipeline extensions: PII redaction and
-deterministic shuffle-sharding — two ops every corpus-production
-pipeline runs between cleaning and tokenization. Registered after the
-driver's 50-entry certification window (plans.load_all);
-rotation-targeted for round 7.
+"""Round-6 training-data pipeline extensions — the corpus-production
+ops between cleaning and tokenization: PII redaction, deterministic
+shuffle-sharding, SemDeDup semantic dedup (standalone + the full
+k-means-composed pipeline), DSIR importance weighting, chunk-level
+boilerplate dedup, unigram-LM quality scoring, and the BPE
+tokenizer-training passes (pair statistics + a full apply-merge
+iteration). Registered after the driver's 50-entry certification
+window (plans.load_all); rotation-targeted for round 7+.
 
-Scale notes: redaction is a zero-shuffle map stage (regex evaluated in
-the scan's generated code, no Python); shard assignment is one hash
-computation plus a shuffle on shard_id, with per-shard positions from a
-shard-partitioned window — the state any loader-facing shard writer
-needs, parallel across shards, never a global single-partition sort.
+Scale notes live per key; the common discipline: corpus text is
+scanned once and collapsed early (vocab/ratio tables are the only
+broadcasts), similarity work is cluster- or bucket-scoped (never
+all-pairs), and every hash-checked number is integer-exact or a
+single fixed IEEE expression tree.
 """
 
 from __future__ import annotations

@@ -1,9 +1,11 @@
 """Round-6 relational breadth extensions (third wave): gaps-and-islands
 runs, Markov transition matrices, null-safe joins, bitwise scalar
-functions, boolean aggregates, and Z-order locality keys. Registered
-after the driver's 50-entry certification window (plans.load_all) so
-the round-6 rotation layout is untouched; covered by
-tools/driver_sim.py and rotation-targeted for round 7+.
+functions, boolean aggregates, Z-order locality keys, exact-moment
+linear fits, grid-bucketed interval-overlap joins, per-window top-k,
+and running distinct counts. Registered after the driver's 50-entry
+certification window (plans.load_all) so the round-6 rotation layout
+is untouched; covered by tools/driver_sim.py and rotation-targeted
+for round 7+.
 
 Scale notes per key live in the docstrings; the common discipline: the
 only data-sized shuffles are the grouping/window keys themselves, every

@@ -1,9 +1,11 @@
 """Round-6 retrieval-infrastructure extensions: inverted-index
-(posting-list) construction and overlapping sliding-window chunking —
-the two build-side ops of a retrieval / RAG corpus pipeline (the read
-side is the ANN family: llm_cosine_topk / llm_ivf_topk / llm_knn_query).
-Registered after the driver's 50-entry certification window
-(plans.load_all); rotation-targeted for round 7+.
+(posting-list) construction, overlapping sliding-window chunking,
+BM25 full-text ranking, and Reciprocal Rank Fusion of the lexical and
+dense retrievers — the build AND read sides of a retrieval / RAG
+stack (the dense read side is the ANN family: llm_cosine_topk /
+llm_ivf_topk / llm_knn_query). Registered after the driver's 50-entry
+certification window (plans.load_all); rotation-targeted for
+round 7+.
 """
 
 from __future__ import annotations
