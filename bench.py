@@ -106,6 +106,8 @@ HEADLINE = [
     "events_rfm_segmentation", # quartile RFM customer scoring
     "win_running_distinct",    # first-seen-flag running distinct
     "events_inter_arrival_stats",  # integer-exact gap statistics
+    "llm_heaps_vocab_growth",  # bigram vocabulary growth curve
+    "events_type_entropy",     # per-user behavioral entropy
 ]
 
 

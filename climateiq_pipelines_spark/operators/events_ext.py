@@ -310,3 +310,59 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
     )
+
+
+_ENTROPY_ORACLE = """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, event_type, n,
+             SUM(n) OVER (PARTITION BY user_id) AS total,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_types
+      FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(total) AS BIGINT) AS n_events,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           round(-SUM((CAST(n AS DOUBLE) / total)
+                 * log2(CAST(n AS DOUBLE) / total)), 6) AS entropy_bits
+    FROM t GROUP BY user_id
+"""
+
+
+@register("events_type_entropy", oracle=_ENTROPY_ORACLE)
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL ENTROPY per user — the information-theoretic
+    diversity of each user's event-type distribution (0 bits = does
+    one thing; log2(5) ≈ 2.32 bits = uniform over all five types),
+    the engagement-diversity feature beside win_running_distinct's
+    breadth count. Probabilities are exact integer ratios cast
+    through ONE fixed IEEE expression tree; log2, the only libm
+    call, feeds a 6-dp-rounded output (the fin policy — same
+    discipline as fn_math's transcendentals), and the per-user sum
+    is over ≤|event_type| terms in deterministic group order on an
+    aggregated relation.
+
+    Plan: one (user, type) map-side-combined count — the only
+    data-sized shuffle — then windows and the final aggregate over
+    the per-user type rows (≤5 per user). At 100 TB: per-user state
+    is |event_type| counters."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    uw = W.partitionBy("user_id")
+    t = c.select(
+        "user_id",
+        "n",
+        F.sum("n").over(uw).alias("total"),
+        F.count(F.lit(1)).over(uw).alias("n_types"),
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    return t.groupBy("user_id").agg(
+        F.max("total").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+    )

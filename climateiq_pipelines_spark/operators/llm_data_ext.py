@@ -1017,3 +1017,88 @@ def llm_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int"),
         )
     )
+
+
+_HEAPS_BUCKETS = 10
+
+_HEAPS_ORACLE = f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ws[i + 1] || '_' || ws[i + 2] AS w
+      FROM ws, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i)
+    ),
+    firsts AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM grams GROUP BY w
+    ),
+    span AS (SELECT MAX(doc_id) + 1 AS n_docs FROM grams),
+    bucketed AS (
+      SELECT CAST((first_doc * {_HEAPS_BUCKETS}) // n_docs AS INTEGER)
+               AS bucket
+      FROM firsts, span
+    ),
+    per AS (
+      SELECT bucket, COUNT(*) AS n_new_types
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(n_new_types AS BIGINT) AS n_new_types,
+           CAST(SUM(n_new_types) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+    FROM per
+"""
+
+
+@register("llm_heaps_vocab_growth", oracle=_HEAPS_ORACLE)
+def llm_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps' law) — how many NEW types each
+    slice of the corpus contributes, the statistic that sizes
+    tokenizer vocabularies and detects corpus drift (a slice adding
+    anomalously many new types is a domain shift or an encoding bug).
+    Types are word BIGRAMS (the fixture's unigram vocabulary is ~31
+    words and saturates in the first document; bigrams give a real
+    growth curve while exercising the same first-occurrence shape).
+    Each type attributes to the bucket of its FIRST-occurrence doc
+    (min doc_id over the corpus — deterministic, order-free), buckets
+    are integer doc-id deciles, and the cumulative curve is a running
+    sum over the 10-row bucket relation.
+
+    Plan: one (type → min doc) aggregate — vocabulary-sized after the
+    map-side combine — then a 10-row bucket aggregate and a window
+    over THAT; the only data-sized shuffle is the type grouping. At
+    100 TB the first-occurrence aggregate is exactly the exact-dedup
+    shape; nothing here grows beyond the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    arr = docs.select("doc_id", ws.alias("ws"))
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> concat(ws[i], '_', ws[i + 1]))"
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = arr.select("doc_id", F.explode(bigrams).alias("w"))
+    firsts = grams.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    span = grams.agg((F.max("doc_id") + 1).alias("n_docs"))
+    per = (
+        firsts.crossJoin(F.broadcast(span))
+        .select(
+            F.expr(
+                f"cast((first_doc * {_HEAPS_BUCKETS}) div n_docs as int)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    cw = (
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per.select(
+        "bucket",
+        "n_new_types",
+        F.sum("n_new_types").over(cw).alias("cum_types"),
+    )

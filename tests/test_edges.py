@@ -141,6 +141,8 @@ EDGE_KEYS = [
     "events_rfm_segmentation",   # quartile edges under tied metrics
     "win_running_distinct",      # duplicate-ts first-seen ordering
     "events_inter_arrival_stats",  # zero gaps on duplicate timestamps
+    "llm_heaps_vocab_growth",    # dup/short docs through first-occurrence
+    "events_type_entropy",       # single-type users -> exactly 0 bits
 ]
 
 

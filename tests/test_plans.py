@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     "llm_bm25_score",  # 1-row corpus-stats broadcast cross (N, avgdl)
     "llm_bpe_apply_merge",  # 1-row argmax-merge broadcast cross
     "sink_compression_codecs",  # 1-row x 1-row digest-comparison cross
+    "llm_heaps_vocab_growth",  # 1-row doc-id span broadcast cross
     "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
 }
 
@@ -232,6 +233,7 @@ BROADCAST_OK = {
     ("llm_data_ext.py", "centroids"): "k x 64 centroid table (semdedup pipeline)",
     ("llm_data_ext.py", "vocab"): "vocabulary-sized unigram count table (Zipf-bounded)",
     ("llm_data_ext.py", "top1"): "1-row argmax merge pair (BPE iteration)",
+    ("llm_data_ext.py", "span"): "1-row doc-id span aggregate (Heaps buckets)",
     ("retrieval_ext.py", "dfq"): "<=|query|-row (3) document-frequency table (BM25)",
     ("retrieval_ext.py", "tot"): "1-row corpus-stats aggregate (BM25)",
     ("retrieval_ext.py", "q"): "1-row query vector (RRF dense side)",
@@ -306,7 +308,7 @@ def test_driver_window_layout_matches_load_all_comment():
     key count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 194, len(keys)
+    assert len(keys) == 196, len(keys)
     assert keys[0] == "agg_pricing_summary", keys[:3]
     assert keys[37] == "join_broadcast_dim", keys[35:50]
     assert keys[49] == "join_salted_skew", keys[45:52]
