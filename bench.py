@@ -108,6 +108,7 @@ HEADLINE = [
     "events_inter_arrival_stats",  # integer-exact gap statistics
     "llm_heaps_vocab_growth",  # bigram vocabulary growth curve
     "events_type_entropy",     # per-user behavioral entropy
+    "llm_dataset_manifest",    # per-stratum dataset-card statistics
 ]
 
 

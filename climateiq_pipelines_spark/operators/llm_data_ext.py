@@ -1102,3 +1102,68 @@ def llm_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_types",
         F.sum("n_new_types").over(cw).alias("cum_types"),
     )
+
+
+_MANIFEST_ORACLE = """
+    WITH sig AS (
+      SELECT doc_id, lang, source, text,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) FILTER (WHERE doc_id <> canon_id) AS BIGINT)
+             AS n_exact_dups,
+           CAST((COUNT(*) FILTER (WHERE doc_id = canon_id)) * 1000000
+                // COUNT(*) AS BIGINT) AS unique_micro
+    FROM sig GROUP BY lang, source
+"""
+
+
+@register("llm_dataset_manifest", oracle=_MANIFEST_ORACLE)
+def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET MANIFEST ("dataset card" statistics) — the release
+    artifact every corpus ships with: per (lang, source) stratum, the
+    document and exact-token counts, token-length extrema, how many
+    documents are exact duplicates of an earlier one (md5-digest
+    canonical-min attribution, llm_exact_dedup's contract), and the
+    unique fraction in integer micro-units. This is the table a data
+    consumer reads before training, and the drift monitor diffs
+    between corpus versions.
+
+    Plan: one scan computes tokens and the digest; the canonical-id
+    window partitions by digest (the dedup shuffle); the stratum
+    aggregate collapses map-side onto |lang|×|source| rows. All
+    counts and the floor-division fraction are pure integers — no
+    float anywhere. At 100 TB this is exactly the exact-dedup pass
+    with a manifest aggregation bolted on; production runs emit it
+    as a side output of the dedup job instead of a second scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    dw = W.partitionBy(F.md5("text"))
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(ws).alias("n_tokens"),
+        F.min("doc_id").over(dw).alias("canon_id"),
+    )
+    is_canon = F.col("doc_id") == F.col("canon_id")
+    return sig.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.count(F.when(~is_canon, 1)).alias("n_exact_dups"),
+        F.expr(
+            "(count(case when doc_id = canon_id then 1 end) * 1000000)"
+            " div count(*)"
+        ).alias("unique_micro"),
+    )

@@ -143,6 +143,7 @@ EDGE_KEYS = [
     "events_inter_arrival_stats",  # zero gaps on duplicate timestamps
     "llm_heaps_vocab_growth",    # dup/short docs through first-occurrence
     "events_type_entropy",       # single-type users -> exactly 0 bits
+    "llm_dataset_manifest",      # dup strata + single-doc strata
 ]
 
 
