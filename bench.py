@@ -109,6 +109,7 @@ HEADLINE = [
     "llm_heaps_vocab_growth",  # bigram vocabulary growth curve
     "events_type_entropy",     # per-user behavioral entropy
     "llm_dataset_manifest",    # per-stratum dataset-card statistics
+    "scd2_build_intervals",    # SCD Type-2 validity-interval build
 ]
 
 

@@ -664,3 +664,57 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(run).alias("n_distinct_so_far"),
     )
+
+
+_SCD2_ORACLE = """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS next_date
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 1000000) AS BIGINT) AS price_micros,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+           strftime(CAST(next_date AS DATE), '%Y-%m-%d') AS valid_to,
+           next_date IS NULL AS is_current
+    FROM ranked
+"""
+
+
+@register("scd2_build_intervals", oracle=_SCD2_ORACLE)
+def scd2_build_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 INTERVAL CONSTRUCTION — the dimension-history build
+    every warehouse runs: a stream of per-key versioned records
+    (here: each customer's orders standing in for attribute changes)
+    becomes [valid_from, valid_to) validity intervals with an
+    is_current flag — valid_to = the NEXT version's start (half-open,
+    so intervals tile without overlap), NULL on the open current
+    row. The consumer-side point-in-time lookup over such intervals
+    is `join_range_interval` / `join_asof_last_event`; this key is
+    the BUILD side that produces them. Ordering ties break on the
+    version key (o_orderkey), dates emit as strings (tz-free — both
+    engines format the same calendar date), and the tracked measure
+    rides as exact integer micros.
+
+    Plan: ONE lead() over the customer partitioning — the standard
+    per-key window; zero joins, zero extra shuffles. At 100 TB the
+    SCD2 MERGE into a stored dimension applies these intervals via
+    sink_merge_upsert/sink_merge_on_read; the interval arithmetic
+    pinned here is the part merge bugs corrupt."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    uw = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.withColumn(
+        "next_date", F.lead("o_orderdate").over(uw)
+    )
+    return ranked.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 1_000_000).alias("price_micros"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("next_date", "yyyy-MM-dd").alias("valid_to"),
+        F.col("next_date").isNull().alias("is_current"),
+    )

@@ -144,6 +144,7 @@ EDGE_KEYS = [
     "llm_heaps_vocab_growth",    # dup/short docs through first-occurrence
     "events_type_entropy",       # single-type users -> exactly 0 bits
     "llm_dataset_manifest",      # dup strata + single-doc strata
+    "scd2_build_intervals",      # same-date versions tie on order key
 ]
 
 
