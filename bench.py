@@ -110,6 +110,7 @@ HEADLINE = [
     "events_type_entropy",     # per-user behavioral entropy
     "llm_dataset_manifest",    # per-stratum dataset-card statistics
     "scd2_build_intervals",    # SCD Type-2 validity-interval build
+    "llm_zipf_fit",            # rank-frequency slope diagnostic
 ]
 
 

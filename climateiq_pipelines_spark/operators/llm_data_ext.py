@@ -1167,3 +1167,94 @@ def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("unique_micro"),
     )
+
+
+_ZIPF_ORACLE = """
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT CAST(floor(log2(CAST(row_number() OVER (
+                    ORDER BY cnt DESC, w) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS x,
+             CAST(floor(log2(CAST(cnt AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS y
+      FROM vocab
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n / 1000000.0, 6)
+             AS log2_intercept
+    FROM s
+"""
+
+
+@register("llm_zipf_fit", oracle=_ZIPF_ORACLE)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF RANK-FREQUENCY FIT — the corpus-health diagnostic: regress
+    log2(frequency) on log2(rank) over the vocabulary; natural text
+    sits near slope −1, and a corpus whose slope drifts (template
+    spam flattens it, aggressive dedup steepens it) fails its intake
+    gate. Each log2 is floored to int64 micros PER ROW (the BM25 ln
+    discipline — the libm value enters all downstream arithmetic as
+    an integer), the moment sums are exact int64 (|x| ≤ 25·10⁶ and
+    the vocabulary is Zipf-bounded, so Σx² stays far under 2⁶³), and
+    the closed-form slope/intercept divide exact integers through one
+    IEEE tree, rounded at the boundary (agg_linear_fit's recipe over
+    log-space).
+
+    Plan: vocabulary aggregate (the one data-sized shuffle), a rank
+    window over the vocabulary-sized relation, and a 1-row moment
+    aggregate. The rank window is unpartitioned but runs over the
+    VOCABULARY, not the corpus — Zipf-bounded by the very law being
+    fitted."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    vocab = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rw = W.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = vocab.select(
+        F.floor(
+            F.log2(F.row_number().over(rw).cast("double")) * 1_000_000
+        ).alias("x"),
+        F.floor(F.log2(F.col("cnt").cast("double")) * 1_000_000).alias(
+            "y"
+        ),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col(c) for c in ["n", "sx", "sy", "sxx", "sxy"]
+    )
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope = num / den
+    return s.select(
+        n.alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (sy.cast("double") - slope * sx.cast("double"))
+            / n
+            / F.lit(1e6),
+            6,
+        ).alias("log2_intercept"),
+    )

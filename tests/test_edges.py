@@ -145,6 +145,7 @@ EDGE_KEYS = [
     "events_type_entropy",       # single-type users -> exactly 0 bits
     "llm_dataset_manifest",      # dup strata + single-doc strata
     "scd2_build_intervals",      # same-date versions tie on order key
+    "llm_zipf_fit",              # rank ties under equal frequencies
 ]
 
 
