@@ -111,6 +111,7 @@ HEADLINE = [
     "llm_dataset_manifest",    # per-stratum dataset-card statistics
     "scd2_build_intervals",    # SCD Type-2 validity-interval build
     "llm_zipf_fit",            # rank-frequency slope diagnostic
+    "llm_incremental_dedup",   # batch-vs-corpus CDC-shaped dedup
 ]
 
 

@@ -1258,3 +1258,69 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log2_intercept"),
     )
+
+
+_INCR_MOD = 5  # doc_id % 5 == 0 -> new batch; else existing corpus
+
+_INCR_ORACLE = f"""
+    WITH sig AS (
+      SELECT doc_id, md5(text) AS dg,
+             doc_id % {_INCR_MOD} = 0 AS in_batch
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT dg FROM sig WHERE NOT in_batch),
+    batch AS (
+      SELECT doc_id, dg,
+             MIN(doc_id) OVER (PARTITION BY dg) AS first_in_batch
+      FROM sig WHERE in_batch
+    )
+    SELECT b.doc_id,
+           CASE WHEN c.dg IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> b.first_in_batch THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM batch b LEFT JOIN corpus c ON b.dg = c.dg
+"""
+
+
+@register("llm_incremental_dedup", oracle=_INCR_ORACLE)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL (batch-vs-corpus) DEDUP — the shape every
+    PRODUCTION ingest actually runs: a new crawl batch is deduped
+    against the already-accepted corpus AND within itself, never by
+    re-deduping the whole corpus. Per new document the verdict is
+    `dup_of_corpus` (digest already accepted — corpus match wins even
+    if the batch also repeats it), `dup_in_batch` (an earlier batch
+    doc has the same digest — keep-first within the batch), or `new`.
+    The doc_id split stands in for the time axis; the digest is the
+    llm_exact_dedup contract.
+
+    Plan: ONE scan splits both sides; the corpus side reduces to its
+    DISTINCT digest set before the join (the membership structure —
+    at 100 TB this is the persisted digest index, a bloom-filter
+    front absorbs the 99% misses, and the batch never touches corpus
+    text); the within-batch check is a digest-partitioned min window
+    over the BATCH only. Batch work scales with |batch|, corpus work
+    with |distinct digests| — never |corpus| text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = docs.select(
+        "doc_id",
+        F.md5("text").alias("dg"),
+        (F.col("doc_id") % _INCR_MOD == 0).alias("in_batch"),
+    )
+    corpus = (
+        sig.filter(~F.col("in_batch"))
+        .select("dg")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    bw = W.partitionBy("dg")
+    batch = sig.filter(F.col("in_batch")).select(
+        "doc_id", "dg", F.min("doc_id").over(bw).alias("first_in_batch")
+    )
+    return batch.join(corpus, "dg", "left").select(
+        "doc_id",
+        F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") != F.col("first_in_batch"), "dup_in_batch")
+        .otherwise("new")
+        .alias("verdict"),
+    )

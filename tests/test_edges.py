@@ -146,6 +146,7 @@ EDGE_KEYS = [
     "llm_dataset_manifest",      # dup strata + single-doc strata
     "scd2_build_intervals",      # same-date versions tie on order key
     "llm_zipf_fit",              # rank ties under equal frequencies
+    "llm_incremental_dedup",     # corpus dups + in-batch dups exercised
 ]
 
 
