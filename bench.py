@@ -2,10 +2,23 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on one shared local[$SPARK_GRAFT_CPUS] session and
-prints EXACTLY ONE JSON line on stdout:
+prints EXACTLY ONE SHORT JSON line on stdout:
 
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {key: sec, ...}, "sf": 0.1}
+     "n_queries": N, "sf": 0.1}
+
+The driver captures only a ~2000-char tail of stdout (BENCH_r06.json
+came back `parsed: null` when the per-query dict grew past that), so the
+stdout line stays SHORT and fixed-size forever; the full per-query
+timing dict goes to stderr (one `# key: secs` line each) AND to
+BENCH_QUERIES.json next to this script for the judge's per-query diff.
+
+HEADLINE policy: the suite is the BASELINE.md-comparable set plus every
+operator family's most expensive representative — NOT all 200 keys.
+Adding a key to HEADLINE is a deliberate act (it costs suite wall
+against the driver's 2x budget); trivially-cheap siblings of an
+already-benched shape stay out so the suite measures plans, not session
+startup arithmetic.
 
 Protocol notes (BASELINE.md): session startup (~4 s) dominates per-query
 time at this scale, so the suite reuses one SparkSession; each query is
@@ -157,13 +170,27 @@ def main() -> None:
         total += best
         print(f"# {key}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Full per-query detail: stderr + sibling file (NOT the stdout line —
+    # the driver's tail capture is ~2000 chars and r6's 81-query dict
+    # overflowed it, leaving BENCH_r06.json unparseable).
+    detail = {
+        "metric": "suite_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "suite_wall_sec",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

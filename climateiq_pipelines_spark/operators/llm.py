@@ -31,30 +31,17 @@ from climateiq_pipelines_spark.registry import load_table
 
 # ---------------------------------------------------------------- helpers
 
-_S12 = 1_000_000_000_000  # 1e12 fixed-point scale for products
-_S9 = 1_000_000_000  # 1e9 scale for centroid component means
-
-
-def _int_dot(a: Column, b: Column) -> Column:
-    """Exact int64 dot of two float arrays: Σ floor(x·y·1e12)."""
-    prods = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.floor(
-            x.cast("double") * y.cast("double") * F.lit(float(_S12))
-        ),
-    )
-    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-
-def _sql_int_dot(a: str, b: str) -> str:
-    """DuckDB twin of :func:`_int_dot` (p[1]/p[2]: list_zip makes an
-    unnamed struct, numeric extraction only)."""
-    return (
-        f"list_aggregate(list_transform(list_zip({a}, {b}), "
-        f"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
-        f"* 1000000000000) AS BIGINT)), 'sum')"
-    )
+# Fixed-point vector math lives in functions/fixedpoint.py (a module
+# that registers nothing) so oracle builders elsewhere can import it at
+# decoration time without side-effect-registering llm's 19 keys; the
+# names are re-exported here for this module and its historical
+# importers (dedup_graph, vector_ext, ml_iter, text_analysis).
+from climateiq_pipelines_spark.functions.fixedpoint import (  # noqa: E402
+    _S9,
+    _S12,
+    _int_dot,
+    _sql_int_dot,
+)
 
 
 _TOKS_SQL = """
@@ -120,6 +107,17 @@ _NEARDUP_ORACLE = f"""
 """
 
 
+# All-pairs dispatch bound (llm_minhash_neardup): the exact posting-list
+# self-join is quadratic in posting length — fine on a checked fixture,
+# fatal raw at corpus scale (a stop token in 10% of docs creates 10^15
+# pairs). Above the bound the key auto-dispatches to the banded
+# llm_minhash_lsh plan, which shares its oracle (the banding is
+# oracle-proven lossless), so the dispatch changes the PLAN, never the
+# answer — mirroring BLOCKNL_MAX_VECTORS (VERDICT r6 #6: the checked
+# quadratic form must be impossible to run at scale by accident).
+ALLPAIRS_MAX_DOCS = 100_000  # tests monkeypatch this
+
+
 @register("llm_minhash_neardup", oracle=_NEARDUP_ORACLE)
 def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact token-set Jaccard — the CHECKED
@@ -137,8 +135,14 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     length — fine under candidate pruning, fatal raw at 100 TB (a stop
     token appearing in 10% of docs creates 10^15 pairs). The scale
     path is llm_minhash_lsh: MinHash signatures + banded bucketing
-    prune candidates to near-linear before this same exact verify."""
+    prune candidates to near-linear before this same exact verify —
+    and above ALLPAIRS_MAX_DOCS this key AUTO-DISPATCHES to it (a
+    bounded take(max+1) probe, never an unbounded count/collect; both
+    plans share one oracle, so the dispatch is answer-preserving)."""
     docs = load_table(spark, sf_dir, "documents")
+    probe = docs.select("doc_id").take(ALLPAIRS_MAX_DOCS + 1)
+    if len(probe) > ALLPAIRS_MAX_DOCS:
+        return llm_minhash_lsh(spark, sf_dir)
     toks = _tokens(docs)
     # Sizes RIDE THE TOKEN ROWS into the self-join (8 extra bytes per
     # shuffled row) instead of joining corpus-sized per-doc dimension
@@ -684,36 +688,12 @@ def llm_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CENTROID_SQL = """
-    exploded AS (
-      SELECT label, vec_id,
-             generate_subscripts(embedding, 1) AS pos,
-             unnest(embedding) AS x
-      FROM embeddings
-    ),
-    centroids AS (
-      SELECT label AS c_label, pos,
-             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
-                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
-      FROM exploded GROUP BY label, pos
-    ),
-    dists AS (
-      SELECT e.vec_id, e.label, c.c_label,
-             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
-                            * (CAST(e.x AS DOUBLE) - c.c)
-                            * 1000000000000) AS BIGINT)) AS dist_fp
-      FROM exploded e JOIN centroids c ON e.pos = c.pos
-      GROUP BY e.vec_id, e.label, c.c_label
-    ),
-    assigned AS (
-      SELECT vec_id, label, c_label AS assigned_label
-      FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist_fp ASC, c_label) AS rn
-        FROM dists
-      ) WHERE rn = 1
-    )
-"""
+# Centroid/E-step oracle CTE shared with the SemDeDup pipeline — now in
+# functions/fixedpoint.py for the same decoration-time-import reason as
+# the dot helpers above.
+from climateiq_pipelines_spark.functions.fixedpoint import (  # noqa: E402
+    _CENTROID_SQL,
+)
 
 _CENTROID_ORACLE = f"""
     WITH {_CENTROID_SQL}

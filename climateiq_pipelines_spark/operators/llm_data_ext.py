@@ -217,7 +217,7 @@ def _score_cluster(pdf):
 
 
 def _semdedup_oracle() -> str:
-    from climateiq_pipelines_spark.operators.llm import _sql_int_dot
+    from climateiq_pipelines_spark.functions.fixedpoint import _sql_int_dot
 
     dot = _sql_int_dot("a.embedding", "b.embedding")
     return f"""
@@ -277,7 +277,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     task and |pairs| ≈ n·c/2), and 100 TB never sees an all-pairs
     product. The left join back is on vec_id, and the dup-count side
     is at most one row per vector."""
-    from climateiq_pipelines_spark.operators.llm import _S12
+    from climateiq_pipelines_spark.functions.fixedpoint import _S12
 
     emb = load_table(spark, sf_dir, "embeddings")
     dup_counts = emb.groupBy("label").applyInPandas(
@@ -496,7 +496,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_pipeline_oracle() -> str:
-    from climateiq_pipelines_spark.operators.llm import (
+    from climateiq_pipelines_spark.functions.fixedpoint import (
         _CENTROID_SQL,
         _sql_int_dot,
     )
@@ -552,7 +552,7 @@ def llm_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the assigned cluster and is quadratic in cluster size only —
     at 100 TB, k grows with n so clusters stay task-sized (the paper's
     own scaling argument)."""
-    from climateiq_pipelines_spark.operators.llm import _S9, _S12
+    from climateiq_pipelines_spark.functions.fixedpoint import _S9, _S12
 
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
@@ -1189,13 +1189,15 @@ _ZIPF_ORACLE = """
       FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_types,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
-           round((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(sx AS DOUBLE)) / n / 1000000.0, 6)
-             AS log2_intercept
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS zipf_slope,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round((CAST(sy AS DOUBLE)
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE)) / n / 1000000.0, 6)
+           END AS log2_intercept
     FROM s
 """
 
@@ -1246,8 +1248,11 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(c) for c in ["n", "sx", "sy", "sxx", "sxy"]
     )
     num = (n * sxy - sx * sy).cast("double")
-    den = (n * sxx - sx * sx).cast("double")
-    slope = num / den
+    den_i = n * sxx - sx * sx
+    # ADVICE r6: a single-type vocabulary makes the denominator 0 —
+    # guard like agg_linear_fit so degenerate corpora yield NULL on
+    # both engines instead of engine-divergent 0/0 NaN.
+    slope = F.when(den_i != 0, num / den_i.cast("double"))
     return s.select(
         n.alias("n_types"),
         F.round(slope, 6).alias("zipf_slope"),

@@ -104,7 +104,10 @@ def _wav_header() -> bytes:
 
 _WAV_ORACLE = f"""
     WITH px AS (
-      SELECT doc_id, rpad(text, {_WAV_DATA}, 'x') AS d FROM documents
+      SELECT doc_id,
+             rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                  {_WAV_DATA}, 'x') AS d
+      FROM documents
     ),
     s AS (
       SELECT doc_id,
@@ -162,7 +165,14 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     docs = load_table(spark, sf_dir, "documents")
-    data_txt = F.rpad(F.col("text"), _WAV_DATA, "x")
+    # ADVICE r6: the header declares a fixed 512-BYTE data chunk, but
+    # rpad pads/truncates by CHARACTERS — any non-ASCII character would
+    # make the UTF-8 payload longer than declared and break the codec
+    # (and the oracle's per-char ascii() arithmetic). Project to the
+    # printable-ASCII subset first (same RE2-compatible class on both
+    # engines) so chars == bytes by construction.
+    ascii_txt = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    data_txt = F.rpad(ascii_txt, _WAV_DATA, "x")
     payload = F.concat(
         F.lit(_wav_header()), F.encode(data_txt, "UTF-8")
     )

@@ -244,9 +244,13 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft((pk % 1024).cast("int"), 3).cast("long").alias(
             "shifted_l"
         ),
-        F.shiftright(pk.cast("int"), 2).cast("long").alias("shifted_r"),
+        # ADVICE r6: shift the full BIGINT (the int cast truncated
+        # p_partkey to 32 bits, silently diverging from the oracle's
+        # 64-bit `p_partkey >> 2` once keys exceed 2^31 at larger SF).
+        F.expr("shiftright(p_partkey, 2)").cast("long").alias("shifted_r"),
         F.bit_count(pk).cast("long").alias("n_bits"),
-        F.shiftright(pk.cast("int"), 3).bitwiseAND(F.lit(1))
+        F.expr("shiftright(p_partkey, 3)")
+        .bitwiseAND(F.lit(1))
         .cast("long")
         .alias("bit3"),
     )

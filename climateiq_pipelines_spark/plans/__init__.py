@@ -44,29 +44,43 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 # ROTATED each round toward the keys with the oldest (or no) valid
 # certification stamp.  Round-2 certified the relational 50; round-3 the
 # mandated llm/text/mm/fn/stream/tpch/udf families; round-4 the 29
-# late-added keys; round-5 the 30 events-fixture-drift victims.
-# Round 6 (SURVEY §10.8): the 15 round-5 additions that have never had a
-# driver row, the sketch/layout keys newly given SQL-checkable band
-# oracles, and the events-reading keys whose stamps predate the drift
-# fix:
-#   aggregates (16) + scans (9) + queries_tpch_more (4) +
-#   llm_pipeline_ext (4) + events_analytics (2) + queries_tpch_hard (2)
-#   = 37, then joins straddles slot 50 with its first 13 keys inside
-#   (join_asof_tolerance moved above join_salted_skew and
-#   join_right_outer — fresh r5 stamp — rotated to the module tail, so
-#   all four join targets land inside; the window closes after
-#   join_salted_skew).
-# Covered targets: agg_approx_count_distinct / agg_approx_percentile /
-# agg_hll_sketch_merge / sink_sorted_bucketed (newly SQL-checkable),
-# agg_conditional_filter, agg_pivot, agg_unpivot_melt,
-# scan_all_tables_counts, scan_text_roundtrip, q4/q13/q14/q19/q21/q2,
-# the four llm_pipeline_ext ops, both events composites,
-# join_range_interval, join_asof_last_event, join_asof_tolerance,
-# join_salted_skew.  tools/driver_sim.py remains the full-surface gate
-# covering every key regardless of order.
+# late-added keys; round-5 the 30 events-fixture-drift victims; round-6
+# the round-5 additions + newly-SQL-checkable sketch/layout keys +
+# drift-stale joins.
+# Round 7 (SURVEY §11.1): the never-certified mass registered after the
+# r6 window — every key that has NEVER had a driver CORRECTNESS row:
+#   batch_shapes (8; both never-certified stateful demos inside) +
+#   demos (6) + multimodal (4, incl. mm_ppm_decode) + lakehouse (4) +
+#   formats_ext (4) + graph_ext (1) + retrieval_ext (4) + events_ext (5)
+#   + queries_tpch_wave3 (7) = 43 slots, then llm_data_ext's first 7
+#   decoration-order keys (llm_pii_redact, llm_shuffle_shard,
+#   llm_semdedup, llm_dsir_weights, llm_semdedup_pipeline,
+#   llm_chunk_dedup, llm_unigram_logprob) close the window at slot 50.
+# Round 8 (SURVEY §11.1) then takes llm_data_ext's tail, relational_ext,
+# mm_ext, the remaining never/stale singles, and the oldest r2/r3
+# stamps.  tools/driver_sim.py remains the full-surface gate covering
+# every key regardless of order.
 def load_all() -> None:
     """Import every operator module so its @register calls run."""
     # Imported lazily to avoid circular imports at package import time.
+    from climateiq_pipelines_spark.streaming import (  # noqa: F401
+        batch_shapes,
+        demos,
+    )
+    from climateiq_pipelines_spark.operators import multimodal  # noqa: F401
+    from climateiq_pipelines_spark.sources import (  # noqa: F401
+        lakehouse,
+        formats_ext,
+    )
+    from climateiq_pipelines_spark.operators import (  # noqa: F401
+        graph_ext,
+        retrieval_ext,
+        events_ext,
+        queries_tpch_wave3,
+    )
+    from climateiq_pipelines_spark.operators import llm_data_ext  # noqa: F401
+    # --- driver window (50) ends inside llm_data_ext, after
+    # llm_unigram_logprob (its 7th decoration-order key) ---
     from climateiq_pipelines_spark.operators import aggregates  # noqa: F401
     from climateiq_pipelines_spark.sources import scans  # noqa: F401
     from climateiq_pipelines_spark.operators import (  # noqa: F401
@@ -75,13 +89,6 @@ def load_all() -> None:
         events_analytics,
         queries_tpch_hard,
         joins,
-    )
-    # --- driver window (50) ends inside joins, after join_salted_skew ---
-    from climateiq_pipelines_spark.streaming import (  # noqa: F401
-        batch_shapes,
-        demos,
-    )
-    from climateiq_pipelines_spark.operators import (  # noqa: F401
         setops,
         udfs,
         windows,
@@ -92,7 +99,6 @@ def load_all() -> None:
         sorts,
         queries_tpch,
         text_analysis,
-        multimodal,
         llm,  # explicit: dedup_graph/vector_ext also import it, but llm's
         # 19 keys must not depend on THEIR import graph (ADVICE r4)
         dedup_graph,
@@ -100,16 +106,5 @@ def load_all() -> None:
         queries_tpch_ext,
         mm_ext,
         ml_iter,
+        relational_ext,
     )
-    # Round-6 additions — registered last so the certification window
-    # above is unaffected; rotation-targeted for round 7.
-    from climateiq_pipelines_spark.operators import (  # noqa: F401
-        queries_tpch_wave3,
-    )
-    from climateiq_pipelines_spark.sources import lakehouse  # noqa: F401
-    from climateiq_pipelines_spark.operators import llm_data_ext  # noqa: F401
-    from climateiq_pipelines_spark.operators import events_ext  # noqa: F401
-    from climateiq_pipelines_spark.sources import formats_ext  # noqa: F401
-    from climateiq_pipelines_spark.operators import relational_ext  # noqa: F401
-    from climateiq_pipelines_spark.operators import graph_ext  # noqa: F401
-    from climateiq_pipelines_spark.operators import retrieval_ext  # noqa: F401

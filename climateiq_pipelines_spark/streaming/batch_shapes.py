@@ -173,14 +173,88 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics in batch: running max event-time over arrival
     order (event_id) is the watermark; rows older than watermark − 1 h
     are dropped before the tumbling agg — exactly what
-    withWatermark('ts','1 hour') does to late data in streaming. The
-    global arrival-order window funnels one partition; in streaming this
-    state is per-trigger O(1), and a batch replay at 100 TB would
-    compute the watermark per micro-batch span instead."""
+    withWatermark('ts','1 hour') does to late data in streaming.
+
+    Since round 7 the row-exact running max is computed DISTRIBUTED via
+    a two-phase decomposition over DETERMINISTIC VALUE BUCKETS (the r6
+    verdict's other perf_weak member was this key's old global window):
+
+    1. bucket = event_id div 1000 — a pure value function of the unique
+       arrival key, so bucket membership is identical on every
+       evaluation of every plan branch. (NOT repartitionByRange +
+       spark_partition_id: range boundaries are SAMPLED per exchange,
+       and when column pruning makes the two consumer branches
+       non-identical Catalyst cannot ReuseExchange them, so each
+       branch sees different boundaries — measured as a
+       nondeterministic answer, 8905–9915 of 10000 rows kept across
+       three runs of the same query at sf0.01.)
+    2. per-bucket running max — every event-row window is
+       bucket-partitioned (one hash shuffle, no sampling);
+    3. bucket maxima → exclusive prefix max over the n/1000-row bucket
+       table (stream_watermark_spans' scale argument: pick the bucket
+       width so bucket count ~ thousands, it is a tuning knob with no
+       effect on the answer);
+    4. broadcast back; watermark = greatest(prior-bucket prefix max,
+       local running max) — exactly the prefix-max decomposition of
+       the arrival-order running max, since bucket order extends
+       event_id order.
+
+    Identical answer and oracle as the historical single-partition form
+    (kept as the unregistered demo twin
+    :func:`_watermark_late_global_window`); no WindowExec with an empty
+    partition spec ever sees event rows. stream_watermark_spans remains
+    the per-micro-batch-span approximation Structured Streaming itself
+    uses; this key is the row-exact replay."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type"
     )
-    arrival = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bucketed = events.withColumn("bucket", F.expr("event_id div 1000"))
+    local_w = (
+        W.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.withColumn("local_max", F.max("ts").over(local_w))
+    bmax = bucketed.groupBy("bucket").agg(F.max("ts").alias("b_max"))
+    prior_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    prior = bmax.withColumn(
+        "prior_max", F.max("b_max").over(prior_w)
+    ).select("bucket", "prior_max")
+    kept = (
+        local.join(F.broadcast(prior), "bucket")
+        .withColumn(
+            "max_ts_seen",
+            F.greatest(
+                F.col("local_max"),
+                F.coalesce(F.col("prior_max"), F.col("local_max")),
+            ),
+        )
+        .filter(F.col("ts") >= F.col("max_ts_seen") - F.expr("INTERVAL 1 HOUR"))
+    )
+    win = F.window("ts", "1 day")
+    return (
+        kept.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_on_time"
+        )
+    )
+
+
+def _watermark_late_global_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEMO TWIN (unregistered): the naive global arrival-order running
+    max that stream_watermark_late used before round 7 — correct, but
+    the empty window partition spec funnels every event row through one
+    task. Kept for the equivalence property test and as documentation
+    of the anti-pattern the registered two-phase plan avoids."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    arrival = W.orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     kept = events.withColumn("max_ts_seen", F.max("ts").over(arrival)).filter(
         F.col("ts") >= F.col("max_ts_seen") - F.expr("INTERVAL 1 HOUR")
     )

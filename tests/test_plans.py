@@ -217,6 +217,7 @@ BROADCAST_OK = {
     ("aggregates.py", "bands"): "|priorities|-row (5) quantile-sketch aggregate",
     ("aggregates.py", "exact_all"): "1-row exact-distinct aggregate",
     ("sorts.py", "off"): "N_PARTITIONS-row offset table (topology-bounded)",
+    ("batch_shapes.py", "prior"): "n/1000-row bucket prefix-max table (span-bounded)",
     ("queries_tpch_ext.py", "sn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "cn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "nation"): "25-row literal dim (Q10)",
@@ -258,28 +259,38 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-6 rotation targets (plans.load_all, SURVEY §10.8): the 15
-# round-5 additions that never had a driver CORRECTNESS row, the four
-# sketch/layout keys newly given SQL-checkable band oracles, and the
-# events-reading keys whose last stamps predate the r5 drift fix.
+# Round-7 rotation targets (plans.load_all, SURVEY §11.1): the
+# never-certified mass — every key registered after the r6 window that
+# has NEVER had a driver CORRECTNESS row, led by the six streaming
+# demos, the multimodal codecs, both lakehouse keys, and graph_pagerank.
 # tools/driver_sim.py covers the full surface meanwhile.
-ROTATION_R6 = {
-    # aggregates — newly SQL-checkable bands + stale events stamps + r5 add
-    "agg_approx_count_distinct", "agg_approx_percentile",
-    "agg_hll_sketch_merge", "agg_conditional_filter", "agg_pivot",
-    "agg_unpivot_melt",
-    # scans — newly SQL-checkable layout audit + stale/never-certified
-    "sink_sorted_bucketed", "scan_all_tables_counts", "scan_text_roundtrip",
-    # round-5 additions, never in a driver window
-    "q4_order_priority", "q13_customer_distribution", "q14_promo_revenue",
-    "q19_discounted_revenue",
-    "llm_ngram_contamination", "llm_mixture_weights",
-    "llm_seqlen_histogram", "llm_repetition_filter",
-    "events_funnel_steps", "events_cohort_retention",
-    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
-    # joins — drift-stale stamps + never-certified asof_tolerance
-    "join_range_interval", "join_asof_last_event", "join_asof_tolerance",
-    "join_salted_skew",
+ROTATION_R7 = {
+    # streaming — the 2 never-certified stateful demos ride along with
+    # their module; all 6 demos get their first-ever driver rows
+    "stream_readstream_demo", "stream_stateful_sessions",
+    "stream_sliding_demo", "stream_dedup_watermark_demo",
+    "stream_stream_join_demo", "stream_foreachbatch_sink",
+    "stream_windowed_topk_demo",
+    # multimodal codec + lakehouse + formats — never certified
+    "mm_ppm_decode",
+    "sink_merge_on_read", "sink_time_travel", "sink_compact_small_files",
+    "sink_range_partitioned_stats",
+    "scan_csv_malformed", "scan_schema_evolution",
+    "scan_dynamic_partition_pruning", "sink_compression_codecs",
+    # graph / retrieval / events — never certified
+    "graph_pagerank",
+    "llm_inverted_index", "llm_sliding_chunks", "llm_bm25_score",
+    "llm_rrf_fusion",
+    "events_top_paths", "events_anomaly_zscore", "events_rfm_segmentation",
+    "events_inter_arrival_stats", "events_type_entropy",
+    # TPC-H third wave — never certified
+    "q8_market_share", "q9_product_profit", "q15_top_supplier",
+    "q16_parts_supplier_relation", "q17_small_qty_revenue",
+    "q20_potential_promotion", "q11_important_stock",
+    # llm_data_ext head (decoration order) — never certified
+    "llm_pii_redact", "llm_shuffle_shard", "llm_semdedup",
+    "llm_dsir_weights", "llm_semdedup_pipeline", "llm_chunk_dedup",
+    "llm_unigram_logprob",
 }
 
 
@@ -288,36 +299,39 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there), and load_all rotates each
     round toward the keys with the oldest/no valid stamp.  This pin
-    encodes the CURRENT rotation (round 6: the never-certified round-5
-    additions + newly-oracled sketch/layout keys + drift-stale joins) so
-    a refactor that reorders load_all and silently pushes the rotation
-    targets back out of driver certification fails here.  Update
-    ROTATION_R6 together with load_all each round — that is the policy,
-    not a historical layout."""
+    encodes the CURRENT rotation (round 7: the never-certified mass
+    registered after the r6 window — streaming demos, multimodal codecs,
+    lakehouse, formats, graph/retrieval/events, TPC-H wave 3, the
+    llm_data_ext head) so a refactor that reorders load_all and silently
+    pushes the rotation targets back out of driver certification fails
+    here.  Update ROTATION_R7 together with load_all each round — that
+    is the policy, not a historical layout."""
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R6 - first50)
+    missing = sorted(ROTATION_R7 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
 
 
 def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Pin the boundary explicitly: the
-    round-6 window opens with aggregates, ends inside operators/joins
-    with join_salted_skew in the LAST slot (index 49), and the total
-    key count must equal the full surface so a module gaining/losing a
-    @register call surfaces here."""
+    round-7 window opens with streaming/batch_shapes, ends inside
+    operators/llm_data_ext with llm_unigram_logprob in the LAST slot
+    (index 49), and the total key count must equal the full surface so a
+    module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 200, len(keys)
-    assert keys[0] == "agg_pricing_summary", keys[:3]
-    assert keys[37] == "join_broadcast_dim", keys[35:50]
-    assert keys[49] == "join_salted_skew", keys[45:52]
+    assert keys[0] == "stream_tumbling_window", keys[:3]
+    assert keys[43] == "llm_pii_redact", keys[40:50]
+    assert keys[49] == "llm_unigram_logprob", keys[45:52]
 
 
-def test_round6_window_is_fully_oracle_checkable():
-    """Round-6 goal (VERDICT r5 #5): no slot in the 50-key driver window
-    is wasted on a rows-only key — every key in the window has a SQL
-    oracle, so the driver artifact can report 50/50 instead of 44/50."""
+def test_driver_window_is_fully_oracle_checkable():
+    """Standing policy since round 6 (VERDICT r5 #5): no slot in the
+    50-key driver window is wasted on a rows-only key — every key in the
+    window has a SQL oracle, so the driver artifact can report 50/50.
+    Round 7's window includes the six streaming demos, which carry full
+    oracles since the epoch-pinned event-time rewrite."""
     from climateiq_pipelines_spark.plans import ORACLES
 
     keys = list(QUERIES)[:50]
@@ -491,6 +505,73 @@ def test_span_watermark_has_no_global_data_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "span" in line, line
+
+
+def test_sort_multikey_nulls_is_two_phase(spark):
+    """Round-7 promotion (VERDICT r6 #3): the registered
+    sort_multikey_nulls now RUNS the two-phase range-partitioned rank —
+    its fact-row window is pid-partitioned and the only unpartitioned
+    window runs over the N_PARTITIONS-row offset table. The old global
+    window survives only as the unregistered demo twin."""
+    plan = plan_of(spark, "sort_multikey_nulls")
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid#", plan), plan
+    unpartitioned = [
+        m for m in re.finditer(r"windowspecdefinition\((\w+#\d+L?) ASC", plan)
+    ]
+    assert len(unpartitioned) == 1 and unpartitioned[0].group(1).startswith(
+        "pid"
+    ), plan
+
+
+def test_watermark_late_has_no_global_data_window(spark):
+    """Round-7 promotion (VERDICT r6 #3): stream_watermark_late's
+    row-exact running max is now the two-phase decomposition over
+    deterministic value buckets — every window over event rows is
+    bucket-partitioned; the only unpartitioned window runs over the
+    n/1000-row bucket table (its spec starts with the bucket ORDER
+    column)."""
+    plan = plan_of(spark, "stream_watermark_late")
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan
+    # Both the data-row window (partitioned: `bucket#N, event_id#M
+    # ASC...`) and the bucket-table window (unpartitioned: `bucket#N
+    # ASC...`) lead with bucket — no window spec leads with a raw data
+    # column.
+    for first in specs:
+        assert first.strip().startswith("bucket#"), plan
+    # and no sampled range exchange anywhere (the nondeterminism the
+    # bucket form exists to avoid)
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_promoted_keys_match_their_demo_twins(spark):
+    """The round-7 promotions are pure plan swaps: the registered
+    two-phase forms must return row-identical answers to the historical
+    single-partition demo twins they replaced."""
+    from climateiq_pipelines_spark.operators.sorts import (
+        _sort_multikey_global_window,
+    )
+    from climateiq_pipelines_spark.streaming.batch_shapes import (
+        _watermark_late_global_window,
+    )
+
+    for key, twin in [
+        ("sort_multikey_nulls", _sort_multikey_global_window),
+        ("stream_watermark_late", _watermark_late_global_window),
+    ]:
+        got = (
+            QUERIES[key](spark, SF_SMALL)
+            .toPandas()
+            .sort_values(list(QUERIES[key](spark, SF_SMALL).columns))
+            .reset_index(drop=True)
+        )
+        want = (
+            twin(spark, SF_SMALL)
+            .toPandas()
+            .sort_values(list(got.columns))
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), f"{key}: two-phase != demo twin"
 
 
 def test_partitioned_sink_readback_prunes_partitions(spark):
