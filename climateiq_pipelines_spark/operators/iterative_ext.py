@@ -1,0 +1,325 @@
+"""Round-7 convergence-driven iteration (VERDICT r6 #7): the
+data-driven-round-count variants of the two iterative keys whose
+registered forms fix their round count for hash-checkability
+(`graph_pagerank`, `llm_kmeans_iterate`). Production iterative jobs
+never run "exactly 3 rounds" — they iterate the SAME per-round plan to
+a residual threshold; these keys register that production story as
+first-class checked surface.
+
+Oracle strategy (documented equivalence): a stopping rule over
+integer-exact per-round state is itself engine-exact — both engines
+compute bit-identical rounds, therefore bit-identical residuals,
+therefore the SAME stopping round. The DuckDB oracle unrolls the
+fixpoint to the stopping round the rule reaches on the sf0.01 fixture
+(measured, constants below) and pins that count in an `n_rounds`
+output column — so if the Spark loop ever stopped at a different round
+the artifact hash-mismatches attributably (wrong n_rounds AND wrong
+state), rather than silently passing.
+
+Registered last in plans.load_all — after the round-7 driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+# ---------------------------------------------------------------- pagerank
+
+_PR_R0 = 1_000_000  # initial rank, micro-units (graph_ext twin)
+_PR_BASE = 150_000  # (1 - d) in micros, d = 0.85
+
+# Stop when the L1 rank drift of a round is ≤ _PR_TOL_MICRO per node on
+# average (0.1 rank-units). The drift contracts at the damping rate
+# (measured ≈0.85×/round on the fixture: 1.49e6 → 2.5e5 micros/node
+# over rounds 1→12 at sf0.01), so the rule stops at round
+# _PR_ROUNDS_SF001 there — the count the oracle unrolls to.
+_PR_TOL_MICRO = 100_000
+_PR_MAX_ROUNDS = 40  # safety cap; the tolerance binds long before it
+_PR_ROUNDS_SF001 = 18  # measured stopping round at sf0.01
+
+
+def _pagerank_converged_oracle(n_rounds: int) -> str:
+    """graph_ext._pagerank_oracle generalized to ``n_rounds`` unrolled
+    rounds, plus the pinned n_rounds column (see module docstring for
+    why a fixed unroll is a faithful oracle for a converging loop)."""
+    stages = []
+    prev = "r0"
+    for i in range(1, n_rounds + 1):
+        stages.append(
+            f"""r{i} AS (
+      SELECT s.v AS node, {_PR_BASE} + (SUM(p.r // d.deg) * 85) // 100 AS r
+      FROM sym s
+      JOIN {prev} p ON p.node = s.u
+      JOIN deg d ON d.node = s.u
+      GROUP BY s.v
+    )"""
+        )
+        prev = f"r{i}"
+    joined_stages = ",\n    ".join(stages)
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+    r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS r FROM deg),
+    {joined_stages}
+    SELECT f.node AS node_id,
+           f.node % 2 = 1 AS is_supplier,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(f.r AS BIGINT) AS rank_micro,
+           CAST({n_rounds} AS INTEGER) AS n_rounds
+    FROM {prev} f JOIN deg d ON d.node = f.node
+    """
+
+
+@register(
+    "graph_pagerank_converged",
+    oracle=_pagerank_converged_oracle(_PR_ROUNDS_SF001),
+)
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK TO CONVERGENCE — graph_pagerank's per-round plan (same
+    integer fixpoint arithmetic, same purchase graph) driven by a
+    RESIDUAL STOPPING RULE instead of a fixed unroll: after each round,
+    residual = Σ_nodes |Δrank_micro| (one 1-row aggregate action, the
+    dedup_graph convergence-triple discipline); stop when it falls to
+    ≤ 0.1 rank-units per node (residual ≤ n·100000), cap 40.
+
+    This is the production story graph_pagerank's docstring promises:
+    round count is DATA-DRIVEN (18 on the sf0.01 fixture, emitted as
+    n_rounds so the oracle pins it), every round's state is
+    localCheckpoint-ed (lineage truncation — each round's action must
+    not re-execute the whole history; the fixed-3 sibling instead
+    relies on AQE stage reuse within its ONE action), and the static
+    (edge, degree) subtree is checkpointed once up front because 2·N
+    actions would otherwise re-run the edge build 2·N times.
+
+    Scale: per round identical to graph_pagerank (2 shuffles, node-
+    sized state); the additions are the per-round 1-row residual
+    aggregate and the checkpoint IO — the price of a data-driven stop,
+    linear in rounds, independent of graph size beyond the state
+    itself. Cross-engine equivalence of the STOP ROUND follows from
+    integer-exactness: both engines produce bit-identical ranks each
+    round, hence identical residuals, hence the same stopping round
+    (measured 18 at sf0.01; the oracle unrolls exactly 18)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # Static per-round inputs, materialized ONCE: every round issues its
+    # own residual action, so without the checkpoint the edge build
+    # would re-execute once per action.
+    edge_deg = (
+        sym.join(deg, sym["u"] == deg["node"])
+        .select("u", "v", "deg")
+        .localCheckpoint()
+    )
+    deg = deg.localCheckpoint()
+    n_nodes = deg.count()
+
+    ranks = deg.select("node", F.lit(_PR_R0).cast("long").alias("r"))
+    n_rounds = 0
+    for _ in range(_PR_MAX_ROUNDS):
+        contribs = edge_deg.join(
+            ranks, edge_deg["u"] == ranks["node"]
+        ).select("v", F.expr("r div deg").alias("c"))
+        new_ranks = (
+            contribs.groupBy(F.col("v").alias("node"))
+            .agg(
+                (F.lit(_PR_BASE) + F.expr("(sum(c) * 85) div 100")).alias(
+                    "r"
+                )
+            )
+            .localCheckpoint()
+        )
+        residual = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("l1"))
+            .collect()[0]["l1"]
+        )
+        ranks = new_ranks
+        n_rounds += 1
+        if residual <= n_nodes * _PR_TOL_MICRO:
+            break
+
+    return ranks.join(deg.select("node", "deg"), "node").select(
+        F.col("node").alias("node_id"),
+        (F.col("node") % 2 == 1).alias("is_supplier"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("r").cast("long").alias("rank_micro"),
+        F.lit(n_rounds).cast("int").alias("n_rounds"),
+    )
+
+
+# ----------------------------------------------------------------- k-means
+
+# Stop when a round moves ≤ n/10 vectors (10%). Measured movement at
+# sf0.01 from the label init (n=500): 294 → 78 → 35 → 18 → 18, i.e.
+# 58.8% → 15.6% → 7.0% → 3.6% → 3.6% — a small stable core keeps
+# oscillating between equidistant-ish centroids (movement never reaches
+# 0, exactly why production k-means stops on a movement THRESHOLD, not
+# movement zero), so the 10% rule stops after round _KM_ROUNDS_SF001
+# with clear integer margin on both sides (350 ≤ 500 vs 780 > 500).
+# The 10% demo threshold is calibrated to stop mid-curve on the small
+# fixture; production corpora use 0.1–1% with the identical loop.
+_KM_TOL_DIV = 10
+_KM_MAX_ROUNDS = 10
+_KM_ROUNDS_SF001 = 3  # measured stopping round at sf0.01
+
+
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration (ml_iter._iter_sql twin)."""
+    return f"""
+    centroids{i} AS (
+      SELECT a.cluster AS c_id, e.pos,
+             CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM exploded e JOIN assign{i - 1} a ON a.vec_id = e.vec_id
+      GROUP BY a.cluster, e.pos
+    ),
+    dists{i} AS (
+      SELECT e.vec_id, c.c_id,
+             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                            * (CAST(e.x AS DOUBLE) - c.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM exploded e JOIN centroids{i} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.c_id
+    ),
+    assign{i} AS (
+      SELECT vec_id, c_id AS cluster, dist_fp
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_fp ASC, c_id) AS rn
+        FROM dists{i}
+      ) WHERE rn = 1
+    )
+    """
+
+
+_KMEANS_CONVERGED_ORACLE = f"""
+    WITH exploded AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    assign0 AS (
+      SELECT vec_id, label AS cluster, CAST(0 AS BIGINT) AS dist_fp
+      FROM embeddings
+    ),
+    {", ".join(_kmeans_iter_sql(i) for i in range(1, _KM_ROUNDS_SF001 + 1))}
+    SELECT cluster AS cluster_id,
+           COUNT(*) AS n_vecs,
+           round(CAST(SUM(dist_fp) AS DOUBLE) / 1000000000000.0, 6)
+             AS inertia,
+           CAST({_KM_ROUNDS_SF001} AS INTEGER) AS n_rounds
+    FROM assign{_KM_ROUNDS_SF001}
+    GROUP BY cluster
+"""
+
+
+@register("llm_kmeans_converged", oracle=_KMEANS_CONVERGED_ORACLE)
+def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS TO CONVERGENCE — llm_kmeans_iterate's per-round Lloyd
+    plan (exact 1e9 fixed-point means, 1e12 integer distances,
+    deterministic argmin) driven by a MOVEMENT STOPPING RULE: after
+    each re-assignment, moved = #vectors whose cluster changed (one
+    1-row aggregate action); stop when moved ≤ n/10 (10% — the demo
+    calibration, see _KM_TOL_DIV), cap 10. Movement-threshold (not
+    movement-zero) is the production rule: exact-arithmetic Lloyd can
+    2-cycle a small equidistant core forever (measured
+    294 → 78 → 35 → 18 → 18 moves of n=500 at sf0.01 — the tail never
+    reaches 0), so the rule stops at round 3 there, pinned by the
+    n_rounds column the oracle hardcodes.
+
+    Per-round state is localCheckpoint-ed (each round's movement action
+    must not re-execute the full history — the fixed-3 sibling's
+    single-action AQE-reuse trick does not apply once the loop reads a
+    scalar per round), and cross-engine stop-round equivalence follows
+    from the integer-exact state: identical assignments each round ⇒
+    identical movement counts ⇒ identical stopping round.
+
+    Scale per round: unchanged from llm_kmeans_iterate (k×64 broadcast
+    centroids, one linear distance aggregate) + the 1-row movement
+    aggregate and checkpoint IO. At billions of vectors this loop — not
+    an unrolled plan — is the form that survives, which is exactly why
+    it is registered surface and not just a docstring promise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).localCheckpoint()
+    n_vecs = emb.count()
+    assign = emb.select(
+        "vec_id", F.col("label").alias("cluster"), F.lit(0).cast("long").alias("dist_fp")
+    ).localCheckpoint()
+
+    n_rounds = 0
+    for _ in range(_KM_MAX_ROUNDS):
+        centroids = (
+            exploded.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy(F.col("cluster").alias("c_id"), "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
+                    .cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+        diff = F.col("x").cast("double") - F.col("c")
+        dists = (
+            exploded.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "c_id")
+            .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_id"))
+        new_assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("c_id").alias("cluster"), "dist_fp")
+            .localCheckpoint()
+        )
+        moved = (
+            new_assign.alias("a")
+            .join(assign.alias("b"), "vec_id")
+            .filter(F.col("a.cluster") != F.col("b.cluster"))
+            .count()
+        )
+        assign = new_assign
+        n_rounds += 1
+        if moved * _KM_TOL_DIV <= n_vecs:
+            break
+
+    return assign.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("dist_fp").cast("double") / F.lit(1e12), 6).alias(
+            "inertia"
+        ),
+        F.first(F.lit(n_rounds).cast("int")).alias("n_rounds"),
+    )

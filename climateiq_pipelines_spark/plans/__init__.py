@@ -108,3 +108,7 @@ def load_all() -> None:
         ml_iter,
         relational_ext,
     )
+    # Round-7 additions — registered last so the certification window
+    # above is unaffected; rotation-targeted for round 8+.
+    from climateiq_pipelines_spark.operators import iterative_ext  # noqa: F401
+    from climateiq_pipelines_spark.sources import lakehouse_txn  # noqa: F401

@@ -1,0 +1,430 @@
+"""Round-7 lakehouse TRANSACTION LOG — the commit-protocol piece the
+round-6 module declared out of scope, now demonstrated as a minimal but
+REAL protocol ("bring Delta/Iceberg" remains the production answer; what
+this proves is that the engine side needs nothing more than atomic
+rename/link semantics plus optimistic validation, which is exactly what
+those formats build on).
+
+Protocol (the Delta-style driver-side commit, stripped to essentials):
+
+- Table layout: ``<root>/data/*.parquet`` (immutable data files) +
+  ``<root>/_log/%08d.json`` (ordered commit records).
+- A commit record lists file ADDS and REMOVES plus the writer's
+  read-version and a declared write-domain predicate tag (here: the
+  o_orderpriority partition it touched — the read/write-set summary
+  real formats carry per commit).
+- PUBLISH is ``os.link(tmp, _log/%08d.json)``: a POSIX hard link is
+  atomic and EXCLUSIVE (EEXIST if the version was claimed) — the whole
+  concurrency story reduces to this one primitive, the same way Delta
+  reduces it to an atomic put-if-absent on the log object.
+- SNAPSHOT READ at version V replays records 1..V: active files =
+  adds − removes; the read is a plain parquet scan of the active set
+  (engine-side cost identical to any multi-file scan — the log is
+  metadata, never data).
+- CONFLICT RESOLUTION on a lost race (optimistic concurrency): re-read
+  the log tail; if every intervening commit's write-domain is DISJOINT
+  from ours, REBASE (publish the same files at the next version);
+  otherwise RECOMPUTE the transform on the new snapshot, then retry.
+
+Determinism: races are SIMULATED deterministically (writer steps are
+interleaved by the test harness in a fixed order — the protocol's
+correctness is what's checked, not a scheduler's whims), and outputs
+expose only value-level state (counts, sums, version numbers, retry
+audits), never Spark's nondeterministic part-file names.
+
+Registered after the driver's 50-entry certification window
+(plans.load_all); rotation-targeted for round 8+.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+
+def _mk_table(tag: str) -> str:
+    root = tempfile.mkdtemp(prefix=f"cps_txn_{tag}_")
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+    return root
+
+
+def _log_path(root: str, version: int) -> str:
+    return os.path.join(root, "_log", f"{version:08d}.json")
+
+
+def _try_commit(root: str, version: int, record: dict) -> bool:
+    """Atomically claim ``version`` with ``record``. Returns False if a
+    concurrent writer already claimed it (the POSIX hard link publishes
+    exclusively — EEXIST is the loss signal, and a crashed writer's tmp
+    file is garbage, never a half-visible commit)."""
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_log"), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f, sort_keys=True)
+        try:
+            os.link(tmp, _log_path(root, version))
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        os.unlink(tmp)
+
+
+def _read_log(root: str) -> list[dict]:
+    """All committed records in version order (the only reader-visible
+    state; a record is visible iff its link exists, entirely)."""
+    logdir = os.path.join(root, "_log")
+    names = sorted(n for n in os.listdir(logdir) if n.endswith(".json"))
+    return [json.load(open(os.path.join(logdir, n))) for n in names]
+
+
+def _latest_version(root: str) -> int:
+    recs = _read_log(root)
+    return recs[-1]["version"] if recs else 0
+
+
+def _active_files(root: str, version: int | None = None) -> list[str]:
+    """Replay adds − removes up to ``version`` (None = latest)."""
+    active: set[str] = set()
+    for rec in _read_log(root):
+        if version is not None and rec["version"] > version:
+            break
+        active -= set(rec.get("remove", []))
+        active |= set(rec.get("add", []))
+    return sorted(active)
+
+
+def _snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    files = [os.path.join(root, "data", f) for f in _active_files(root, version)]
+    return spark.read.parquet(*files)
+
+
+def _write_data(df: DataFrame, root: str, tag: str) -> list[str]:
+    """Write a data-file group under data/<tag>/ and return its files
+    relative to data/ (immutable once written; commit visibility is the
+    log's job, so a crash between write and publish leaks an orphan
+    file, never a torn table — the same contract as Delta)."""
+    out = os.path.join(root, "data", tag)
+    df.write.mode("overwrite").parquet(out)
+    return [
+        os.path.join(tag, n)
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+
+
+_TXN_SQL = """
+    base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderkey % 3 = 0
+    ),
+    appended AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderkey % 3 = 1
+    ),
+    v2 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+    v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0)
+"""
+
+
+@register(
+    "sink_txn_commit_protocol",
+    oracle=f"""
+    WITH {_TXN_SQL}
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(3 AS INTEGER) AS n_versions,
+           CAST((SELECT COUNT(*) FROM v2) AS BIGINT) AS rows_at_v2
+    FROM v3 GROUP BY o_orderpriority
+    """,
+)
+def sink_txn_commit_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-LOG COMMIT PROTOCOL + SNAPSHOT/TIME-TRAVEL READ —
+    a three-commit serial history through the atomic-link log:
+
+      v1  append the base slice (o_orderkey ≡ 0 mod 3);
+      v2  blind append a second slice (≡ 1 mod 3) — appends never
+          conflict, the cheapest commit class;
+      v3  DELETE via copy-on-write: rewrite the table without keys
+          ≡ 0 mod 5, commit REMOVES both prior file groups and ADDS
+          the rewrite (exactly sink_merge_upsert's write pattern, now
+          with the metadata layer that makes it atomic and versioned).
+
+    The read side proves BOTH isolation properties that matter: the
+    latest snapshot reflects v3's removes (a reader never sees a
+    half-applied rewrite — file visibility flips with one link), and a
+    TIME-TRAVEL read pinned at v2 (rows_at_v2) still sees the
+    pre-delete table even though v3 physically removed its files from
+    the active set — immutable data files + log replay give versioned
+    reads for free.
+
+    Scale: the log is O(commits) driver-side metadata (real formats add
+    checkpoint compaction once the tail grows — same replay contract);
+    the data path is plain multi-file parquet scans, so at 100 TB every
+    cost is the scan/write cost the engine already measures elsewhere.
+    Each call builds its history in a fresh temp table — deterministic
+    end state, no cross-call leakage."""
+    root = _mk_table("serial")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    files1 = _write_data(base, root, "c1")
+    assert _try_commit(
+        root, 1, {"version": 1, "add": files1, "read_version": 0, "domain": "*"}
+    )
+
+    appended = orders.filter(F.col("o_orderkey") % 3 == 1)
+    files2 = _write_data(appended, root, "c2")
+    assert _try_commit(
+        root, 2, {"version": 2, "add": files2, "read_version": 1, "domain": "*"}
+    )
+
+    rewritten = _snapshot(spark, root, 2).filter(F.col("o_orderkey") % 5 != 0)
+    files3 = _write_data(rewritten, root, "c3")
+    assert _try_commit(
+        root,
+        3,
+        {
+            "version": 3,
+            "add": files3,
+            "remove": files1 + files2,
+            "read_version": 2,
+            "domain": "*",
+        },
+    )
+
+    rows_at_v2 = _snapshot(spark, root, 2).count()  # time travel
+    latest = _snapshot(spark, root)  # replays to v3
+    return latest.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "total_price"),
+        F.lit(_latest_version(root)).cast("int").alias("n_versions"),
+        F.lit(rows_at_v2).cast("long").alias("rows_at_v2"),
+    )
+
+
+_RACE_SQL = """
+    p1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    p2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderpriority = '2-HIGH'
+    ),
+    -- writer A: +10 every URGENT price (wins version 2)
+    a_out AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+             o_orderpriority
+      FROM p1
+    ),
+    -- writer B: +20 every HIGH price; loses the v2 race, REBASES
+    -- (domain disjoint from A's) and lands at version 3 unchanged
+    b_out AS (
+      SELECT o_orderkey, o_totalprice + 20.0 AS o_totalprice,
+             o_orderpriority
+      FROM p2
+    ),
+    -- writer C: +100 every URGENT price computed against version 1;
+    -- loses its race, detects OVERLAP with A's committed domain, must
+    -- RECOMPUTE on the post-A snapshot (so +10 then +100), lands at v4
+    c_out AS (
+      SELECT o_orderkey, o_totalprice + 110.0 AS o_totalprice,
+             o_orderpriority
+      FROM p1
+    )
+"""
+
+
+@register(
+    "sink_txn_conflict_retry",
+    oracle=f"""
+    WITH {_RACE_SQL}
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(4 AS INTEGER) AS n_versions,
+           CAST(2 AS INTEGER) AS n_lost_races,
+           CAST(1 AS INTEGER) AS n_recomputes
+    FROM (SELECT * FROM b_out UNION ALL SELECT * FROM c_out)
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC-CONCURRENCY CONFLICT DETECTION — both retry classes a
+    real table format distinguishes, in one deterministic simulated
+    race over a table partitioned by o_orderpriority (URGENT + HIGH
+    slices; each commit declares the partition it rewrites as its
+    write-domain):
+
+      v1  seed both partitions.
+      A/B race for v2: A (+10 on URGENT) publishes first and wins; B
+          (+20 on HIGH) prepared its commit against v1, loses the link
+          race, re-reads the log, sees A's domain is DISJOINT → REBASE:
+          its already-written files commit unchanged at v3. One lost
+          race, zero recomputes — the cheap path.
+      C  (+100 on URGENT) also prepared against v1: loses its race,
+          sees an OVERLAPPING committed domain (A rewrote URGENT files
+          C's commit would remove) → its result is STALE; it must
+          RECOMPUTE the transform on the current snapshot (+10 then
+          +100), then commits at v4. One lost race, one recompute —
+          write-write conflict handled by retry, never by corruption.
+
+    The output is the final snapshot's per-partition state plus the
+    protocol audit (4 versions, 2 lost races, 1 recompute) — the
+    oracle pins that HIGH prices carry exactly +20 and URGENT exactly
+    +110 (= +10 then +100, proving C recomputed on A's result rather
+    than clobbering it — the lost-update anomaly the protocol exists
+    to prevent).
+
+    Scale: identical primitives as sink_txn_commit_protocol; conflict
+    checks read O(intervening commits) log records, and write-domain
+    summaries keep validation metadata-only (no data reads) — the same
+    reasons real formats commit in O(1) data IO after a race."""
+    root = _mk_table("race")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    lost_races = 0
+    recomputes = 0
+
+    p1 = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    p2 = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    f_p1 = _write_data(p1, root, "seed_urgent")
+    f_p2 = _write_data(p2, root, "seed_high")
+    assert _try_commit(
+        root,
+        1,
+        {"version": 1, "add": f_p1 + f_p2, "read_version": 0, "domain": "*"},
+    )
+
+    # Both A and B prepare against version 1 (files written BEFORE the
+    # race — the protocol's whole point is that preparation is cheap to
+    # retry because data files are immutable and commit-independent).
+    a_files = _write_data(
+        _snapshot(spark, root, 1)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0),
+        root,
+        "a_v2",
+    )
+    b_files = _write_data(
+        _snapshot(spark, root, 1)
+        .filter(F.col("o_orderpriority") == "2-HIGH")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 20.0),
+        root,
+        "b_v2",
+    )
+    c_files = _write_data(
+        _snapshot(spark, root, 1)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0),
+        root,
+        "c_v2",
+    )
+
+    # A wins version 2.
+    assert _try_commit(
+        root,
+        2,
+        {
+            "version": 2,
+            "add": a_files,
+            "remove": f_p1,
+            "read_version": 1,
+            "domain": "1-URGENT",
+        },
+    )
+
+    # B loses the v2 race (deterministically simulated: its attempt hits
+    # the version A claimed), validates, and REBASES.
+    assert not _try_commit(
+        root,
+        2,
+        {
+            "version": 2,
+            "add": b_files,
+            "remove": f_p2,
+            "read_version": 1,
+            "domain": "2-HIGH",
+        },
+    )
+    lost_races += 1
+    intervening = [
+        r for r in _read_log(root) if r["version"] > 1
+    ]  # commits since B's read version
+    conflict = any(
+        r["domain"] in ("2-HIGH", "*") for r in intervening
+    )
+    assert not conflict  # disjoint domains -> rebase, same files
+    assert _try_commit(
+        root,
+        3,
+        {
+            "version": 3,
+            "add": b_files,
+            "remove": f_p2,
+            "read_version": 1,
+            "domain": "2-HIGH",
+        },
+    )
+
+    # C loses ITS race and finds an overlapping domain -> recompute.
+    assert not _try_commit(
+        root,
+        2,
+        {
+            "version": 2,
+            "add": c_files,
+            "remove": f_p1,
+            "read_version": 1,
+            "domain": "1-URGENT",
+        },
+    )
+    lost_races += 1
+    intervening = [r for r in _read_log(root) if r["version"] > 1]
+    conflict = any(
+        r["domain"] in ("1-URGENT", "*") for r in intervening
+    )
+    assert conflict  # A rewrote C's domain: C's prepared files are stale
+    recomputes += 1
+    current = _latest_version(root)
+    c_files2 = _write_data(
+        _snapshot(spark, root, current)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0),
+        root,
+        "c_v4",
+    )
+    assert _try_commit(
+        root,
+        current + 1,
+        {
+            "version": current + 1,
+            "add": c_files2,
+            "remove": a_files,
+            "read_version": current,
+            "domain": "1-URGENT",
+        },
+    )
+
+    latest = _snapshot(spark, root)
+    return latest.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "total_price"),
+        F.lit(_latest_version(root)).cast("int").alias("n_versions"),
+        F.lit(lost_races).cast("int").alias("n_lost_races"),
+        F.lit(recomputes).cast("int").alias("n_recomputes"),
+    )

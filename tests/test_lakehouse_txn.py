@@ -1,0 +1,108 @@
+"""Protocol pins for the round-7 transaction log
+(sources/lakehouse_txn.py): atomic-exclusive publish, snapshot
+isolation under concurrent commits, time-travel stability, orphan-file
+tolerance, and replay correctness. These exercise the PROTOCOL
+primitives directly (no Spark needed for most), complementing the two
+registered keys' oracle parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from climateiq_pipelines_spark.sources.lakehouse_txn import (
+    _active_files,
+    _latest_version,
+    _log_path,
+    _mk_table,
+    _read_log,
+    _snapshot,
+    _try_commit,
+    _write_data,
+)
+
+from tests.conftest import SF_SMALL
+
+
+def test_publish_is_atomic_exclusive():
+    """Two prepared commits racing for one version: exactly one wins,
+    and the loser's record is never visible — not even partially."""
+    root = _mk_table("t")
+    a = {"version": 1, "add": ["a/f1.parquet"], "read_version": 0, "domain": "*"}
+    b = {"version": 1, "add": ["b/f1.parquet"], "read_version": 0, "domain": "*"}
+    assert _try_commit(root, 1, a) is True
+    assert _try_commit(root, 1, b) is False
+    recs = _read_log(root)
+    assert recs == [a]
+    # no tmp garbage is visible as a commit
+    logdir = os.path.join(root, "_log")
+    assert sorted(os.listdir(logdir)) == ["00000001.json"]
+
+
+def test_replay_adds_and_removes():
+    root = _mk_table("t")
+    assert _try_commit(root, 1, {"version": 1, "add": ["c1/a", "c1/b"],
+                                 "read_version": 0, "domain": "*"})
+    assert _try_commit(root, 2, {"version": 2, "add": ["c2/c"],
+                                 "read_version": 1, "domain": "*"})
+    assert _try_commit(root, 3, {"version": 3, "add": ["c3/d"],
+                                 "remove": ["c1/a", "c1/b"],
+                                 "read_version": 2, "domain": "*"})
+    assert _active_files(root, 1) == ["c1/a", "c1/b"]
+    assert _active_files(root, 2) == ["c1/a", "c1/b", "c2/c"]
+    assert _active_files(root) == ["c2/c", "c3/d"]
+    assert _latest_version(root) == 3
+
+
+def test_snapshot_isolation_and_time_travel(spark):
+    """A reader pinned at version 1 sees the identical rows before and
+    after a later commit REWRITES the table — immutable files + log
+    replay give repeatable reads with zero coordination."""
+    from climateiq_pipelines_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    root = _mk_table("t")
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    f1 = _write_data(orders, root, "c1")
+    assert _try_commit(root, 1, {"version": 1, "add": f1,
+                                 "read_version": 0, "domain": "*"})
+    before = _snapshot(spark, root, 1).count()
+    # v2 rewrites to half the table
+    f2 = _write_data(
+        orders.filter(F.col("o_orderkey") % 2 == 0), root, "c2"
+    )
+    assert _try_commit(root, 2, {"version": 2, "add": f2, "remove": f1,
+                                 "read_version": 1, "domain": "*"})
+    after_latest = _snapshot(spark, root).count()
+    after_pinned = _snapshot(spark, root, 1).count()
+    assert after_pinned == before
+    assert after_latest < before
+
+
+def test_orphan_files_are_invisible(spark):
+    """Files written but never committed (a crashed writer) must not
+    appear in any snapshot — visibility is the log's alone."""
+    from climateiq_pipelines_spark.registry import load_table
+
+    root = _mk_table("t")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey")
+    f1 = _write_data(orders, root, "committed")
+    _write_data(orders, root, "orphan")  # written, never committed
+    assert _try_commit(root, 1, {"version": 1, "add": f1,
+                                 "read_version": 0, "domain": "*"})
+    assert _active_files(root) == f1
+    assert _snapshot(spark, root).count() == orders.count()
+
+
+def test_log_records_are_durable_json():
+    """Each committed record round-trips through the file it published
+    (what a recovering writer/reader actually replays)."""
+    root = _mk_table("t")
+    rec = {"version": 1, "add": ["x/y"], "read_version": 0,
+           "domain": "2-HIGH", "remove": []}
+    assert _try_commit(root, 1, rec)
+    on_disk = json.load(open(_log_path(root, 1)))
+    assert on_disk == rec
