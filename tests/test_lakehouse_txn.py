@@ -97,6 +97,27 @@ def test_orphan_files_are_invisible(spark):
     assert _snapshot(spark, root).count() == orders.count()
 
 
+def test_stream_txn_exactly_once_audit(spark):
+    """The exactly-once sink key: exactly one commit despite the
+    deliberate replay, counts equal the batch aggregation (no double
+    counting — the lost-update/duplicate anomaly the idempotent commit
+    prevents)."""
+    from climateiq_pipelines_spark.plans import QUERIES
+    from climateiq_pipelines_spark.registry import load_table
+    import pyspark.sql.functions as F
+
+    pdf = QUERIES["stream_txn_exactly_once"](spark, SF_SMALL).toPandas()
+    assert (pdf["n_commits"] == 1).all()
+    assert (pdf["n_replays_skipped"] == 1).all()
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .count()
+    )
+    assert pdf["n_events"].sum() == load_table(spark, SF_SMALL, "events").count()
+    assert len(pdf) == batch.count()
+
+
 def test_log_records_are_durable_json():
     """Each committed record round-trips through the file it published
     (what a recovering writer/reader actually replays)."""
