@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
     "sink_compression_codecs",  # 1-row x 1-row digest-comparison cross
     "llm_heaps_vocab_growth",  # 1-row doc-id span broadcast cross
     "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
+    "llm_minhash_jaccard_estimate",  # 8x8 cross of two LIMIT-8 samples (constant at any SF)
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -320,7 +321,7 @@ def test_driver_window_layout_matches_load_all_comment():
     (index 49), and the total key count must equal the full surface so a
     module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 205, len(keys)
+    assert len(keys) == 206, len(keys)
     assert keys[0] == "stream_tumbling_window", keys[:3]
     assert keys[43] == "llm_pii_redact", keys[40:50]
     assert keys[49] == "llm_unigram_logprob", keys[45:52]

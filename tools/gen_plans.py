@@ -25,7 +25,10 @@ SHOWCASE = [
     ("win_rank_topn_per_group", "WindowGroupLimit — bounded per-group heap before the filter"),
     ("scan_parquet_project", "ReadSchema pruned to 3 columns, PushedFilters on l_returnflag"),
     ("join_bucketed_colocated", "Bucketed: true scans, SortMergeJoin, single Exchange (final agg only)"),
-    ("sort_multikey_scalable", "rank Window partitioned by range-partition id — no global-window funnel"),
+    ("sort_multikey_scalable", "rank Window partitioned by range-partition id — no global-window funnel; pid pinned by one localCheckpoint evaluation (r7)"),
+    ("sort_multikey_nulls", "r7 promotion: the registered base key now RUNS the two-phase rank (same plan as the _scalable sibling)"),
+    ("stream_watermark_late", "r7 promotion: bucket-partitioned running max + broadcast bucket prefix-max — no sampled range exchange, no global data window"),
+    ("llm_minhash_neardup", "r7 size guard: bounded take-probe dispatches to the banded LSH plan above ALLPAIRS_MAX_DOCS — below it, the checked exact posting-list join"),
     ("llm_minhash_lsh", "one-pass 16-min signature aggregate, band-key self-join, no cartesian"),
     ("llm_simhash_neardup", "band equi-join candidates — the all-pairs oracle twin never executes"),
     ("llm_ivf_topk", "cogrouped Arrow re-rank (FlatMapCoGroupsInPandas) after cell-key joins"),
