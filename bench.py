@@ -125,6 +125,14 @@ HEADLINE = [
     "scd2_build_intervals",    # SCD Type-2 validity-interval build
     "llm_zipf_fit",            # rank-frequency slope diagnostic
     "llm_incremental_dedup",   # batch-vs-corpus CDC-shaped dedup
+    # round 7: new families' representatives. The converged iterative
+    # twins (graph_pagerank_converged / llm_kmeans_converged) stay OUT:
+    # their cost is round-count x the per-round plan already timed via
+    # graph_pagerank / llm_kmeans_iterate, and their 15-30 s walls
+    # would blow the suite budget without measuring a new plan shape.
+    "sink_txn_commit_protocol",  # txn-log serial history + time travel
+    "stream_txn_exactly_once",   # idempotent foreachBatch txn sink
+    "llm_minhash_jaccard_estimate",  # estimator-vs-exact accuracy
 ]
 
 

@@ -156,11 +156,13 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # bounded driver action: ONE scalar row off the checkpointed
+        # frames (the dedup_graph convergence-probe class).
         residual = (
             new_ranks.alias("a")
             .join(ranks.alias("b"), "node")
             .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("l1"))
-            .collect()[0]["l1"]
+            .first()["l1"]
         )
         ranks = new_ranks
         n_rounds += 1

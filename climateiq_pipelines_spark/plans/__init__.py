@@ -114,3 +114,4 @@ def load_all() -> None:
     from climateiq_pipelines_spark.sources import lakehouse_txn  # noqa: F401
     from climateiq_pipelines_spark.streaming import txn_sink  # noqa: F401
     from climateiq_pipelines_spark.operators import sketch_ext  # noqa: F401
+    from climateiq_pipelines_spark.sources import manifest_read  # noqa: F401

@@ -219,6 +219,7 @@ BROADCAST_OK = {
     ("aggregates.py", "exact_all"): "1-row exact-distinct aggregate",
     ("sorts.py", "off"): "N_PARTITIONS-row offset table (topology-bounded)",
     ("batch_shapes.py", "prior"): "n/1000-row bucket prefix-max table (span-bounded)",
+    ("iterative_ext.py", "centroids"): "k x 64 centroid table (Lloyd round)",
     ("queries_tpch_ext.py", "sn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "cn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "nation"): "25-row literal dim (Q10)",
@@ -321,7 +322,7 @@ def test_driver_window_layout_matches_load_all_comment():
     (index 49), and the total key count must equal the full surface so a
     module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 206, len(keys)
+    assert len(keys) == 207, len(keys)
     assert keys[0] == "stream_tumbling_window", keys[:3]
     assert keys[43] == "llm_pii_redact", keys[40:50]
     assert keys[49] == "llm_unigram_logprob", keys[45:52]
