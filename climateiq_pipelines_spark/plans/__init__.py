@@ -115,3 +115,7 @@ def load_all() -> None:
     from climateiq_pipelines_spark.streaming import txn_sink  # noqa: F401
     from climateiq_pipelines_spark.operators import sketch_ext  # noqa: F401
     from climateiq_pipelines_spark.sources import manifest_read  # noqa: F401
+    from climateiq_pipelines_spark.operators import (  # noqa: F401
+        sql_surface_ext,
+        feature_store_ext,
+    )
