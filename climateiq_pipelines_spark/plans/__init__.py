@@ -118,4 +118,5 @@ def load_all() -> None:
     from climateiq_pipelines_spark.operators import (  # noqa: F401
         sql_surface_ext,
         feature_store_ext,
+        spark4_surface,
     )
