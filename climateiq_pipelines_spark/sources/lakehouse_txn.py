@@ -428,3 +428,140 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(lost_races).cast("int").alias("n_lost_races"),
         F.lit(recomputes).cast("int").alias("n_recomputes"),
     )
+
+
+# ------------------------------------------------------- log checkpointing
+
+
+def _write_checkpoint(root: str, version: int) -> None:
+    """Compact the log prefix ≤ ``version`` into a checkpoint file
+    (`_log/%08d.checkpoint.json` — the materialized active-file set, so
+    readers replay checkpoint + tail instead of the whole history).
+    Written via the same tmp+link publish as commits: atomic, and a
+    duplicate checkpoint attempt is a harmless loss (checkpoints are
+    derived state — ANY committed checkpoint for a version is equally
+    valid, the property that lets every reader/writer checkpoint
+    opportunistically without coordination)."""
+    snap = {"version": version, "active": _active_files(root, version)}
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_log"), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f, sort_keys=True)
+        try:
+            os.link(
+                tmp,
+                os.path.join(root, "_log", f"{version:08d}.checkpoint.json"),
+            )
+        except FileExistsError:
+            pass  # a concurrent checkpointer won; identical content
+    finally:
+        os.unlink(tmp)
+
+
+def _read_via_checkpoint(root: str) -> tuple[list[str], int, int]:
+    """Reader path once checkpoints exist: load the LATEST checkpoint,
+    replay only the log tail after it. Returns (active files,
+    checkpoint version, tail records replayed)."""
+    logdir = os.path.join(root, "_log")
+    cps = sorted(n for n in os.listdir(logdir) if n.endswith(".checkpoint.json"))
+    if not cps:
+        return _active_files(root), 0, len(_read_log(root))
+    snap = json.load(open(os.path.join(logdir, cps[-1])))
+    active = set(snap["active"])
+    tail = [r for r in _read_log(root) if r["version"] > snap["version"]]
+    for rec in tail:
+        active -= set(rec.get("remove", []))
+        active |= set(rec.get("add", []))
+    return sorted(active), snap["version"], len(tail)
+
+
+@register(
+    "sink_txn_checkpoint",
+    oracle=f"""
+    WITH {_TXN_SQL},
+    v4 AS (
+      SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice,
+             o_orderpriority
+      FROM v3
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(3 AS INTEGER) AS checkpoint_version,
+           CAST(1 AS INTEGER) AS tail_replayed,
+           TRUE AS checkpoint_equals_replay
+    FROM v4 GROUP BY o_orderpriority
+    """,
+)
+def sink_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG CHECKPOINT COMPACTION — how a transaction log stays O(tail)
+    instead of O(history) forever: after the same three commits as
+    sink_txn_commit_protocol, a CHECKPOINT materializes the active-file
+    set at version 3 (published with the identical atomic-link recipe —
+    a lost race is harmless because any committed checkpoint for a
+    version is identical derived state); commit 4 (a copy-on-write
+    +5.00 repricing) then lands AFTER it, and the reader path loads the
+    checkpoint + replays only the 1-record tail — never the full
+    history. Delta calls this the Parquet checkpoint; Iceberg, the
+    snapshot manifest list.
+
+    Checked: the final per-partition state (proving the checkpointed
+    read path is lossless through a post-checkpoint commit), the
+    checkpoint version, the tail length the reader actually replayed,
+    and a boolean asserting checkpoint-path ≡ full-replay-path file
+    sets — computed by running BOTH reader paths and comparing.
+
+    Scale: checkpoint size is O(active files) metadata; writing one
+    amortizes to nothing (every Nth commit); reader startup goes from
+    O(commits-ever) to O(commits-since-checkpoint) — the property that
+    makes a 10-year-old 100 TB table open in milliseconds."""
+    root = _mk_table("ckpt")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    files1 = _write_data(base, root, "c1")
+    assert _try_commit(
+        root, 1, {"version": 1, "add": files1, "read_version": 0, "domain": "*"}
+    )
+    appended = orders.filter(F.col("o_orderkey") % 3 == 1)
+    files2 = _write_data(appended, root, "c2")
+    assert _try_commit(
+        root, 2, {"version": 2, "add": files2, "read_version": 1, "domain": "*"}
+    )
+    rewritten = _snapshot(spark, root, 2).filter(F.col("o_orderkey") % 5 != 0)
+    files3 = _write_data(rewritten, root, "c3")
+    assert _try_commit(
+        root,
+        3,
+        {"version": 3, "add": files3, "remove": files1 + files2,
+         "read_version": 2, "domain": "*"},
+    )
+
+    _write_checkpoint(root, 3)
+    _write_checkpoint(root, 3)  # duplicate attempt: harmless no-op
+
+    repriced = _snapshot(spark, root, 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5.0
+    )
+    files4 = _write_data(repriced, root, "c4")
+    assert _try_commit(
+        root,
+        4,
+        {"version": 4, "add": files4, "remove": files3,
+         "read_version": 3, "domain": "*"},
+    )
+
+    active_cp, cp_version, tail_n = _read_via_checkpoint(root)
+    equals_replay = active_cp == _active_files(root)
+    latest = spark.read.parquet(
+        *[os.path.join(root, "data", f) for f in active_cp]
+    )
+    return latest.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "total_price"),
+        F.lit(cp_version).cast("int").alias("checkpoint_version"),
+        F.lit(tail_n).cast("int").alias("tail_replayed"),
+        F.lit(equals_replay).alias("checkpoint_equals_replay"),
+    )

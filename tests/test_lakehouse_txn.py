@@ -118,6 +118,30 @@ def test_stream_txn_exactly_once_audit(spark):
     assert len(pdf) == batch.count()
 
 
+def test_checkpoint_read_equals_full_replay():
+    """Checkpoint + tail must reconstruct exactly the full-replay
+    active set, duplicates are no-ops, and the reader replays only the
+    post-checkpoint tail."""
+    from climateiq_pipelines_spark.sources.lakehouse_txn import (
+        _read_via_checkpoint,
+        _write_checkpoint,
+    )
+
+    root = _mk_table("t")
+    assert _try_commit(root, 1, {"version": 1, "add": ["a/1", "a/2"],
+                                 "read_version": 0, "domain": "*"})
+    assert _try_commit(root, 2, {"version": 2, "add": ["b/1"],
+                                 "read_version": 1, "domain": "*"})
+    _write_checkpoint(root, 2)
+    _write_checkpoint(root, 2)  # duplicate: harmless
+    assert _try_commit(root, 3, {"version": 3, "add": ["c/1"],
+                                 "remove": ["a/1"],
+                                 "read_version": 2, "domain": "*"})
+    active, cp_ver, tail = _read_via_checkpoint(root)
+    assert cp_ver == 2 and tail == 1
+    assert active == _active_files(root) == ["a/2", "b/1", "c/1"]
+
+
 def test_log_records_are_durable_json():
     """Each committed record round-trips through the file it published
     (what a recovering writer/reader actually replays)."""
