@@ -133,6 +133,14 @@ HEADLINE = [
     "sink_txn_commit_protocol",  # txn-log serial history + time travel
     "stream_txn_exactly_once",   # idempotent foreachBatch txn sink
     "llm_minhash_jaccard_estimate",  # estimator-vs-exact accuracy
+    # round 7b: corpus-quality + graph/ANN wave representatives.
+    # llm_gopher_quality / llm_temperature_mixture stay OUT: map-only /
+    # 5-row-aggregate shapes already timed via llm_text_normalize and
+    # llm_mixture_weights.
+    "llm_substring_span_dedup",  # shingle self-join + diagonal islands
+    "graph_triangle_count",      # degree-oriented wedge join closure
+    "llm_mrl_truncated_rerank",  # prefix block-NL + full-dim rerank
+    "llm_bloom_decontam",        # bloom bit-probe join + exact verify
 ]
 
 

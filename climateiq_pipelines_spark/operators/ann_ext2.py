@@ -1,0 +1,352 @@
+"""Round-7 retrieval/decontamination extensions #2: MATRYOSHKA
+truncated-dimension retrieval with full-dimension rerank (Kusupati et
+al. 2022, "Matryoshka Representation Learning" — the adaptive-retrieval
+recipe of §4.3) and BLOOM-FILTER-prefiltered benchmark decontamination
+(Bloom 1970; the probabilistic-membership prefilter production
+decontamination passes run before the exact verify).
+
+Registered after the driver's 50-entry certification window
+(plans.load_all); covered by tools/driver_sim.py; rotation-targeted for
+round 8+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.functions.fixedpoint import (
+    _S12,
+    _int_dot,
+    _sql_int_dot,
+)
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+# --- llm_mrl_truncated_rerank ------------------------------------------
+_MRL_PREFIX_DIM = 16  # truncated prefix dims (full fixture dim: 64)
+_MRL_SHORTLIST = 24  # stage-1 candidates per query
+_MRL_K = 5  # final neighbors per query
+
+_MRL_ORACLE = f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_sql_int_dot(f'a.embedding[1:{_MRL_PREFIX_DIM}]',
+                           f'b.embedding[1:{_MRL_PREFIX_DIM}]')}
+               AS trunc_fp,
+             {_sql_int_dot('a.embedding', 'b.embedding')} AS full_fp
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    shortlist AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY trunc_fp DESC, neighbor_id)
+               AS trunc_rnk
+      FROM pairs
+    )
+    SELECT vec_id, neighbor_id,
+           round(full_fp / 1000000000000.0, 6) AS cos_sim,
+           CAST(rnk AS INTEGER) AS rnk,
+           'mrl_prefix{_MRL_PREFIX_DIM}_rerank' AS method
+    FROM (
+      SELECT vec_id, neighbor_id, full_fp,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY full_fp DESC, neighbor_id) AS rnk
+      FROM shortlist WHERE trunc_rnk <= {_MRL_SHORTLIST}
+    ) WHERE rnk <= {_MRL_K}
+"""
+
+
+def _mrl_rerank_bucketed(emb: DataFrame) -> DataFrame:
+    """Above-bound dispatch target: simhash-bucketed stage-1 shortlist
+    on PREFIX dots (bucket-local, the llm_cosine_topk bucketed
+    discipline), exact full-dim rerank of the shortlist. The distinct
+    method marker guarantees a dispatched run can never silently pass
+    the exact oracle."""
+    from climateiq_pipelines_spark.operators.llm import _hyperplanes
+
+    pre = F.slice(F.col("embedding"), 1, _MRL_PREFIX_DIM)
+    sig = F.lit(0)
+    for j, row in enumerate(_hyperplanes()):
+        plane = F.array(*[F.lit(v) for v in row[:_MRL_PREFIX_DIM]])
+        bit = F.when(_int_dot(pre, plane) >= 0, 1 << j).otherwise(0)
+        sig = sig + bit
+    sigs = emb.select(
+        "vec_id", F.col("embedding"), pre.alias("pre"), sig.alias("signature")
+    )
+    a = sigs.select(
+        "vec_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("pre").alias("q_pre"),
+        "signature",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("pre").alias("n_pre"),
+        "signature",
+    )
+    pairs = (
+        a.join(b, "signature")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "q_emb",
+            "n_emb",
+            _int_dot(F.col("q_pre"), F.col("n_pre")).alias("trunc_fp"),
+        )
+    )
+    w1 = W.partitionBy("vec_id").orderBy(F.desc("trunc_fp"), F.asc("neighbor_id"))
+    shortlist = (
+        pairs.withColumn("trunc_rnk", F.row_number().over(w1))
+        .filter(F.col("trunc_rnk") <= _MRL_SHORTLIST)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            _int_dot(F.col("q_emb"), F.col("n_emb")).alias("full_fp"),
+        )
+    )
+    w2 = W.partitionBy("vec_id").orderBy(F.desc("full_fp"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _MRL_K)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(F.col("full_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.lit(f"mrl_prefix{_MRL_PREFIX_DIM}_rerank_bucketed").alias(
+                "method"
+            ),
+        )
+    )
+
+
+@register("llm_mrl_truncated_rerank", oracle=_MRL_ORACLE)
+def llm_mrl_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA adaptive retrieval (Kusupati et al. 2022 §4.3):
+    stage 1 shortlists {_MRL_SHORTLIST} candidates per query by the
+    dot over only the FIRST {_MRL_PREFIX_DIM} embedding dimensions
+    (MRL trains prefixes to be usable embeddings; for non-MRL vectors
+    this is plain dimension truncation), stage 2 reranks the shortlist
+    with the exact full-dimension dot and keeps top {_MRL_K}. The
+    method column marks the contract: results are shortlist-local, not
+    globally exact — recall follows the prefix's fidelity.
+
+    Execution mirrors llm_cosine_topk's Arrow block-NL: the corpus
+    ships once as a sparkContext.broadcast, each query batch scores
+    the PREFIX dots against the prefix matrix vectorized, takes its
+    top-{_MRL_SHORTLIST}, and reranks only those {_MRL_SHORTLIST}
+    full-width rows — both stages inside one mapInPandas, no shuffle
+    at all. Above the byte-derived corpus bound (_blocknl_max_vectors,
+    read at call time) the key auto-dispatches to the simhash-bucketed
+    DataFrame plan with a distinct method marker.
+
+    Exactness: floored per-term products are int-valued float64s whose
+    16- and 64-term numpy sums stay < 2^53, equal to the oracle's int64
+    folds bit-for-bit (the llm_cosine_topk argument); both stages rank
+    (-dot, neighbor_id) — a total order.
+
+    Scale: stage 1 is where the 100 TB win lives — the broadcast/score
+    payload per vector is {_MRL_PREFIX_DIM}/64 of the full width (MRL
+    papers run 1/12 and below), so the same executor-memory budget
+    holds a 4x larger corpus than full-width block-NL, and the full
+    vectors are touched for only |queries| x {_MRL_SHORTLIST} rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from climateiq_pipelines_spark.operators.llm import _blocknl_max_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    head = emb.take(1)
+    dim = len(head[0]["embedding"]) if head else 1
+    max_vectors = _blocknl_max_vectors(dim)
+    rows = emb.take(max_vectors + 1)
+    if len(rows) > max_vectors:
+        return _mrl_rerank_bucketed(emb)
+    corpus_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(corpus_ids)
+    bc = spark.sparkContext.broadcast((corpus_ids[order], corpus[order]))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rnk", T.IntegerType()),
+            T.StructField("method", T.StringType()),
+        ]
+    )
+    method = f"mrl_prefix{_MRL_PREFIX_DIM}_rerank"
+
+    def rerank(batches):
+        corpus_ids, corpus = bc.value
+        prefix = corpus[:, :_MRL_PREFIX_DIM]
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            out_q, out_n, out_d, out_r = [], [], [], []
+            # 64-query blocks bound the m x n x 16 product tensor
+            for s in range(0, len(q), 64):
+                qs, qi = q[s : s + 64], q_ids[s : s + 64]
+                tdots = np.floor(
+                    qs[:, None, :_MRL_PREFIX_DIM] * prefix[None, :, :] * 1e12
+                ).sum(axis=2)
+                for i in range(len(qs)):
+                    td = tdots[i]
+                    keep = corpus_ids != qi[i]
+                    td, nb_ids = td[keep], corpus_ids[keep]
+                    short = np.lexsort((nb_ids, -td))[:_MRL_SHORTLIST]
+                    cand_ids = nb_ids[short]
+                    cand = corpus[np.searchsorted(corpus_ids, cand_ids)]
+                    fd = np.floor(qs[i][None, :] * cand * 1e12).sum(axis=1)
+                    top = np.lexsort((cand_ids, -fd))[:_MRL_K]
+                    out_q.extend([qi[i]] * len(top))
+                    out_n.extend(cand_ids[top])
+                    out_d.extend(np.round(fd[top] / 1e12, 6))
+                    out_r.extend(range(1, len(top) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_q,
+                    "neighbor_id": out_n,
+                    "cos_sim": out_d,
+                    "rnk": np.array(out_r, dtype=np.int32),
+                    "method": method,
+                }
+            )
+
+    return emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(rerank, schema)
+
+
+# --- llm_bloom_decontam ------------------------------------------------
+_BLOOM_BITS = 65536  # m = 2^16 bit positions
+_BLOOM_K = 3  # hash functions (three disjoint 16-bit md5 nibbles)
+_BLOOM_N = 5  # word n-gram order, matching llm_ngram_contamination
+_EVAL_SOURCE = "src0"
+
+# Hash_j(s): hex nibble groups j*4+1..j*4+4 of md5(s) as a 16-bit int —
+# identical lowercase-hex md5 on both engines, no modulo needed because
+# 4 hex chars ARE the [0, 65535] range.
+_SQL_BLOOM_POS = [
+    f"CAST(('0x' || substr(md5(s), {j * 4 + 1}, 4)) AS BIGINT)"
+    for j in range(_BLOOM_K)
+]
+
+_BLOOM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, len(w) - {_BLOOM_N - 1}),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4])) AS s
+      FROM t
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{', '.join(_SQL_BLOOM_POS)}]) AS pos
+        FROM sh WHERE source = '{_EVAL_SOURCE}'
+      )
+    ),
+    train AS (SELECT doc_id, s FROM sh WHERE source <> '{_EVAL_SOURCE}'),
+    probe AS (
+      SELECT doc_id, s, unnest([{', '.join(_SQL_BLOOM_POS)}]) AS pos
+      FROM train
+    ),
+    cand AS (
+      SELECT doc_id, s
+      FROM probe JOIN bits USING (pos)
+      GROUP BY doc_id, s
+      HAVING COUNT(*) = {_BLOOM_K}
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source = '{_EVAL_SOURCE}')
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(e.s) AS BIGINT) AS n_verified
+    FROM cand c LEFT JOIN ev e ON e.s = c.s
+    GROUP BY c.doc_id
+"""
+
+
+@register("llm_bloom_decontam", oracle=_BLOOM_ORACLE)
+def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTERED decontamination: build an m={_BLOOM_BITS},
+    k={_BLOOM_K} Bloom filter over the eval slice's word {_BLOOM_N}-
+    grams, flag each training shingle whose k bit positions are ALL
+    set as a candidate, then exact-verify candidates against the eval
+    shingle set. Output per contaminated-candidate doc: candidate and
+    verified counts — n_candidates > n_verified IS the Bloom false-
+    positive rate made visible (no false negatives by construction,
+    which the exact llm_ngram_contamination twin proves).
+
+    Portability: the k hash functions are disjoint 4-hex-digit fields
+    of md5(shingle) — md5 is byte-identical cross-engine and 4 hex
+    digits are exactly the [0, m) range, so both engines compute the
+    identical filter with no modulo or sign pitfalls.
+
+    Scale: THE reason this shape exists — the bit set is m bits
+    (8 KiB here; a few GiB for 10^10-ngram eval suites at proper m/n),
+    a broadcast-able constant regardless of training-corpus size, so
+    the 100 TB train side is filtered map-side by k array lookups and
+    only candidates (true hits + the tuned FP fraction) ever reach the
+    exact-verify shuffle. The relational form here makes the bitset a
+    DISTINCT relation and the lookup a semi-join — at scale the bitset
+    ships as a broadcast byte array with the same semantics. AQE
+    broadcasts the bits/eval sides while small."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("w")] + [
+        F.lead("w", i).over(win) for i in range(1, _BLOOM_N)
+    ]
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    md5s = F.md5(F.col("s"))
+    positions = F.array(
+        *[
+            F.conv(F.substring(md5s, j * 4 + 1, 4), 16, 10).cast("long")
+            for j in range(_BLOOM_K)
+        ]
+    )
+    bits = (
+        sh.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+    train = sh.filter(F.col("source") != _EVAL_SOURCE)
+    probe = train.select(
+        "doc_id", "s", F.explode(positions).alias("pos")
+    )
+    cand = (
+        probe.join(bits, "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") == _BLOOM_K)
+        .select("doc_id", "s")
+    )
+    ev = (
+        sh.filter(F.col("source") == _EVAL_SOURCE).select("s").distinct()
+    )
+    return (
+        cand.join(ev.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("hit").cast("long").alias("n_verified"),
+        )
+    )

@@ -119,4 +119,7 @@ def load_all() -> None:
         sql_surface_ext,
         feature_store_ext,
         spark4_surface,
+        corpus_quality_ext,
+        graph_ext2,
+        ann_ext2,
     )

@@ -1,0 +1,134 @@
+"""Behavior pins for the corpus-quality extensions (Gopher rules,
+temperature mixture, duplicate-substring spans): plain-Python
+re-derivations, so a wrong-but-self-consistent formulation shared by
+both engines' query text would still surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from climateiq_pipelines_spark.operators.corpus_quality_ext import (
+    _MAX_MWL_MICROS,
+    _MAX_WORDS,
+    _MIN_MWL_MICROS,
+    _MIN_STOP_DISTINCT,
+    _MIN_WORDS,
+    _SPAN_MIN_WORDS,
+    _SPAN_N,
+    _STOPWORDS,
+)
+from climateiq_pipelines_spark.plans import QUERIES
+from climateiq_pipelines_spark.registry import load_table
+
+from tests.conftest import SF_SMALL
+
+
+def _doc_words(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    return {
+        int(r["doc_id"]): r["text"].split(" ") for r in docs.collect()
+    }
+
+
+def test_gopher_metrics_rederive(spark):
+    """Every metric and the keep flag recomputed per doc in Python."""
+    words = _doc_words(spark)
+    pdf = QUERIES["llm_gopher_quality"](spark, SF_SMALL).toPandas()
+    assert len(pdf) == len(words)
+    for _, r in pdf.iterrows():
+        w = words[int(r["doc_id"])]
+        n = len(w)
+        mwl = math.floor(sum(len(x) for x in w) * 1_000_000.0 / n)
+        n_stop = sum(1 for s in _STOPWORDS if s in w)
+        assert int(r["n_words"]) == n
+        assert int(r["mwl_micros"]) == mwl
+        assert int(r["max_word_len"]) == max(len(x) for x in w)
+        assert int(r["n_stop_distinct"]) == n_stop
+        keep = (
+            _MIN_WORDS <= n <= _MAX_WORDS
+            and _MIN_MWL_MICROS <= mwl <= _MAX_MWL_MICROS
+            and n_stop >= _MIN_STOP_DISTINCT
+        )
+        assert bool(r["keep"]) == keep
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """The defining property of temperature sampling: shares move
+    toward uniform but never reorder — high-resource languages are
+    downsampled (factor < 1), low-resource upsampled (factor > 1),
+    and both share vectors sum to 1."""
+    pdf = QUERIES["llm_temperature_mixture"](spark, SF_SMALL).toPandas()
+    assert abs(pdf["token_share"].sum() - 1.0) < 1e-4
+    assert abs(pdf["temp_share"].sum() - 1.0) < 1e-4
+    uniform = 1.0 / len(pdf)
+    by_p = pdf.sort_values("token_share")
+    # monotone: ordering by p equals ordering by q (temperature never
+    # swaps ranks), and q is strictly between p and uniform
+    assert list(by_p["temp_share"]) == sorted(pdf["temp_share"])
+    for _, r in pdf.iterrows():
+        p, q = r["token_share"], r["temp_share"]
+        lo, hi = min(p, uniform), max(p, uniform)
+        assert lo - 1e-6 <= q <= hi + 1e-6, (p, q, uniform)
+        assert (r["upsample_factor"] > 1.0) == (p < q) or abs(p - q) < 1e-6
+
+
+def test_substring_spans_are_verbatim_and_maximal(spark):
+    """Each reported span's words match verbatim between the two docs,
+    cover >= the minimum length, and are MAXIMAL (one more word on
+    either side breaks the match or leaves a document)."""
+    words = _doc_words(spark)
+    pdf = QUERIES["llm_substring_span_dedup"](spark, SF_SMALL).toPandas()
+    assert len(pdf) > 0, "fixture must contain at least one long span"
+    for _, r in pdf.iterrows():
+        a, b = words[int(r["a_id"])], words[int(r["b_id"])]
+        sa, sb, ln = int(r["a_start"]) - 1, int(r["b_start"]) - 1, int(
+            r["span_words"]
+        )
+        assert ln >= _SPAN_MIN_WORDS
+        assert a[sa : sa + ln] == b[sb : sb + ln], r
+        if sa > 0 and sb > 0:
+            assert a[sa - 1] != b[sb - 1], f"span not left-maximal: {r}"
+        if sa + ln < len(a) and sb + ln < len(b):
+            assert a[sa + ln] != b[sb + ln], f"span not right-maximal: {r}"
+
+
+def test_substring_spans_complete_against_bruteforce(spark):
+    """Brute-force all maximal common word spans >= the threshold over
+    all doc pairs (O(n^2 L^2) — fine at sf0.001) and require exact set
+    equality with the operator's output."""
+    words = _doc_words(spark)
+    expected = set()
+    ids = sorted(words)
+    for i, aid in enumerate(ids):
+        for bid in ids[i + 1 :]:
+            a, b = words[aid], words[bid]
+            for sa in range(len(a)):
+                for sb in range(len(b)):
+                    if a[sa] != b[sb]:
+                        continue
+                    # only count runs at their start (maximality left)
+                    if sa > 0 and sb > 0 and a[sa - 1] == b[sb - 1]:
+                        continue
+                    ln = 0
+                    while (
+                        sa + ln < len(a)
+                        and sb + ln < len(b)
+                        and a[sa + ln] == b[sb + ln]
+                    ):
+                        ln += 1
+                    if ln >= _SPAN_MIN_WORDS:
+                        expected.add((aid, bid, sa + 1, sb + 1, ln))
+    pdf = QUERIES["llm_substring_span_dedup"](spark, SF_SMALL).toPandas()
+    got = {
+        (
+            int(r["a_id"]),
+            int(r["b_id"]),
+            int(r["a_start"]),
+            int(r["b_start"]),
+            int(r["span_words"]),
+        )
+        for _, r in pdf.iterrows()
+    }
+    assert got == expected
+    assert _SPAN_N <= _SPAN_MIN_WORDS  # sanity on the module constants
