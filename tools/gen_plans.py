@@ -55,7 +55,7 @@ SHOWCASE = [
     ("join_interval_overlap", "bounded grid-cell explode, cell EQUI-join + exact-range residual — no nested loop"),
     ("scan_dynamic_partition_pruning", "fact scan carries dynamicpruning#N subquery in PartitionFilters"),
     ("llm_bpe_apply_merge", "vocabulary-sized fold (aggregate HOF) after one corpus collapse; 1-row argmax broadcast"),
-    ("graph_triangle_count", "degree-oriented wedge self-join (r7b) — out-neighborhoods O(sqrt m), closure equi-join on (t1,t2), no id-ordered hub funnel"),
+    ("graph_triangle_count", "degree-oriented adjacency INTERSECTION (r7b) — checkpointed edge list, broadcast degree + size-guarded broadcast adjacency, array_intersect per edge; no Σ outdeg² wedge materialization (measured 24 s → 6.6 s at sf0.1)"),
     ("llm_substring_span_dedup", "shared-shingle equi-join only (no cartesian), per-(pair,diagonal) islands window — partitions bounded by match runs"),
     ("llm_bloom_decontam", "map-side k-position explode, bitset semi-join, HAVING k gate, exact verify LEFT join on candidates only"),
     ("llm_mrl_truncated_rerank", "Arrow block-NL over broadcast corpus, prefix-width stage-1 scoring, shortlist-only full-dim rerank (MapInPandas)"),
