@@ -138,9 +138,14 @@ HEADLINE = [
     # 5-row-aggregate shapes already timed via llm_text_normalize and
     # llm_mixture_weights.
     "llm_substring_span_dedup",  # shingle self-join + diagonal islands
-    "graph_triangle_count",      # degree-oriented wedge join closure
+    "graph_triangle_count",      # degree-oriented adjacency intersection
     "llm_mrl_truncated_rerank",  # prefix block-NL + full-dim rerank
     "llm_bloom_decontam",        # bloom bit-probe join + exact verify
+    # round 7b wave 3. The histogram / vocab-coverage shapes stay OUT
+    # (map-side aggregate twins of already-benched keys).
+    "graph_label_propagation",   # 3 LPA rounds, broadcast label joins
+    "events_attribution_touch",  # shared-frame ignore-nulls carries
+    "llm_perceptron_quality",    # 5 damped batch-gradient rounds
 ]
 
 

@@ -1,0 +1,203 @@
+"""Round-7 analytics extensions #2: marketing ATTRIBUTION (first- vs
+last-touch credit per conversion — the standard multi-touch model pair)
+and the equi-width HISTOGRAM aggregate (the SQL width_bucket shape in
+portable integer arithmetic).
+
+Registered after the driver's 50-entry certification window
+(plans.load_all); covered by tools/driver_sim.py; rotation-targeted for
+round 8+.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.registry import load_table
+
+_CONV_TYPE = "purchase"
+
+_ATTRIB_ORACLE = f"""
+    WITH touched AS (
+      SELECT event_type, value,
+             first_value(CASE WHEN event_type <> '{_CONV_TYPE}'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type <> '{_CONV_TYPE}'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    ),
+    conv AS (
+      SELECT first_touch, last_touch,
+             CAST(floor(value * 1000000) AS BIGINT) AS rev_micros
+      FROM touched
+      WHERE event_type = '{_CONV_TYPE}' AND first_touch IS NOT NULL
+    )
+    SELECT model, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(rev_micros) AS BIGINT) AS revenue_micros
+    FROM (
+      SELECT 'first_touch' AS model, first_touch AS touch_type, rev_micros
+      FROM conv
+      UNION ALL
+      SELECT 'last_touch' AS model, last_touch AS touch_type, rev_micros
+      FROM conv
+    )
+    GROUP BY model, touch_type
+"""
+
+
+@register("events_attribution_touch", oracle=_ATTRIB_ORACLE)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch ATTRIBUTION: credit each '{_CONV_TYPE}' conversion's
+    revenue to the user's FIRST and LAST preceding non-conversion
+    touch — the two bookend models of marketing attribution, reported
+    as conversion counts + attributed revenue per (model, touch_type).
+    Conversions with no preceding touch (cold purchases) are excluded
+    from both models identically.
+
+    Plan: both touch lookups are first/last(ignorenulls) over the SAME
+    (user_id, ts, event_id) window frame (unbounded preceding .. 1
+    preceding), so they share one user exchange and one sort; the
+    final aggregate is a 10-row relation. Strictly-before frame (row
+    -1) means a conversion can never attribute to itself even if
+    models later add conversion-type touches.
+
+    Exactness: revenue is floor(value * 1e6) int64 micros summed as
+    integers; window order is (ts, event_id) — a total order, so the
+    IGNORE NULLS carry picks identical rows on both engines.
+
+    Scale: one shuffle on user_id; per-user state is the running
+    first/last touch — O(1) per row, the streaming-friendly shape
+    (the watermark twin would be applyInPandasWithState). No global
+    window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type") != _CONV_TYPE, F.col("event_type"))
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    conv = (
+        ev.select(
+            "event_type",
+            "value",
+            F.first(touch, ignorenulls=True).over(frame).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(frame).alias("last_touch"),
+        )
+        .filter(
+            (F.col("event_type") == _CONV_TYPE)
+            & F.col("first_touch").isNotNull()
+        )
+        .select(
+            "first_touch",
+            "last_touch",
+            F.floor(F.col("value") * 1000000).cast("long").alias("rev_micros"),
+        )
+    )
+    first = conv.select(
+        F.lit("first_touch").alias("model"),
+        F.col("first_touch").alias("touch_type"),
+        "rev_micros",
+    )
+    last = conv.select(
+        F.lit("last_touch").alias("model"),
+        F.col("last_touch").alias("touch_type"),
+        "rev_micros",
+    )
+    return (
+        first.unionAll(last)
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum("rev_micros").cast("long").alias("revenue_micros"),
+        )
+    )
+
+
+# --- agg_width_bucket_histogram ----------------------------------------
+_HIST_LO = 0  # price-domain lower edge
+_HIST_HI = 600_000  # upper edge (fixture o_totalprice < 600k)
+_HIST_N = 12  # buckets; width 50k
+
+_HIST_ORACLE = f"""
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(floor((o_totalprice - {_HIST_LO})
+                 * {_HIST_N} / ({_HIST_HI} - {_HIST_LO})) AS BIGINT),
+             0), {_HIST_N - 1}) AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * ({_HIST_HI} - {_HIST_LO}) / {_HIST_N}
+                + {_HIST_LO} AS BIGINT) AS lo_edge,
+           CAST((bucket + 1) * ({_HIST_HI} - {_HIST_LO}) / {_HIST_N}
+                + {_HIST_LO} AS BIGINT) AS hi_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+                AS BIGINT) AS total_micros
+    FROM b GROUP BY bucket
+"""
+
+
+@register("agg_width_bucket_histogram", oracle=_HIST_ORACLE)
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width HISTOGRAM of order totals (the SQL width_bucket
+    shape): {_HIST_N} fixed buckets over [{_HIST_LO}, {_HIST_HI}),
+    clamped at both ends, with per-bucket counts and exact micro sums
+    — the one-pass distribution profile dashboards and optimizers both
+    build.
+
+    Portability: the bucket index is spelled as explicit floor
+    arithmetic (floor((x-lo)*n/(hi-lo)) clamped) rather than
+    width_bucket() — one double multiply+divide on identical operands,
+    floored, so the index is bit-identical cross-engine and immune to
+    the off-by-one flavor differences between engines'
+    width_bucket implementations.
+
+    Scale: map-side bucket projection + hash aggregate with partial
+    combine — one shuffle of at most {_HIST_N} rows per mapper. The
+    fixed-edge contract (vs data-dependent min/max) is what makes the
+    histogram mergeable across runs/partitions at 100 TB."""
+    span = _HIST_HI - _HIST_LO
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("o_totalprice") - _HIST_LO) * _HIST_N / F.lit(float(span))
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(_HIST_N - 1).cast("long"),
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            bucket.alias("bucket"),
+            F.floor(F.col("o_totalprice") * 1000000)
+            .cast("long")
+            .alias("micros"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("micros").cast("long").alias("total_micros"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * span / _HIST_N + _HIST_LO)
+            .cast("long")
+            .alias("lo_edge"),
+            ((F.col("bucket") + 1) * span / _HIST_N + _HIST_LO)
+            .cast("long")
+            .alias("hi_edge"),
+            "n_orders",
+            "total_micros",
+        )
+    )

@@ -296,3 +296,78 @@ def llm_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_words") >= _SPAN_MIN_WORDS)
         .select("a_id", "b_id", "a_start", "b_start", "span_words")
     )
+
+
+# --- llm_vocab_coverage ------------------------------------------------
+_VOCAB_K = 16  # vocabulary size: top-K corpus tokens by frequency
+
+_VOCAB_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS n FROM toks GROUP BY t
+        ORDER BY n DESC, t
+        LIMIT {_VOCAB_K}
+      )
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(v.t) AS BIGINT) AS n_in_vocab,
+           CAST(floor(COUNT(v.t) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS coverage_micros,
+           CAST(COUNT(DISTINCT CASE WHEN v.t IS NULL THEN toks.t END)
+                AS BIGINT) AS n_oov_types
+    FROM toks LEFT JOIN vocab v ON v.t = toks.t
+    GROUP BY lang
+"""
+
+
+@register("llm_vocab_coverage", oracle=_VOCAB_ORACLE)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VOCABULARY COVERAGE: fix the vocabulary at the corpus
+    top-{_VOCAB_K} tokens (count DESC, token ASC — total order) and
+    report, per language, total token occurrences, in-vocab
+    occurrences, the coverage rate in integer micros, and the count of
+    distinct out-of-vocabulary types — the fertility/OOV audit run
+    before committing to a tokenizer (high OOV in a slice means the
+    vocab under-serves it and its effective sequence length inflates).
+
+    Plan: one token explode feeds BOTH the vocabulary top-K (a bounded
+    global TakeOrdered over the type aggregate — K rows out) and the
+    per-lang coverage join; the vocab side is {_VOCAB_K} rows, a
+    literal-sized broadcast at any corpus size (real vocabs are 32-256K
+    rows — still broadcast-sized). The count(DISTINCT CASE ...) OOV
+    types ride the same (lang) aggregate.
+
+    Exactness: pure integer counts; coverage is one floored double
+    division of exact integers."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("in_vocab").cast("long").alias("n_in_vocab"),
+            F.floor(
+                F.count("in_vocab") * F.lit(1000000.0) / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("coverage_micros"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("t"))
+            )
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+    )

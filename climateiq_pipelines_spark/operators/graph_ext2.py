@@ -14,6 +14,7 @@ round 8+.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import register
@@ -60,6 +61,26 @@ _TRIANGLE_ORACLE = """
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase edge list (u < v, distinct), shared by the
+    triangle and label-propagation keys — localCheckpoint'd because
+    every consumer reads it several times and the order-pair self-join
+    must never re-run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = e0.alias("a")
+    b = e0.select(F.col("o"), F.col("p").alias("p2")).alias("b")
+    return (
+        a.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 @register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE COUNT + local clustering coefficient per node of the
@@ -97,19 +118,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive id-ordered closure: hash-equality proves the oriented
     intersection plan loses/duplicates nothing.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = e0.alias("a")
-    b = e0.select(F.col("o"), F.col("p").alias("p2")).alias("b")
-    ed = (
-        a.join(b, "o")
-        .filter(F.col("p") < F.col("p2"))
-        .select(F.col("p").alias("u"), F.col("p2").alias("v"))
-        .distinct()
-        .localCheckpoint()  # 5 consumers; never re-run the self-join
-    )
+    ed = _copurchase_edges(spark, sf_dir)
     deg = (
         ed.select(F.col("u").alias("node"))
         .unionAll(ed.select(F.col("v").alias("node")))
@@ -206,4 +215,112 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("clustering_micros"),
         )
+    )
+
+
+# --- graph_label_propagation -------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    stages = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        stages.append(
+            f"""c{r} AS (
+      SELECT s.v AS node, p.label, COUNT(*) AS n
+      FROM sym s JOIN {prev} p ON p.node = s.u
+      GROUP BY s.v, p.label
+    ),
+    l{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label) AS rk
+        FROM c{r}
+      ) WHERE rk = 1
+    )"""
+        )
+        prev = f"l{r}"
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    ed AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+    {joined},
+    comm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+             FROM {prev} GROUP BY label)
+    SELECT f.node AS part_id, CAST(f.label AS BIGINT) AS label,
+           c.community_size
+    FROM {prev} f JOIN comm c ON c.label = f.label
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007)
+    over the part co-purchase graph — the fourth canonical iterative
+    graph shape beside components, centrality, and triangles: 3
+    synchronous rounds where every node adopts its neighborhood's
+    majority label (ties broken toward the smaller label — the
+    deterministic variant; the paper's random tie-break is what makes
+    vanilla LPA unreproducible, so production pipelines pin exactly
+    this ordering). Labels start as node ids. Output: each part's
+    community label after round {_LPA_ROUNDS} and that community's
+    size.
+
+    Exactness: labels and counts are integers; the per-node argmax is
+    a (count DESC, label ASC) row_number — a total order, identical
+    cross-engine; 3 rounds compose bit-identically (the
+    graph_pagerank unrolled-fixpoint contract).
+
+    Plan: per round ONE join (symmetric edges x labels — the label
+    relation is |V| rows, broadcast-able at any realistic scale) + one
+    (node, label) hash aggregate + one |V|-sized argmax window
+    partitioned by node. Each round's label frontier is
+    localCheckpoint'd: round N+1 must re-read a materialized |V|-row
+    relation, not re-run rounds 1..N (the llm_dedup_clusters lineage
+    discipline). Synchronous LPA at 100 TB: label storage is
+    |V|-bound, edges stream once per round — the same two-shuffle
+    round shape as PageRank; production iterates to label-change
+    convergence (usually < 10 rounds) with the pagerank_converged
+    stopping discipline."""
+    ed = _copurchase_edges(spark, sf_dir)
+    sym = ed.unionAll(
+        ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()  # read once per round
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            sym.join(
+                F.broadcast(
+                    labels.select(F.col("node").alias("u"), "label")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = W.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    comm = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(comm, "label").select(
+        F.col("node").alias("part_id"),
+        F.col("label").cast("long").alias("label"),
+        "community_size",
     )

@@ -122,4 +122,6 @@ def load_all() -> None:
         corpus_quality_ext,
         graph_ext2,
         ann_ext2,
+        analytics_ext2,
+        ml_train_ext,
     )

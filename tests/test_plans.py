@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "llm_heaps_vocab_growth",  # 1-row doc-id span broadcast cross
     "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
     "llm_minhash_jaccard_estimate",  # 8x8 cross of two LIMIT-8 samples (constant at any SF)
+    "llm_perceptron_quality",  # 1-row weight/gradient broadcast crosses per round
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -244,6 +245,10 @@ BROADCAST_OK = {
     ("events_ext.py", "st"): "|event_type|-row moment-stats table (zscore)",
     ("lakehouse.py", "b"): "1-row compaction audit aggregate",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
+    ("graph_ext2.py", "adj"): "|V|-row adjacency, size-GUARDED (<=200k nodes; plain shuffle join beyond)",
+    ("ml_train_ext.py", "w_prev"): "1-row weight vector (perceptron round)",
+    ("ml_train_ext.py", "grad"): "1-row gradient aggregate (perceptron round)",
+    ("corpus_quality_ext.py", "vocab"): "top-K (16) vocabulary table; real vocabs 32-256K rows, still broadcast-sized",
 }
 
 
@@ -323,7 +328,7 @@ def test_driver_window_layout_matches_load_all_comment():
     (index 49), and the total key count must equal the full surface so a
     module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 218, len(keys)
+    assert len(keys) == 223, len(keys)
     assert keys[0] == "stream_tumbling_window", keys[:3]
     assert keys[43] == "llm_pii_redact", keys[40:50]
     assert keys[49] == "llm_unigram_logprob", keys[45:52]

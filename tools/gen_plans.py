@@ -59,6 +59,9 @@ SHOWCASE = [
     ("llm_substring_span_dedup", "shared-shingle equi-join only (no cartesian), per-(pair,diagonal) islands window — partitions bounded by match runs"),
     ("llm_bloom_decontam", "map-side k-position explode, bitset semi-join, HAVING k gate, exact verify LEFT join on candidates only"),
     ("llm_mrl_truncated_rerank", "Arrow block-NL over broadcast corpus, prefix-width stage-1 scoring, shortlist-only full-dim rerank (MapInPandas)"),
+    ("graph_label_propagation", "per-round broadcast label join + (node,label) partial agg + node-partitioned argmax window; checkpointed frontier truncates lineage"),
+    ("llm_perceptron_quality", "per-round ONE map-side partial aggregate to a 9-long gradient, 1-row broadcast crosses — data moves are model-sized, never data-sized"),
+    ("events_attribution_touch", "both ignore-nulls carries share ONE user exchange + sort; 10-row final aggregate"),
 ]
 
 
