@@ -128,10 +128,12 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the feature matrix is built once (one token explode + hash
     aggregate) and localCheckpoint'd; each round is ONE map-side
     partial aggregate producing a 9-long 1-row gradient (the
-    all-reduce of data-parallel SGD, in its batch form), crossed back
-    as a broadcast literal — per round the data moves is |partitions| x
-    9 longs, nothing else. At 100 TB the identical plan holds:
-    gradient size is model-dimensional, not data-dimensional.
+    all-reduce of data-parallel SGD, in its batch form), collected to
+    the driver and re-embedded as weight literals — per round the data
+    moved is |partitions| x 9 longs, nothing else, and the collect is
+    model-sized (the sanctioned 1-row-aggregate pattern). At 100 TB
+    the identical plan holds: gradient size is model-dimensional, not
+    data-dimensional.
     Production stops on a validation metric instead of a fixed round
     count (the graph_pagerank_converged discipline applies verbatim)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -162,18 +164,26 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lab, "doc_id")
         .localCheckpoint()  # re-read every round; never re-tokenize
     )
-    w_prev = spark.range(1).select(
-        *[F.lit(0).cast("long").alias(f"w{i}") for i in range(_N_FEATS)]
-    )
-    out_rows = []
-    for r in range(1, _ROUNDS + 1):
-        joined = feat.crossJoin(F.broadcast(w_prev))
+    # Per-round all-reduce: ONE map-side partial aggregate collapses
+    # the corpus to a 9-long gradient; the 1-row result is collected to
+    # the driver (model-sized — the sanctioned 1-row-aggregate pattern,
+    # cf. dedup_graph's convergence triples) and re-embedded as
+    # literals, so each round is exactly one job with no broadcast
+    # cross or checkpoint barrier (measured 3.6 s -> ~2 s at sf0.1 vs
+    # the 1-row crossJoin form).
+    def tdiv(a: int) -> int:
+        q = abs(a) // _LR_DIV
+        return q if a >= 0 else -q
+
+    w = [0] * _N_FEATS
+    trajectory: list[tuple[int, ...]] = []
+    for _ in range(_ROUNDS):
         margin = sum(
-            (F.col(f"w{i}") * F.col(f"x{i}") for i in range(1, _N_FEATS)),
-            F.col("w0") * F.col("x0"),
+            (F.lit(w[i]) * F.col(f"x{i}") for i in range(1, _N_FEATS)),
+            F.lit(w[0]) * F.col("x0"),
         )
         mis = F.col("y") * margin <= 0
-        grad = joined.agg(
+        row = feat.agg(
             *[
                 F.coalesce(
                     F.sum(F.when(mis, F.col("y") * F.col(f"x{i}"))), F.lit(0)
@@ -185,33 +195,18 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(mis, 1)), F.lit(0))
             .cast("long")
             .alias("n_errors"),
-        )
-        w_next = (
-            w_prev.crossJoin(F.broadcast(grad))
-            .select(
-                *[
-                    (
-                        F.col(f"w{i}")
-                        + F.when(
-                            F.col(f"d{i}") >= 0,
-                            F.expr(f"d{i} div {_LR_DIV}"),
-                        ).otherwise(-F.expr(f"(-d{i}) div {_LR_DIV}"))
-                    ).alias(f"w{i}")
-                    for i in range(_N_FEATS)
-                ],
-                "n_errors",
-            )
-            .localCheckpoint()  # pin the 1-row state; keep lineage flat
-        )
-        out_rows.append(
-            w_next.select(
-                F.lit(r).cast("long").alias("round"),
-                "n_errors",
-                *[f"w{i}" for i in range(_N_FEATS)],
-            )
-        )
-        w_prev = w_next.drop("n_errors")
-    res = out_rows[0]
-    for df in out_rows[1:]:
-        res = res.unionAll(df)
-    return res
+        ).collect()[0]
+        w = [w[i] + tdiv(row[f"d{i}"]) for i in range(_N_FEATS)]
+        trajectory.append((int(row["n_errors"]), *w))
+    out = spark.createDataFrame(
+        [
+            (r + 1, *t)
+            for r, t in enumerate(trajectory)
+        ],
+        ["round", "n_errors"] + [f"w{i}" for i in range(_N_FEATS)],
+    )
+    return out.select(
+        F.col("round").cast("long"),
+        F.col("n_errors").cast("long"),
+        *[F.col(f"w{i}").cast("long") for i in range(_N_FEATS)],
+    )

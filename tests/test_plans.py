@@ -45,7 +45,6 @@ NESTED_LOOP_OK = {
     "llm_heaps_vocab_growth",  # 1-row doc-id span broadcast cross
     "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
     "llm_minhash_jaccard_estimate",  # 8x8 cross of two LIMIT-8 samples (constant at any SF)
-    "llm_perceptron_quality",  # 1-row weight/gradient broadcast crosses per round
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.

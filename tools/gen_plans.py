@@ -60,7 +60,7 @@ SHOWCASE = [
     ("llm_bloom_decontam", "map-side k-position explode, bitset semi-join, HAVING k gate, exact verify LEFT join on candidates only"),
     ("llm_mrl_truncated_rerank", "Arrow block-NL over broadcast corpus, prefix-width stage-1 scoring, shortlist-only full-dim rerank (MapInPandas)"),
     ("graph_label_propagation", "per-round broadcast label join + (node,label) partial agg + node-partitioned argmax window; checkpointed frontier truncates lineage"),
-    ("llm_perceptron_quality", "per-round ONE map-side partial aggregate to a 9-long gradient, 1-row broadcast crosses — data moves are model-sized, never data-sized"),
+    ("llm_perceptron_quality", "per-round ONE map-side partial aggregate to a 9-long gradient collected as model-sized driver state (all-reduce); weights re-enter as literals"),
     ("events_attribution_touch", "both ignore-nulls carries share ONE user exchange + sort; 10-row final aggregate"),
 ]
 
