@@ -195,7 +195,7 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(mis, 1)), F.lit(0))
             .cast("long")
             .alias("n_errors"),
-        ).collect()[0]
+        ).first()
         w = [w[i] + tdiv(row[f"d{i}"]) for i in range(_N_FEATS)]
         trajectory.append((int(row["n_errors"]), *w))
     out = spark.createDataFrame(
