@@ -350,3 +350,99 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").cast("long").alias("n_verified"),
         )
     )
+
+
+# --- llm_ann_recall_eval -----------------------------------------------
+def _recall_oracle() -> str:
+    from climateiq_pipelines_spark.operators.llm import _TOPK_ORACLE
+    from climateiq_pipelines_spark.operators.vector_ext import (
+        _cosine_topk_lsh_oracle,
+    )
+
+    return f"""
+    WITH exact AS (SELECT * FROM ({_TOPK_ORACLE})),
+    approx AS (SELECT * FROM ({_cosine_topk_lsh_oracle()})),
+    m AS (
+      SELECT e.vec_id, COUNT(*) AS hits
+      FROM exact e JOIN approx a
+        ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.vec_id
+    ),
+    perq AS (
+      SELECT q.vec_id, COALESCE(m.hits, 0) AS hits
+      FROM (SELECT DISTINCT vec_id FROM exact) q
+      LEFT JOIN m ON m.vec_id = q.vec_id
+    )
+    SELECT CAST(hits AS BIGINT) AS hits,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(floor(COUNT(*) * 1000000.0
+                      / SUM(COUNT(*)) OVER ()) AS BIGINT) AS share_micros,
+           CAST(floor(SUM(hits * COUNT(*) * 200000.0) OVER ()
+                      / SUM(COUNT(*)) OVER ()) AS BIGINT)
+             AS mean_recall_micros
+    FROM perq GROUP BY hits
+    """
+
+
+@register("llm_ann_recall_eval", oracle=_recall_oracle())
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX-QUALITY EVALUATION in-engine: recall@5 of the
+    simhash-bucketed LSH path (`llm_cosine_topk_lsh` — the plan the
+    exact key auto-dispatches to at scale) against the exact
+    block-NL ground truth (`llm_cosine_topk`), as the per-query hit
+    distribution (hits 0..5 -> query counts and shares) plus the mean
+    recall in micros repeated per row — the measurement every
+    production ANN deployment runs before trusting an index, here as a
+    first-class operator so the recall/thoroughness trade is a number,
+    not a hope. Both sides rank by the shared exact int64 dot with
+    neighbor-id tiebreaks, so the comparison itself is bit-exact.
+
+    Plan: composes the two registered plans (Arrow block-NL broadcast
+    corpus; bucketed DataFrame self-join) and adds one (vec_id,
+    neighbor_id) equi-join + two bounded aggregates — the final
+    relation is <= 6 rows, and the share/mean windows run over THAT
+    bounded frame (SURVEY §9.4). At 100 TB the ground-truth side is
+    the expensive half; production samples the query set (a LIMIT on
+    the probe side — the same harness shape as
+    llm_minhash_jaccard_estimate's 8x8 sample) while this fixture
+    evaluates every query exactly."""
+    from climateiq_pipelines_spark.operators.llm import llm_cosine_topk
+    from climateiq_pipelines_spark.operators.vector_ext import (
+        llm_cosine_topk_lsh,
+    )
+
+    exact = llm_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    approx = llm_cosine_topk_lsh(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    m = (
+        exact.join(approx, ["vec_id", "neighbor_id"])
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    perq = (
+        exact.select("vec_id")
+        .distinct()
+        .join(m, "vec_id", "left")
+        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
+    )
+    over_all = W.partitionBy()  # <= 6 distinct hit values — bounded
+    dist = perq.groupBy("hits").agg(F.count(F.lit(1)).alias("n_queries"))
+    return dist.select(
+        F.col("hits").cast("long").alias("hits"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.floor(
+            F.col("n_queries") * F.lit(1000000.0)
+            / F.sum("n_queries").over(over_all)
+        )
+        .cast("long")
+        .alias("share_micros"),
+        F.floor(
+            F.sum(F.col("hits") * F.col("n_queries") * F.lit(200000.0)).over(
+                over_all
+            )
+            / F.sum("n_queries").over(over_all)
+        )
+        .cast("long")
+        .alias("mean_recall_micros"),
+    )

@@ -56,6 +56,7 @@ PYTHON_EVAL_OK = {
     "udtf_native_chunker",  # BatchEvalPythonUDTF (native @udtf API)
     "llm_cosine_topk",  # Arrow block-NL (MapInPandas), measured 24x DuckDB
     "llm_mrl_truncated_rerank",  # same Arrow block-NL, prefix-dim stage 1
+    "llm_ann_recall_eval",  # composes llm_cosine_topk (MapInPandas ground truth)
     "mm_decode_features",  # binary decode is Python by necessity
     "mm_ppm_decode",  # native P6 codec runs in Python (MapInPandas)
     # compute-bound exact integer-dot re-rank: Spark evaluates zip_with/
@@ -327,7 +328,7 @@ def test_driver_window_layout_matches_load_all_comment():
     (index 49), and the total key count must equal the full surface so a
     module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 223, len(keys)
+    assert len(keys) == 224, len(keys)
     assert keys[0] == "stream_tumbling_window", keys[:3]
     assert keys[43] == "llm_pii_redact", keys[40:50]
     assert keys[49] == "llm_unigram_logprob", keys[45:52]

@@ -139,3 +139,35 @@ def test_bloom_decontam_no_false_negatives_and_counts(spark):
     }
     assert got == expected
     assert all(c >= v for c, v in got.values())
+
+
+def test_ann_recall_eval_consistent_with_components(spark):
+    """The recall distribution must re-derive exactly from the two
+    component keys' own outputs, and the weighted mean must match the
+    per-row constant column."""
+    exact = (
+        QUERIES["llm_cosine_topk"](spark, SF_SMALL)
+        .select("vec_id", "neighbor_id")
+        .toPandas()
+    )
+    approx = (
+        QUERIES["llm_cosine_topk_lsh"](spark, SF_SMALL)
+        .select("vec_id", "neighbor_id")
+        .toPandas()
+    )
+    apairs = set(zip(approx["vec_id"], approx["neighbor_id"]))
+    hits_per_q: dict[int, int] = {}
+    for v, n in zip(exact["vec_id"], exact["neighbor_id"]):
+        hits_per_q.setdefault(int(v), 0)
+        if (v, n) in apairs:
+            hits_per_q[int(v)] += 1
+    from collections import Counter
+
+    dist = Counter(hits_per_q.values())
+    pdf = QUERIES["llm_ann_recall_eval"](spark, SF_SMALL).toPandas()
+    got = {int(r["hits"]): int(r["n_queries"]) for _, r in pdf.iterrows()}
+    assert got == dict(dist)
+    total = sum(dist.values())
+    mean = int(sum(h * n * 200000.0 for h, n in dist.items()) // total)
+    assert set(int(r["mean_recall_micros"]) for _, r in pdf.iterrows()) == {mean}
+    assert int(pdf["n_queries"].sum()) == total
