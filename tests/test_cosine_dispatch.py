@@ -100,3 +100,27 @@ def test_bucketed_neighbors_share_bucket_semantics(spark, monkeypatch):
     }
     counts = approx.groupby("vec_id").size()
     assert (counts <= max(sizes.values()) - 1).all()
+
+
+def test_mrl_large_corpus_dispatches_to_bucketed(spark, monkeypatch):
+    """llm_mrl_truncated_rerank shares the byte-derived corpus bound:
+    above it the key must return the simhash-bucketed DataFrame plan
+    (no Python eval, no nested loop) with the distinct method marker,
+    and the per-query rerank contract must hold."""
+    monkeypatch.setattr(llm, "BLOCKNL_MAX_VECTORS", 10)
+    df = QUERIES["llm_mrl_truncated_rerank"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert [f.name for f in df.schema.fields] == [
+        "vec_id", "neighbor_id", "cos_sim", "rnk", "method",
+    ]
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["method"] == "mrl_prefix16_rerank_bucketed").all()
+    for _, g in pdf.groupby("vec_id"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (g["cos_sim"].diff().dropna() <= 1e-12).all()
+        assert len(g) <= 5
