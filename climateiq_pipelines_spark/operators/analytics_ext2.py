@@ -201,3 +201,78 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_micros",
         )
     )
+
+
+# --- events_ewma_smoothing ---------------------------------------------
+# Halving decay (alpha = 1/2): s_t = (x_t + s_{t-1}) div 2 with s_0 = 0.
+# Chosen because the recurrence stays in exact integer arithmetic
+# (truncating halving of non-negative micros — floor == trunc), so the
+# whole smoothed series is bit-identical cross-engine; any alpha = 1/2^k
+# generalizes with k shifts. Zero-init is part of the declared contract
+# (the first few days are biased low — the standard EWMA warm-up).
+_EWMA_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           strftime(MAX(day), '%Y-%m-%d') AS last_day,
+           CAST(list_reduce(list_prepend(0, list(x ORDER BY day)),
+                            (a, b) -> (a + b) // 2) AS BIGINT)
+             AS ewma_micros,
+           CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_micros
+    FROM daily GROUP BY event_type
+"""
+
+
+@register("events_ewma_smoothing", oracle=_EWMA_ORACLE)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA trend smoothing per event type: daily revenue totals in
+    exact micros folded through the halving recurrence
+    s_t = (x_t + s_(t-1)) div 2 — the constant-state smoother behind
+    alerting baselines and trend dashboards, in its integer-exact form
+    (see the module note on alpha = 1/2). Output per type: day count,
+    last day, the final smoothed value, and the plain mean for
+    contrast (EWMA ~ recent days; mean ~ all days equally).
+
+    Plan: one (type, day) hash aggregate (map-side partial), then ONE
+    per-type ordered fold over the bounded daily series — array length
+    is calendar-bounded (days in the fixture window), never
+    data-bounded, so the collect_list is a bounded-state aggregate
+    (SURVEY §9.4), not a corpus-sized one. The fold is a codegen'd
+    aggregate() HOF; at 100 TB the same shape holds because the daily
+    pre-aggregate collapses volume before any per-type state exists.
+    A streaming twin maintains s_t in applyInPandasWithState with one
+    long per key."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("arr"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    ewma = F.aggregate(
+        F.transform(F.col("arr"), lambda p: p["x"]),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.floor((acc + x) / F.lit(2)).cast("long"),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        ewma.alias("ewma_micros"),
+        F.expr("tot div n_days").alias("mean_micros"),
+    )

@@ -371,3 +371,86 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oov_types"),
         )
     )
+
+
+# --- llm_dataset_split -------------------------------------------------
+# Deterministic 3-way split keyed on md5(doc_id:'split'): first hex
+# nibble < 13 -> train (~81%), = 13 -> val (~6%), > 13 -> test (~13%).
+_SPLIT_SALT = "split"
+_SQL_SPLIT_NIBBLE = (
+    "(ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)) - "
+    "CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1))"
+    " >= 97 THEN 87 ELSE 48 END)"
+)
+
+_SPLIT_ORACLE = f"""
+    WITH assigned AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tok,
+             CASE WHEN {_SQL_SPLIT_NIBBLE} < 13 THEN 'train'
+                  WHEN {_SQL_SPLIT_NIBBLE} = 13 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(floor(COUNT(*) * 1000000.0
+                      / SUM(COUNT(*)) OVER (PARTITION BY lang)) AS BIGINT)
+             AS lang_share_micros
+    FROM assigned GROUP BY lang, split
+"""
+
+
+@register("llm_dataset_split", oracle=_SPLIT_ORACLE)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split + stratification audit: each
+    document is assigned by a salted md5 nibble (~81/6/13) —
+    reproducible across runs, machines, and engines, no RNG (the
+    llm_shuffle_shard discipline applied to the canonical split step) —
+    and the output is the per-(language, split) doc/token counts with
+    each split's share WITHIN its language in micros: the audit that
+    catches a split that accidentally concentrates a low-resource
+    language into val/test. Disjointness and completeness are
+    structural (CASE over one hash value).
+
+    Exactness: integer counts; shares are floored double divisions of
+    exact integers; the per-lang share window runs over the bounded
+    (lang x split) aggregate (<= 15 rows), never data rows.
+
+    Plan: one map-side projection + one hash aggregate — the split
+    column is computed, not shuffled into existence; at 100 TB the
+    assignment is a pure map over the scan and the audit is a
+    |langs x 3|-row result."""
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + _SPLIT_SALT))),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(nib < 13, "train").when(nib == 13, "val").otherwise("test")
+    )
+    assigned = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        split.alias("split"),
+    )
+    agg = assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    lang_w = W.partitionBy("lang")  # <= |langs| x 3 rows — bounded
+    return agg.select(
+        "lang",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.col("n_docs") * F.lit(1000000.0) / F.sum("n_docs").over(lang_w)
+        )
+        .cast("long")
+        .alias("lang_share_micros"),
+    )

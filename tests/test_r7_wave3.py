@@ -200,3 +200,61 @@ def test_perceptron_trajectory_rederive(spark):
     assert all(a >= b for a, b in zip(errs[1:], errs[2:]))  # monotone tail
     majority = min(sum(1 for y in labels if y == 1), sum(1 for y in labels if y == -1))
     assert errs[-1] < majority  # beats always-predict-majority
+
+
+def test_ewma_smoothing_rederive(spark):
+    """Re-fold the halving EWMA per event type in plain Python from the
+    raw events, including the daily pre-aggregate."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily: dict[tuple[str, object], int] = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += math.floor(
+            r["value"] * 1_000_000
+        )
+    per_type: dict[str, list] = defaultdict(list)
+    for (t, d), x in daily.items():
+        per_type[t].append((d, x))
+    pdf = QUERIES["events_ewma_smoothing"](spark, SF_SMALL).toPandas()
+    assert len(pdf) == len(per_type)
+    for _, r in pdf.iterrows():
+        series = sorted(per_type[r["event_type"]])
+        s = 0
+        for _, x in series:
+            s = (s + x) // 2
+        assert int(r["ewma_micros"]) == s
+        assert int(r["n_days"]) == len(series)
+        assert r["last_day"] == str(series[-1][0])
+        tot = sum(x for _, x in series)
+        assert int(r["mean_micros"]) == tot // len(series)
+
+
+def test_dataset_split_disjoint_complete_and_rederives(spark):
+    """The split must assign every doc to exactly one of train/val/test
+    with the declared hash rule, and the audit shares must re-derive."""
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    exp: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0, 0])
+    for r in docs:
+        nib = int(
+            hashlib.md5(f"{int(r['doc_id'])}:split".encode()).hexdigest()[0], 16
+        )
+        split = "train" if nib < 13 else ("val" if nib == 13 else "test")
+        exp[(r["lang"], split)][0] += 1
+        exp[(r["lang"], split)][1] += len(r["text"].split(" "))
+    pdf = QUERIES["llm_dataset_split"](spark, SF_SMALL).toPandas()
+    got = {
+        (r["lang"], r["split"]): (int(r["n_docs"]), int(r["n_tokens"]))
+        for _, r in pdf.iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # completeness: per-lang doc counts sum back to the corpus
+    assert int(pdf["n_docs"].sum()) == len(docs)
+    # share audit re-derives
+    lang_tot = pdf.groupby("lang")["n_docs"].sum().to_dict()
+    for _, r in pdf.iterrows():
+        assert int(r["lang_share_micros"]) == math.floor(
+            int(r["n_docs"]) * 1_000_000.0 / lang_tot[r["lang"]]
+        )
