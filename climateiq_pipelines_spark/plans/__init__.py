@@ -125,3 +125,4 @@ def load_all() -> None:
         analytics_ext2,
         ml_train_ext,
     )
+    from climateiq_pipelines_spark.streaming import stateful_timeout  # noqa: F401
