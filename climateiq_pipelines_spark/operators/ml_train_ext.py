@@ -46,7 +46,11 @@ _SQL_NIBBLE = (
 )
 
 
-def _perceptron_oracle() -> str:
+def _perceptron_cte() -> str:
+    """Shared WITH-body: hashed features, labels, and the unrolled
+    damped training stages w0..w{rounds} — reused by the training-
+    trajectory oracle and the held-out evaluation oracle so both check
+    the IDENTICAL arithmetic."""
     xs = ", ".join(
         f"CAST(SUM(CASE WHEN b = {j} THEN 1 ELSE 0 END) AS BIGINT) AS x{j + 1}"
         for j in range(_N_BUCKETS)
@@ -76,14 +80,7 @@ def _perceptron_oracle() -> str:
             for i in range(_N_FEATS)
         )
         stages.append(f"w{r} AS (SELECT {ws} FROM w{r - 1} w, g{r} g)")
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, g{r}.n_errors, "
-        + ", ".join(f"w{r}.w{i}" for i in range(_N_FEATS))
-        + f" FROM g{r}, w{r}"
-        for r in range(1, _ROUNDS + 1)
-    )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
     ),
     lab AS (
@@ -98,7 +95,18 @@ def _perceptron_oracle() -> str:
       FROM bx JOIN lab ON lab.doc_id = bx.doc_id
       GROUP BY bx.doc_id
     ),
-    {", ".join(stages)}
+    {", ".join(stages)}"""
+
+
+def _perceptron_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, g{r}.n_errors, "
+        + ", ".join(f"w{r}.w{i}" for i in range(_N_FEATS))
+        + f" FROM g{r}, w{r}"
+        for r in range(1, _ROUNDS + 1)
+    )
+    return f"""
+    WITH {_perceptron_cte()}
     {selects}
     """
 
@@ -209,4 +217,176 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("round").cast("long"),
         F.col("n_errors").cast("long"),
         *[F.col(f"w{i}").cast("long") for i in range(_N_FEATS)],
+    )
+
+
+# --- llm_classifier_eval -----------------------------------------------
+def _classifier_eval_oracle() -> str:
+    from climateiq_pipelines_spark.operators.corpus_quality_ext import (
+        _SQL_SPLIT_NIBBLE,
+    )
+
+    margin = " + ".join(f"w.w{i} * f.x{i}" for i in range(_N_FEATS))
+    return f"""
+    WITH {_perceptron_cte()},
+    val AS (
+      SELECT f.* FROM feat f
+      JOIN (SELECT doc_id, {_SQL_SPLIT_NIBBLE} AS split_nib
+            FROM documents) d ON d.doc_id = f.doc_id
+      WHERE d.split_nib = 13
+    ),
+    conf AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN f.y = 1 AND ({margin}) > 0
+                          THEN 1 END), 0) AS BIGINT) AS tp,
+        CAST(COALESCE(SUM(CASE WHEN f.y = -1 AND ({margin}) > 0
+                          THEN 1 END), 0) AS BIGINT) AS fp,
+        CAST(COALESCE(SUM(CASE WHEN f.y = 1 AND ({margin}) <= 0
+                          THEN 1 END), 0) AS BIGINT) AS fn,
+        CAST(COALESCE(SUM(CASE WHEN f.y = -1 AND ({margin}) <= 0
+                          THEN 1 END), 0) AS BIGINT) AS tn
+      FROM val f, w{_ROUNDS} w
+    ),
+    metrics AS (
+      SELECT tp, fp, fn, tn,
+             CASE WHEN tp + fp > 0
+                  THEN (tp * 1000000) // (tp + fp) END AS precision_micros,
+             CASE WHEN tp + fn > 0
+                  THEN (tp * 1000000) // (tp + fn) END AS recall_micros
+      FROM conf
+    )
+    SELECT 'val' AS split, tp + fp + fn + tn AS n_docs,
+           tp, fp, fn, tn,
+           CAST(precision_micros AS BIGINT) AS precision_micros,
+           CAST(recall_micros AS BIGINT) AS recall_micros,
+           CAST(CASE WHEN COALESCE(precision_micros, 0)
+                          + COALESCE(recall_micros, 0) > 0
+                 THEN (2 * precision_micros * recall_micros)
+                      // (precision_micros + recall_micros) END AS BIGINT)
+             AS f1_micros
+    FROM metrics
+    """
+
+
+@register("llm_classifier_eval", oracle=_classifier_eval_oracle())
+def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT CLASSIFIER EVALUATION, closing the train->eval loop:
+    the perceptron's round-{_ROUNDS} weights scored on the 'val' slice
+    of `llm_dataset_split`'s deterministic split (nibble == 13, ~6%%
+    of docs the training loop never saw in any privileged way) — a
+    full confusion matrix plus precision / recall / F1 in integer
+    micros. Composes two registered keys the way the recall-eval key
+    composes the ANN pair: the model from `llm_perceptron_quality`,
+    the split rule from `llm_dataset_split`.
+
+    Exactness: weights arrive as int64 literals from the trajectory's
+    final row (model-sized .first(), the sanctioned pattern); margins,
+    the confusion counts, and all three metrics are pure int64
+    arithmetic (metric = count * 1e6 integer-div denominator; F1 is
+    the integer harmonic mean of the micro metrics; empty denominators
+    yield NULL on both engines).
+
+    Scale: one map-side filter (the split nibble) + one aggregate over
+    the val slice — evaluation costs one pass over ~6%% of the corpus
+    regardless of model size; the decision boundary is applied inside
+    codegen, no Python. Prediction rule: margin > 0 is positive —
+    note the asymmetry with training's error rule (margin <= 0 counts
+    as an error for BOTH classes), which is the perceptron's standard
+    tie-to-negative classification convention."""
+    from climateiq_pipelines_spark.operators.corpus_quality_ext import (
+        _SPLIT_SALT,
+    )
+
+    traj = llm_perceptron_quality(spark, sf_dir)
+    final = traj.filter(F.col("round") == _ROUNDS).first()
+    w = [int(final[f"w{i}"]) for i in range(_N_FEATS)]
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    nib = F.conv(F.substring(F.md5("t"), 1, 1), 16, 10).cast("int") % _N_BUCKETS
+    xs = [F.lit(_BIAS_X0).cast("long").alias("x0")] + [
+        F.sum(F.when(F.col("b") == j, 1).otherwise(0))
+        .cast("long")
+        .alias(f"x{j + 1}")
+        for j in range(_N_BUCKETS)
+    ]
+    lab = docs.select(
+        "doc_id",
+        F.when(F.size(F.split("text", " ")) >= _LABEL_MIN_WORDS, 1)
+        .otherwise(-1)
+        .cast("long")
+        .alias("y"),
+    )
+    split_nib = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":" + _SPLIT_SALT))
+            ),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("int")
+    feat = (
+        toks.select("doc_id", nib.alias("b"))
+        .groupBy("doc_id")
+        .agg(*xs[1:])
+        .select("doc_id", xs[0], *[f"x{j + 1}" for j in range(_N_BUCKETS)])
+        .join(lab, "doc_id")
+        .filter(split_nib == 13)
+    )
+    margin = sum(
+        (F.lit(w[i]) * F.col(f"x{i}") for i in range(1, _N_FEATS)),
+        F.lit(w[0]) * F.col("x0"),
+    )
+    pos = margin > 0
+    conf = feat.agg(
+        F.coalesce(F.sum(F.when((F.col("y") == 1) & pos, 1)), F.lit(0))
+        .cast("long")
+        .alias("tp"),
+        F.coalesce(F.sum(F.when((F.col("y") == -1) & pos, 1)), F.lit(0))
+        .cast("long")
+        .alias("fp"),
+        F.coalesce(F.sum(F.when((F.col("y") == 1) & ~pos, 1)), F.lit(0))
+        .cast("long")
+        .alias("fn"),
+        F.coalesce(F.sum(F.when((F.col("y") == -1) & ~pos, 1)), F.lit(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.expr("(tp * 1000000) div (tp + fp)"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.expr("(tp * 1000000) div (tp + fn)"),
+    )
+    return (
+        conf.withColumn("precision_micros", prec.cast("long"))
+        .withColumn("recall_micros", rec.cast("long"))
+        .select(
+            F.lit("val").alias("split"),
+            (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).alias(
+                "n_docs"
+            ),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            "precision_micros",
+            "recall_micros",
+            F.when(
+                F.coalesce(F.col("precision_micros"), F.lit(0))
+                + F.coalesce(F.col("recall_micros"), F.lit(0))
+                > 0,
+                F.expr(
+                    "(2 * precision_micros * recall_micros)"
+                    " div (precision_micros + recall_micros)"
+                ),
+            )
+            .cast("long")
+            .alias("f1_micros"),
+        )
     )

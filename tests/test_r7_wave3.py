@@ -258,3 +258,70 @@ def test_dataset_split_disjoint_complete_and_rederives(spark):
         assert int(r["lang_share_micros"]) == math.floor(
             int(r["n_docs"]) * 1_000_000.0 / lang_tot[r["lang"]]
         )
+
+
+def test_classifier_eval_rederive(spark):
+    """Recompute the confusion matrix in Python: train the perceptron
+    (same plain-Python loop as the trajectory test), score the val
+    split (nibble == 13), and require exact agreement including the
+    integer metric arithmetic."""
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    feats, labels, nibs = [], [], []
+    for r in docs:
+        w = r["text"].split(" ")
+        x = [_BIAS_X0] + [0] * _N_BUCKETS
+        for t in w:
+            x[1 + int(hashlib.md5(t.encode()).hexdigest()[0], 16) % _N_BUCKETS] += 1
+        feats.append(x)
+        labels.append(1 if len(w) >= _LABEL_MIN_WORDS else -1)
+        nibs.append(
+            int(hashlib.md5(f"{int(r['doc_id'])}:split".encode()).hexdigest()[0], 16)
+        )
+
+    def tdiv(a: int) -> int:
+        q = abs(a) // _LR_DIV
+        return q if a >= 0 else -q
+
+    w = [0] * (_N_BUCKETS + 1)
+    for _ in range(_ROUNDS):
+        d = [0] * len(w)
+        for x, y in zip(feats, labels):
+            if y * sum(wi * xi for wi, xi in zip(w, x)) <= 0:
+                for i in range(len(w)):
+                    d[i] += y * x[i]
+        w = [wi + tdiv(di) for wi, di in zip(w, d)]
+    tp = fp = fn = tn = 0
+    for x, y, nib in zip(feats, labels, nibs):
+        if nib != 13:
+            continue
+        pos = sum(wi * xi for wi, xi in zip(w, x)) > 0
+        if y == 1 and pos:
+            tp += 1
+        elif y == -1 and pos:
+            fp += 1
+        elif y == 1:
+            fn += 1
+        else:
+            tn += 1
+    pdf = QUERIES["llm_classifier_eval"](spark, SF_SMALL).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert (int(r["tp"]), int(r["fp"]), int(r["fn"]), int(r["tn"])) == (
+        tp, fp, fn, tn,
+    )
+    assert int(r["n_docs"]) == tp + fp + fn + tn
+    prec = (tp * 1_000_000) // (tp + fp) if tp + fp else None
+    rec = (tp * 1_000_000) // (tp + fn) if tp + fn else None
+    f1 = (
+        (2 * prec * rec) // (prec + rec)
+        if (prec or 0) + (rec or 0) > 0
+        else None
+    )
+    def cell(v):
+        import pandas as pd
+        return None if v is None or pd.isna(v) else int(v)
+    assert cell(r["precision_micros"]) == prec
+    assert cell(r["recall_micros"]) == rec
+    assert cell(r["f1_micros"]) == f1
