@@ -146,6 +146,12 @@ HEADLINE = [
     "graph_label_propagation",   # 3 LPA rounds, broadcast label joins
     "events_attribution_touch",  # shared-frame ignore-nulls carries
     "llm_perceptron_quality",    # 5 damped batch-gradient rounds
+    # round 7b wave 4: all OUT by policy — events_ewma_smoothing and
+    # llm_dataset_split are bounded-aggregate twins of benched shapes
+    # (bpe_apply_merge's fold, shuffle_shard's hash assign),
+    # llm_classifier_eval / llm_ann_recall_eval re-run their component
+    # keys' already-benched plans, and stream_state_timeout_flush's
+    # wall is dominated by its two-file staging harness, not a plan.
 ]
 
 
