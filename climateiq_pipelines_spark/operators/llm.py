@@ -1072,10 +1072,28 @@ _SIMHASH_NEARDUP_ORACLE = f"""
 """
 
 
+# Signature relations memoized per (application, input plan): the
+# 60-vote aggregate is the expensive half of every simhash consumer
+# (neardup, multiprobe, dedup clustering), and all of them want the
+# IDENTICAL (doc_id, sig) frame — the graph-edge memoization
+# discipline applied to the signature build. Keyed on the input
+# DataFrame's semanticHash so a different corpus/projection can never
+# alias a cache entry.
+_SIG_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
 def _simhash60_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, sig): 60-bit md5-token simhash — 60 codegen'd
     conditional vote sums in ONE hash aggregate, sign → bit. Shared by
-    llm_simhash_neardup and the dedup-cluster operator."""
+    llm_simhash_neardup and the dedup-cluster operator; the
+    checkpointed result is memoized per session + input plan."""
+    cache_key = (
+        docs.sparkSession.sparkContext.applicationId,
+        docs.semanticHash(),
+    )
+    cached = _SIG_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     toks = _tokens(docs)
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
@@ -1089,7 +1107,9 @@ def _simhash60_sigs(docs: DataFrame) -> DataFrame:
     sig_col: Column = F.lit(0).cast("long")
     for j in range(60):
         sig_col = sig_col + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(0)
-    return votes.select("doc_id", sig_col.alias("sig"))
+    sigs = votes.select("doc_id", sig_col.alias("sig")).localCheckpoint()
+    _SIG_CACHE[cache_key] = sigs
+    return sigs
 
 
 def _simhash60_pairs(sigs: DataFrame) -> DataFrame:
