@@ -174,3 +174,91 @@ def llm_minhash_jaccard_estimate(
         est.alias("estimate_micro"),
         F.abs(jac - est).alias("abs_err_micro"),
     )
+
+
+# --- agg_cms_heavy_hitters ---------------------------------------------
+_CMS_EPS = 0.001  # width guarantee: est <= exact + eps * N
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+
+_CMS_TOPK = 16  # report bounded to the top-K heavy hitters
+
+_CMS_ORACLE = f"""
+    SELECT event_type, exact_count,
+           TRUE AS never_underestimates,
+           TRUE AS within_eps_n,
+           TRUE AS merged_never_underestimates
+    FROM (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY event_type
+      ORDER BY exact_count DESC, event_type
+      LIMIT {_CMS_TOPK}
+    )
+"""
+
+
+@register("agg_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005):
+    per-event-type frequency estimates from a fixed-size CMS (eps =
+    {_CMS_EPS}, confidence = {_CMS_CONF}, seeded), checked against the
+    exact counts via the sketch's two PROVABLE properties — estimates
+    NEVER underestimate, and (with the seeded hash family,
+    deterministically on this fixture) stay within eps*N of exact —
+    plus the MERGE law: two disjoint half-sketches (split on event_id
+    parity) merged driver-side must keep the no-underestimate bound.
+    The hll_sketch_merge discipline applied to frequency sketches:
+    engine-specific estimates stay OUT of the hash; a broken sketch or
+    merge flips a boolean.
+
+    Scale: the sketch is the point — a few KB of counters summarizes
+    any stream, builds map-side, merges associatively across
+    days/segments, and the driver materialization is sketch-sized
+    (epsilon/confidence-derived), never data-sized. At 100 TB the
+    heavy-hitter query never shuffles raw keys."""
+    ev = load_table(spark, sf_dir, "events")
+    agg_expr = (
+        f"count_min_sketch(event_type, {_CMS_EPS}d, {_CMS_CONF}d,"
+        f" {_CMS_SEED})"
+    )
+
+    def sketch_of(df):
+        # 1-row sketch-sized materialization (the count_min_sketch
+        # aggregate builds map-side partials and merges them on the
+        # reduce side), deserialized through the engine's own codec.
+        row = df.agg(F.expr(agg_expr).alias("s")).first()
+        jvm = spark._jvm
+        return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(row["s"]))
+        )
+
+    full = sketch_of(ev)
+    half_a = sketch_of(ev.filter(F.col("event_id") % 2 == 0))
+    half_b = sketch_of(ev.filter(F.col("event_id") % 2 == 1))
+    half_a.mergeInPlace(half_b)
+    # Bounded driver materializations only: the heavy-hitter report is
+    # top-{_CMS_TOPK} by construction (take of a TakeOrdered), and the
+    # grand total is a 1-row aggregate — both model/catalog-sized.
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("event_type"))
+        .limit(_CMS_TOPK)
+        .take(_CMS_TOPK)
+    )
+    n_total = int(ev.agg(F.count(F.lit(1)).alias("n")).first()["n"])
+    slack = int(_CMS_EPS * n_total) + 1
+    rows = []
+    for r in exact:
+        t, c = r["event_type"], int(r["exact_count"])
+        est = full.estimateCount(t)
+        est_merged = half_a.estimateCount(t)
+        rows.append(
+            (t, c, est >= c, est <= c + slack, est_merged >= c)
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, exact_count long, never_underestimates "
+        "boolean, within_eps_n boolean, merged_never_underestimates "
+        "boolean",
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.plans import QUERIES
 from climateiq_pipelines_spark.registry import load_table
 
-from tests.conftest import SF_MED
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def test_hll_estimates_within_5pct(spark, duck_med):
@@ -113,3 +113,21 @@ def test_approx_percentile_within_rank_error_band(spark, duck_med):
             ).fetchone()
             eps = 1.0 / 10000 + 1.0 / n
             assert lo / n - eps <= q <= hi / n + eps, (pri, v, lo, hi, n)
+
+
+def test_cms_heavy_hitters_exact_counts_and_bounds(spark):
+    """Exact counts re-derived in pandas; every sketch boolean must be
+    true (no-underestimate is a hard CMS guarantee, the eps*N band is
+    deterministic under the fixed seed)."""
+    ev = load_table(spark, SF_SMALL, "events").select("event_type").toPandas()
+    exact = ev["event_type"].value_counts().to_dict()
+    pdf = QUERIES["agg_cms_heavy_hitters"](spark, SF_SMALL).toPandas()
+    assert {r["event_type"]: int(r["exact_count"]) for _, r in pdf.iterrows()} == {
+        k: int(v) for k, v in exact.items()
+    }
+    for col in (
+        "never_underestimates",
+        "within_eps_n",
+        "merged_never_underestimates",
+    ):
+        assert pdf[col].all(), col
