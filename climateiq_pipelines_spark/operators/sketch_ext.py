@@ -262,3 +262,115 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boolean, within_eps_n boolean, merged_never_underestimates "
         "boolean",
     )
+
+
+# --- agg_theta_set_algebra ---------------------------------------------
+_THETA_A = "1-URGENT"
+_THETA_B = "2-HIGH"
+
+_THETA_ORACLE = f"""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '{_THETA_A}'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '{_THETA_B}')
+    SELECT 'A' AS measure,
+           CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_distinct,
+           TRUE AS approx_within_5pct
+    UNION ALL SELECT 'B', (SELECT COUNT(*) FROM b), TRUE
+    UNION ALL SELECT 'A_union_B',
+        (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)),
+        TRUE
+    UNION ALL SELECT 'A_intersect_B',
+        (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+        TRUE
+    UNION ALL SELECT 'A_minus_B',
+        (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)),
+        TRUE
+"""
+
+
+@register("agg_theta_set_algebra", oracle=_THETA_ORACLE)
+def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA SKETCH SET ALGEBRA (DataSketches theta): distinct-count
+    estimates for two customer slices AND their union, intersection,
+    and difference — computed entirely on the sketches
+    (theta_union / theta_intersection / theta_difference), never
+    re-touching rows. This is the capability HLL structurally lacks
+    (HLL unions but cannot intersect); theta's hash-threshold sampling
+    supports the full algebra, which is why audience-overlap /
+    segment-intersection analytics standardize on it.
+
+    Determinism: theta sampling is a pure keyed-hash threshold (fixed
+    library seed) — NO per-run randomness (contrast KLL, excluded for
+    exactly that reason), and below the nominal entries bound the
+    sketch is exact; the 5%%-band booleans are stable at every fixture
+    SF and partitioning. Engine-specific estimates stay out of the
+    hash (the HLL/CMS discipline); the oracle carries DuckDB's exact
+    set-op counts.
+
+    Scale: each slice's sketch builds map-side and merges
+    associatively; the entire 5-measure report reads off two KB-sized
+    binaries — segment-overlap questions at 100 TB cost one scan for
+    ALL segments at once (groupBy segment + theta_sketch_agg), then
+    pure sketch algebra per pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    sk = orders.agg(
+        F.expr(
+            f"theta_sketch_agg(CASE WHEN o_orderpriority = '{_THETA_A}'"
+            " THEN o_custkey END)"
+        ).alias("sa"),
+        F.expr(
+            f"theta_sketch_agg(CASE WHEN o_orderpriority = '{_THETA_B}'"
+            " THEN o_custkey END)"
+        ).alias("sb"),
+    )
+    ests = sk.select(
+        F.expr("theta_sketch_estimate(sa)").alias("est_a"),
+        F.expr("theta_sketch_estimate(sb)").alias("est_b"),
+        F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("est_u"),
+        F.expr("theta_sketch_estimate(theta_intersection(sa, sb))").alias(
+            "est_i"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(sa, sb))").alias(
+            "est_d"
+        ),
+    )
+    a = orders.filter(F.col("o_orderpriority") == _THETA_A).select(
+        "o_custkey"
+    )
+    b = orders.filter(F.col("o_orderpriority") == _THETA_B).select(
+        "o_custkey"
+    )
+    # exact counts via one 1-row aggregate each, assembled by 1-row
+    # broadcast crosses (the audited pattern)
+    xa = a.distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    xb = b.distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    xu = a.union(b).distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    xi = a.distinct().intersect(b.distinct()).agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    xd = a.distinct().exceptAll(b.distinct()).agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    within = lambda est, exact: F.abs(est - exact) <= F.lit(0.05) * exact
+    rows = []
+    for name, xdf, est_col in (
+        ("A", xa, "est_a"),
+        ("B", xb, "est_b"),
+        ("A_union_B", xu, "est_u"),
+        ("A_intersect_B", xi, "est_i"),
+        ("A_minus_B", xd, "est_d"),
+    ):
+        rows.append(
+            ests.crossJoin(F.broadcast(xdf)).select(
+                F.lit(name).alias("measure"),
+                F.col("v").alias("exact_distinct"),
+                within(F.col(est_col), F.col("v")).alias(
+                    "approx_within_5pct"
+                ),
+            )
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionAll(df)
+    return out

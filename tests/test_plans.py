@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "llm_heaps_vocab_growth",  # 1-row doc-id span broadcast cross
     "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
     "llm_minhash_jaccard_estimate",  # 8x8 cross of two LIMIT-8 samples (constant at any SF)
+    "agg_theta_set_algebra",  # 1-row sketch-estimate x 1-row exact-count crosses
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -249,6 +250,7 @@ BROADCAST_OK = {
     ("ml_train_ext.py", "w_prev"): "1-row weight vector (perceptron round)",
     ("ml_train_ext.py", "grad"): "1-row gradient aggregate (perceptron round)",
     ("corpus_quality_ext.py", "vocab"): "top-K (16) vocabulary table; real vocabs 32-256K rows, still broadcast-sized",
+    ("sketch_ext.py", "xdf"): "1-row exact-distinct aggregate (theta set algebra)",
 }
 
 
@@ -328,7 +330,7 @@ def test_driver_window_layout_matches_load_all_comment():
     (index 49), and the total key count must equal the full surface so a
     module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
-    assert len(keys) == 229, len(keys)
+    assert len(keys) == 230, len(keys)
     assert keys[0] == "stream_tumbling_window", keys[:3]
     assert keys[43] == "llm_pii_redact", keys[40:50]
     assert keys[49] == "llm_unigram_logprob", keys[45:52]

@@ -131,3 +131,25 @@ def test_cms_heavy_hitters_exact_counts_and_bounds(spark):
         "merged_never_underestimates",
     ):
         assert pdf[col].all(), col
+
+
+def test_theta_set_algebra_exact_and_identity(spark):
+    """Exact set sizes re-derived in Python sets; all bands true; the
+    inclusion-exclusion identity holds on the EXACT side."""
+    rows = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    a = {int(r["o_custkey"]) for r in rows if r["o_orderpriority"] == "1-URGENT"}
+    b = {int(r["o_custkey"]) for r in rows if r["o_orderpriority"] == "2-HIGH"}
+    exp = {
+        "A": len(a),
+        "B": len(b),
+        "A_union_B": len(a | b),
+        "A_intersect_B": len(a & b),
+        "A_minus_B": len(a - b),
+    }
+    pdf = QUERIES["agg_theta_set_algebra"](spark, SF_SMALL).toPandas()
+    got = {r["measure"]: int(r["exact_distinct"]) for _, r in pdf.iterrows()}
+    assert got == exp
+    assert pdf["approx_within_5pct"].all()
+    assert exp["A_union_B"] == exp["A"] + exp["B"] - exp["A_intersect_B"]
