@@ -175,3 +175,141 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reading").alias("reading_sum"),
         F.max("reading").alias("reading_max"),
     )
+
+
+# --- fn_collation_lcase ------------------------------------------------
+_COLLATION_ORACLE = """
+    WITH mixed AS (
+      SELECT p_type,
+             CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                  ELSE p_name END AS s
+      FROM part
+    )
+    SELECT p_type,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_binary,
+           CAST(COUNT(DISTINCT lower(s)) AS BIGINT) AS n_distinct_lcase
+    FROM mixed GROUP BY p_type
+"""
+
+
+@register("fn_collation_lcase", oracle=_COLLATION_ORACLE)
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING COLLATION (Spark 4, SPARK-46830): case-insensitive
+    comparison semantics as a COLUMN PROPERTY — distinct counts over a
+    deliberately case-mixed name column (upper() on even part keys)
+    under the default UTF8_BINARY vs the UTF8_LCASE collation. The
+    engine's collation-aware hash aggregate must equate 'RED WIDGET'
+    with 'red widget' WITHOUT any lower() projection in the query —
+    the oracle proves it equals DuckDB's lower()-projected distinct,
+    i.e. the collation implements exactly the fold the projection
+    would. Binary counts ride along to show the two semantics diverge
+    on this data (n_distinct_binary > n_distinct_lcase wherever both
+    case variants of a name survive the parity split).
+
+    Scale: collation is evaluated inside codegen'd comparison/hash
+    paths (no projection materializes a lowered copy of the column) —
+    at 100 TB that halves the string bytes a case-insensitive
+    aggregation or join would otherwise shuffle (the lowered copy) and
+    keeps row-group statistics usable."""
+    mixed = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper(F.col("p_name"))
+        )
+        .otherwise(F.col("p_name"))
+        .alias("s"),
+    )
+    return mixed.groupBy("p_type").agg(
+        F.count_distinct("s").cast("long").alias("n_distinct_binary"),
+        F.count_distinct(F.expr("collate(s, 'UTF8_LCASE')"))
+        .cast("long")
+        .alias("n_distinct_lcase"),
+    )
+
+
+# --- fn_try_arithmetic -------------------------------------------------
+_LONG_MAX = 9223372036854775807
+_LONG_MIN = -9223372036854775808
+_MUL_K = 1 << 53  # overflow iff l_orderkey > 1023 — present at every SF
+
+_TRY_ORACLE = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN l_quantity = 25 THEN 1 END), 0)
+                AS BIGINT) AS div_nulls,
+           CAST(COALESCE(SUM(CASE WHEN l_orderkey > {_LONG_MAX} // {_MUL_K}
+                             THEN 1 END), 0) AS BIGINT) AS mul_nulls,
+           CAST(COALESCE(SUM(CASE WHEN l_suppkey > l_partkey THEN 1 END), 0)
+                AS BIGINT) AS add_nulls,
+           CAST(COALESCE(SUM(CASE WHEN l_suppkey > l_quantity THEN 1 END), 0)
+                AS BIGINT) AS sub_nulls
+    FROM lineitem
+"""
+
+
+@register("fn_try_arithmetic", oracle=_TRY_ORACLE)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_* ARITHMETIC (ANSI-safe pipelines): try_divide / try_multiply
+    / try_add / try_subtract return NULL instead of failing the job on
+    division-by-zero and int64 overflow — the semantics that let a
+    100 TB batch survive one poisoned row. Each operator is driven into
+    its failure mode by real data (quantity = 25 zeroes the divisor;
+    orderkey * 2^53 overflows above 1023; MAX - partkey + suppkey and
+    MIN + quantity - suppkey overflow on key inversions) and the NULL
+    counts are the checked output — the oracle derives the SAME counts
+    from pure comparison arithmetic, proving the engine nulls exactly
+    the rows the ANSI overflow rules say it must, no more (silent
+    wraparound) and no fewer (spurious nulls).
+
+    Scale: a single map-side aggregate; the point is semantic — with
+    plain operators under ANSI mode this scan THROWS on the first
+    overflow, and with ANSI off it silently wraps; try_* is the only
+    form that is both lossless to count and safe to run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.expr(
+                    "try_divide(l_extendedprice, l_quantity - 25)"
+                ).isNull(),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("div_nulls"),
+        F.sum(
+            F.when(
+                F.expr(f"try_multiply(l_orderkey, {_MUL_K}L)").isNull(), 1
+            )
+        )
+        .cast("long")
+        .alias("mul_nulls"),
+        F.sum(
+            F.when(
+                F.expr(
+                    f"try_add({_LONG_MAX}L - l_partkey, l_suppkey)"
+                ).isNull(),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("add_nulls"),
+        F.sum(
+            F.when(
+                F.expr(
+                    f"try_subtract({_LONG_MIN}L + CAST(l_quantity AS LONG),"
+                    " l_suppkey)"
+                ).isNull(),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("sub_nulls"),
+    )
+    return agg.select(
+        "n_rows",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+            for c in ("div_nulls", "mul_nulls", "add_nulls", "sub_nulls")
+        ],
+    )

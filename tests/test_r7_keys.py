@@ -113,3 +113,52 @@ def test_minhash_estimator_bounds_and_identity(spark):
     assert (pdf["estimate_micro"] == (pdf["n_agree"] * 1_000_000) // 16).all()
     exact_dups = pdf[pdf["jaccard_micro"] == 1_000_000]
     assert (exact_dups["n_agree"] == 16).all()
+
+
+def test_collation_lcase_rederive(spark):
+    """Re-derive both distinct counts in Python; the lcase count must
+    be strictly smaller overall (case variants collide) and never
+    exceed the binary count per group."""
+    rows = load_table(spark, SF_SMALL, "part").select(
+        "p_partkey", "p_name", "p_type"
+    ).collect()
+    from collections import defaultdict
+
+    binary, lcase = defaultdict(set), defaultdict(set)
+    for r in rows:
+        s = r["p_name"].upper() if int(r["p_partkey"]) % 2 == 0 else r["p_name"]
+        binary[r["p_type"]].add(s)
+        lcase[r["p_type"]].add(s.lower())
+    pdf = QUERIES["fn_collation_lcase"](spark, SF_SMALL).toPandas()
+    got = {
+        r["p_type"]: (int(r["n_distinct_binary"]), int(r["n_distinct_lcase"]))
+        for _, r in pdf.iterrows()
+    }
+    assert got == {t: (len(binary[t]), len(lcase[t])) for t in binary}
+    assert all(b >= l for b, l in got.values())
+    assert sum(b for b, _ in got.values()) > sum(l for _, l in got.values())
+
+
+def test_try_arithmetic_rederive(spark):
+    """NULL counts recomputed from the raw rows via the ANSI overflow
+    conditions in plain Python."""
+    rows = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    ).collect()
+    MAXL = 9223372036854775807
+    mul_k = 1 << 53
+    div = sum(1 for r in rows if r["l_quantity"] == 25)
+    mul = sum(1 for r in rows if int(r["l_orderkey"]) > MAXL // mul_k)
+    add = sum(1 for r in rows if int(r["l_suppkey"]) > int(r["l_partkey"]))
+    sub = sum(1 for r in rows if int(r["l_suppkey"]) > int(r["l_quantity"]))
+    pdf = QUERIES["fn_try_arithmetic"](spark, SF_SMALL).toPandas()
+    r = pdf.iloc[0]
+    assert int(r["n_rows"]) == len(rows)
+    assert (
+        int(r["div_nulls"]),
+        int(r["mul_nulls"]),
+        int(r["add_nulls"]),
+        int(r["sub_nulls"]),
+    ) == (div, mul, add, sub)
+    # every failure mode must actually occur on the fixture
+    assert min(div, mul, add) > 0

@@ -14,7 +14,7 @@ SECTIONS = [
     ("2.9 streaming-shaped", ["stream_tumbling_window","stream_sliding_window","stream_session_window","stream_watermark_late","stream_stateful_dedup","stream_running_counts"]),
     ("2.10 LLM pipeline", ["llm_exact_dedup","llm_minhash_neardup","llm_token_counts","llm_tfidf_topterms","llm_text_stats","llm_lang_filter_sample","llm_embed_normalize","llm_cosine_topk","llm_knn_query","llm_centroid_assign","llm_multimodal_join","llm_simhash_bucket"]),
     ("2.11 UDF surface", ["udf_scalar_py","udf_pandas_vectorized","udaf_grouped_pandas","udtf_explode_sessions"]),
-    ("bonus (beyond §2)", ["llm_minhash_lsh","stream_readstream_demo","mm_binary_ingest","mm_decode_features","mm_frame_sample","llm_lang_detect","llm_quality_score","llm_bpe_tokens","llm_fingerprint","llm_ivf_topk","llm_cosine_neardup","agg_pivot","win_percent_cume","sink_merge_upsert","join_salted_skew","agg_approx_percentile","llm_ngram_jaccard","llm_simhash_neardup","stream_stateful_sessions","llm_corpus_pipeline","set_intersect_all","set_except_all","scan_orc_roundtrip","agg_hll_sketch_merge","q3_shipping_priority","q6_revenue_forecast","q18_large_orders","llm_stratified_sample","llm_pack_sequences","join_bucketed_colocated","sort_multikey_scalable","stream_watermark_spans","stream_sliding_demo","stream_dedup_watermark_demo","llm_dedup_clusters","llm_simhash_multiprobe","llm_text_normalize","q7_volume_shipping","q10_returned_items","q12_priority_by_flag","llm_cosine_topk_lsh","stream_foreachbatch_sink","q22_global_sales_opportunity","mm_binary_file_scan","llm_kmeans_iterate","llm_pq_encode","llm_ivf_pq_topk","llm_winnow_fingerprint","llm_winnow_neardup","stream_stream_join_demo","q4_order_priority","q13_customer_distribution","q14_promo_revenue","q19_discounted_revenue","llm_ngram_contamination","llm_mixture_weights","llm_seqlen_histogram","llm_repetition_filter","events_funnel_steps","events_cohort_retention","q21_suppliers_kept_waiting","q2_min_cost_supplier","scan_text_roundtrip","agg_unpivot_melt","join_asof_tolerance","mm_ppm_decode","q8_market_share","q9_product_profit","q15_top_supplier","q16_parts_supplier_relation","q17_small_qty_revenue","q20_potential_promotion","sink_merge_on_read","sink_time_travel","udtf_native_chunker","llm_pii_redact","llm_shuffle_shard","q11_important_stock","llm_semdedup","fn_struct","llm_dsir_weights","events_top_paths","events_anomaly_zscore","sink_compact_small_files","scan_csv_malformed","llm_semdedup_pipeline","win_gap_islands","events_markov_transitions","join_null_safe","fn_bitwise","agg_bool_logic","sort_zorder_locality","scan_schema_evolution","llm_chunk_dedup","llm_unigram_logprob","graph_pagerank","llm_inverted_index","llm_sliding_chunks","fn_url","llm_bm25_score","mm_wav_decode","sink_range_partitioned_stats","llm_rrf_fusion","agg_linear_fit","llm_bpe_pair_stats","llm_bpe_apply_merge","join_interval_overlap","events_windowed_topk","scan_dynamic_partition_pruning","set_union_by_name","sink_compression_codecs","stream_windowed_topk_demo","events_rfm_segmentation","win_running_distinct","events_inter_arrival_stats","llm_heaps_vocab_growth","events_type_entropy","llm_dataset_manifest","scd2_build_intervals","llm_zipf_fit","llm_incremental_dedup","graph_pagerank_converged","llm_kmeans_converged","sink_txn_commit_protocol","sink_txn_conflict_retry","stream_txn_exactly_once","llm_minhash_jaccard_estimate","scan_manifest_skipping","sql_recursive_closure","join_pit_scd2","fn_variant_json","scan_python_datasource","sink_txn_checkpoint","llm_gopher_quality","llm_temperature_mixture","llm_substring_span_dedup","graph_triangle_count","llm_mrl_truncated_rerank","llm_bloom_decontam","graph_label_propagation","events_attribution_touch","agg_width_bucket_histogram","llm_vocab_coverage","llm_perceptron_quality","llm_ann_recall_eval","events_ewma_smoothing","llm_dataset_split","stream_state_timeout_flush","llm_classifier_eval","agg_cms_heavy_hitters","agg_theta_set_algebra"]),
+    ("bonus (beyond §2)", ["llm_minhash_lsh","stream_readstream_demo","mm_binary_ingest","mm_decode_features","mm_frame_sample","llm_lang_detect","llm_quality_score","llm_bpe_tokens","llm_fingerprint","llm_ivf_topk","llm_cosine_neardup","agg_pivot","win_percent_cume","sink_merge_upsert","join_salted_skew","agg_approx_percentile","llm_ngram_jaccard","llm_simhash_neardup","stream_stateful_sessions","llm_corpus_pipeline","set_intersect_all","set_except_all","scan_orc_roundtrip","agg_hll_sketch_merge","q3_shipping_priority","q6_revenue_forecast","q18_large_orders","llm_stratified_sample","llm_pack_sequences","join_bucketed_colocated","sort_multikey_scalable","stream_watermark_spans","stream_sliding_demo","stream_dedup_watermark_demo","llm_dedup_clusters","llm_simhash_multiprobe","llm_text_normalize","q7_volume_shipping","q10_returned_items","q12_priority_by_flag","llm_cosine_topk_lsh","stream_foreachbatch_sink","q22_global_sales_opportunity","mm_binary_file_scan","llm_kmeans_iterate","llm_pq_encode","llm_ivf_pq_topk","llm_winnow_fingerprint","llm_winnow_neardup","stream_stream_join_demo","q4_order_priority","q13_customer_distribution","q14_promo_revenue","q19_discounted_revenue","llm_ngram_contamination","llm_mixture_weights","llm_seqlen_histogram","llm_repetition_filter","events_funnel_steps","events_cohort_retention","q21_suppliers_kept_waiting","q2_min_cost_supplier","scan_text_roundtrip","agg_unpivot_melt","join_asof_tolerance","mm_ppm_decode","q8_market_share","q9_product_profit","q15_top_supplier","q16_parts_supplier_relation","q17_small_qty_revenue","q20_potential_promotion","sink_merge_on_read","sink_time_travel","udtf_native_chunker","llm_pii_redact","llm_shuffle_shard","q11_important_stock","llm_semdedup","fn_struct","llm_dsir_weights","events_top_paths","events_anomaly_zscore","sink_compact_small_files","scan_csv_malformed","llm_semdedup_pipeline","win_gap_islands","events_markov_transitions","join_null_safe","fn_bitwise","agg_bool_logic","sort_zorder_locality","scan_schema_evolution","llm_chunk_dedup","llm_unigram_logprob","graph_pagerank","llm_inverted_index","llm_sliding_chunks","fn_url","llm_bm25_score","mm_wav_decode","sink_range_partitioned_stats","llm_rrf_fusion","agg_linear_fit","llm_bpe_pair_stats","llm_bpe_apply_merge","join_interval_overlap","events_windowed_topk","scan_dynamic_partition_pruning","set_union_by_name","sink_compression_codecs","stream_windowed_topk_demo","events_rfm_segmentation","win_running_distinct","events_inter_arrival_stats","llm_heaps_vocab_growth","events_type_entropy","llm_dataset_manifest","scd2_build_intervals","llm_zipf_fit","llm_incremental_dedup","graph_pagerank_converged","llm_kmeans_converged","sink_txn_commit_protocol","sink_txn_conflict_retry","stream_txn_exactly_once","llm_minhash_jaccard_estimate","scan_manifest_skipping","sql_recursive_closure","join_pit_scd2","fn_variant_json","scan_python_datasource","sink_txn_checkpoint","llm_gopher_quality","llm_temperature_mixture","llm_substring_span_dedup","graph_triangle_count","llm_mrl_truncated_rerank","llm_bloom_decontam","graph_label_propagation","events_attribution_touch","agg_width_bucket_histogram","llm_vocab_coverage","llm_perceptron_quality","llm_ann_recall_eval","events_ewma_smoothing","llm_dataset_split","stream_state_timeout_flush","llm_classifier_eval","agg_cms_heavy_hitters","agg_theta_set_algebra","fn_collation_lcase","fn_try_arithmetic"]),
 ]
 
 # Latest driver CORRECTNESS stamp per key: rN where rows/schema/hash all
