@@ -267,7 +267,11 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ewma = F.aggregate(
         F.transform(F.col("arr"), lambda p: p["x"]),
         F.lit(0).cast("long"),
-        lambda acc, x: F.floor((acc + x) / F.lit(2)).cast("long"),
+        # ADVICE r7: stay in int64 — `(acc + x) / 2` is double division
+        # and loses bit-exactness vs the oracle's integer `//` once the
+        # accumulated micros exceed 2^53; shiftright(v, 1) == v // 2
+        # for the non-negative revenue totals here.
+        lambda acc, x: F.shiftright(acc + x, 1).cast("long"),
     )
     return series.select(
         "event_type",

@@ -293,57 +293,74 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: THE reason this shape exists — the bit set is m bits
     (8 KiB here; a few GiB for 10^10-ngram eval suites at proper m/n),
-    a broadcast-able constant regardless of training-corpus size, so
-    the 100 TB train side is filtered map-side by k array lookups and
-    only candidates (true hits + the tuned FP fraction) ever reach the
-    exact-verify shuffle. The relational form here makes the bitset a
-    DISTINCT relation and the lookup a semi-join — at scale the bitset
-    ships as a broadcast byte array with the same semantics. AQE
-    broadcasts the bits/eval sides while small."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos0", "w")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos0")
-    parts = [F.col("w")] + [
-        F.lead("w", i).over(win) for i in range(1, _BLOOM_N)
-    ]
-    sh = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("s"),
-        )
-        .filter(F.col("s").isNotNull())
-        .distinct()
-    )
+    a broadcast-able CONSTANT regardless of training-corpus size, and
+    since round 8 the plan ships it as exactly that: the eval slice's
+    positions collapse to ≤ m driver-side scalars (bounded by the
+    FILTER GEOMETRY, not the corpus) rendered as an m-char '0'/'1'
+    literal, so the 100 TB train side is filtered map-side by k
+    codegen'd substring probes with ZERO pre-filter shuffles.  Only
+    candidates (true hits + the tuned FP fraction) reach the dedup
+    shuffle and the broadcast exact-verify join.  The r7 relational
+    form (bitset as a DISTINCT relation, lookup as a semi-join +
+    count-k) was answer-identical but paid 5 corpus-sized shuffles;
+    at sf0.1 this form is ~3× faster and at 100 TB it is the only
+    shape that works — the train side never shuffles until after the
+    Bloom filter has discarded ~all of it."""
+    # Shingles are built MAP-SIDE from the word array (explode over a
+    # transform of slices) — the r7 posexplode + lead-window form paid
+    # a per-doc sort shuffle for a purely local computation.
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= _BLOOM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (_BLOOM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, _BLOOM_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", F.explode(grams).alias("s"))
     md5s = F.md5(F.col("s"))
-    positions = F.array(
-        *[
-            F.conv(F.substring(md5s, j * 4 + 1, 4), 16, 10).cast("long")
-            for j in range(_BLOOM_K)
-        ]
-    )
-    bits = (
+    positions = [
+        F.conv(F.substring(md5s, j * 4 + 1, 4), 16, 10).cast("long")
+        for j in range(_BLOOM_K)
+    ]
+    # Build the filter: ≤ m distinct positions collected once (8 KiB of
+    # state; the ONLY driver materialization, bounded by _BLOOM_BITS by
+    # construction) and rendered as an m-char bit string literal — the
+    # executors receive it with the plan, the probe is a pure codegen
+    # substring equality, no join, no shuffle.
+    eval_pos = (
         sh.filter(F.col("source") == _EVAL_SOURCE)
-        .select(F.explode(positions).alias("pos"))
+        .select(F.explode(F.array(*positions)).alias("pos"))
         .distinct()
+        .collect()
     )
-    train = sh.filter(F.col("source") != _EVAL_SOURCE)
-    probe = train.select(
-        "doc_id", "s", F.explode(positions).alias("pos")
+    set_pos = {r["pos"] for r in eval_pos}
+    assert len(set_pos) <= _BLOOM_BITS
+    bitstr = "".join(
+        "1" if p in set_pos else "0" for p in range(_BLOOM_BITS)
     )
+    is_hit = F.lit(True)
+    for p in positions:
+        is_hit = is_hit & (
+            F.substring(F.lit(bitstr), (p + 1).cast("int"), F.lit(1)) == "1"
+        )
+    # Filter FIRST, dedup the surviving candidates (tiny: true hits +
+    # FP fraction), then exact-verify against the broadcast eval set.
     cand = (
-        probe.join(bits, "pos")
-        .groupBy("doc_id", "s")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .filter(F.col("n_hits") == _BLOOM_K)
+        sh.filter(F.col("source") != _EVAL_SOURCE)
+        .filter(is_hit)
         .select("doc_id", "s")
+        .distinct()
     )
     ev = (
-        sh.filter(F.col("source") == _EVAL_SOURCE).select("s").distinct()
+        docs.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode(grams).alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
     return (
-        cand.join(ev.withColumn("hit", F.lit(1)), "s", "left")
+        cand.join(F.broadcast(ev), "s", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),

@@ -84,6 +84,7 @@ def _pagerank_converged_oracle(n_rounds: int) -> str:
 @register(
     "graph_pagerank_converged",
     oracle=_pagerank_converged_oracle(_PR_ROUNDS_SF001),
+    oracle_sf="sf0.01",  # ADVICE r7: unroll count measured on sf0.01
 )
 def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK TO CONVERGENCE — graph_pagerank's per-round plan (same
@@ -245,7 +246,11 @@ _KMEANS_CONVERGED_ORACLE = f"""
 """
 
 
-@register("llm_kmeans_converged", oracle=_KMEANS_CONVERGED_ORACLE)
+@register(
+    "llm_kmeans_converged",
+    oracle=_KMEANS_CONVERGED_ORACLE,
+    oracle_sf="sf0.01",  # ADVICE r7: unroll count measured on sf0.01
+)
 def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-MEANS TO CONVERGENCE — llm_kmeans_iterate's per-round Lloyd
     plan (exact 1e9 fixed-point means, 1e12 integer distances,

@@ -137,11 +137,16 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is llm_minhash_lsh: MinHash signatures + banded bucketing
     prune candidates to near-linear before this same exact verify —
     and above ALLPAIRS_MAX_DOCS this key AUTO-DISPATCHES to it (a
-    bounded take(max+1) probe, never an unbounded count/collect; both
-    plans share one oracle, so the dispatch is answer-preserving)."""
+    bounded limit(max+1).count() probe — one scalar to the driver,
+    scan stops at max+1 rows; both plans share one oracle, so the
+    dispatch is answer-preserving)."""
     docs = load_table(spark, sf_dir, "documents")
-    probe = docs.select("doc_id").take(ALLPAIRS_MAX_DOCS + 1)
-    if len(probe) > ALLPAIRS_MAX_DOCS:
+    # ADVICE r7: only a SCALAR crosses to the driver — the earlier
+    # take(max+1) form shipped up to 100,001 doc_id rows per call just
+    # to compare a count.  limit().count() keeps the probe bounded (the
+    # scan stops at max+1 rows) and returns one long.
+    probe_n = docs.select("doc_id").limit(ALLPAIRS_MAX_DOCS + 1).count()
+    if probe_n > ALLPAIRS_MAX_DOCS:
         return llm_minhash_lsh(spark, sf_dir)
     toks = _tokens(docs)
     # Sizes RIDE THE TOKEN ROWS into the self-join (8 extra bytes per

@@ -83,7 +83,15 @@ def _read_log(root: str) -> list[dict]:
     """All committed records in version order (the only reader-visible
     state; a record is visible iff its link exists, entirely)."""
     logdir = os.path.join(root, "_log")
-    names = sorted(n for n in os.listdir(logdir) if n.endswith(".json"))
+    # ADVICE r7: '*.checkpoint.json' files live in the same directory
+    # but are MATERIALIZED state, not commit records — replaying one as
+    # a commit would corrupt _active_files/_latest_version and crash
+    # the domain-conflict scans (no add/remove/domain keys).
+    names = sorted(
+        n
+        for n in os.listdir(logdir)
+        if n.endswith(".json") and not n.endswith(".checkpoint.json")
+    )
     return [json.load(open(os.path.join(logdir, n))) for n in names]
 
 

@@ -100,6 +100,15 @@ def scan_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_pruned = len(hit_files) < len(all_files)
     scan_bounded = len(all_files) <= _PARTS
 
+    # ADVICE r7: an empty band would make spark.read.parquet(*[]) throw
+    # an opaque no-paths error at other data distributions; surface the
+    # actual condition instead (the [100k,150k] band is fixture-backed
+    # non-empty today, so this is a guard, not a live path).
+    if not hit_files:
+        raise ValueError(
+            f"manifest band [{_LO}, {_HI}] matched zero files — "
+            "empty-band scans have no rows to aggregate"
+        )
     pruned_scan = spark.read.parquet(*[r["fpath"] for r in hit_files])
     band = pruned_scan.filter(
         F.col("o_totalprice").between(_LO, _HI)

@@ -269,71 +269,81 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-7 rotation targets (plans.load_all, SURVEY §11.1): the
-# never-certified mass — every key registered after the r6 window that
-# has NEVER had a driver CORRECTNESS row, led by the six streaming
-# demos, the multimodal codecs, both lakehouse keys, and graph_pagerank.
-# tools/driver_sim.py covers the full surface meanwhile.
-ROTATION_R7 = {
-    # streaming — the 2 never-certified stateful demos ride along with
-    # their module; all 6 demos get their first-ever driver rows
-    "stream_readstream_demo", "stream_stateful_sessions",
-    "stream_sliding_demo", "stream_dedup_watermark_demo",
-    "stream_stream_join_demo", "stream_foreachbatch_sink",
-    "stream_windowed_topk_demo",
-    # multimodal codec + lakehouse + formats — never certified
-    "mm_ppm_decode",
-    "sink_merge_on_read", "sink_time_travel", "sink_compact_small_files",
-    "sink_range_partitioned_stats",
-    "scan_csv_malformed", "scan_schema_evolution",
-    "scan_dynamic_partition_pruning", "sink_compression_codecs",
-    # graph / retrieval / events — never certified
-    "graph_pagerank",
-    "llm_inverted_index", "llm_sliding_chunks", "llm_bm25_score",
-    "llm_rrf_fusion",
-    "events_top_paths", "events_anomaly_zscore", "events_rfm_segmentation",
-    "events_inter_arrival_stats", "events_type_entropy",
-    # TPC-H third wave — never certified
-    "q8_market_share", "q9_product_profit", "q15_top_supplier",
-    "q16_parts_supplier_relation", "q17_small_qty_revenue",
-    "q20_potential_promotion", "q11_important_stock",
-    # llm_data_ext head (decoration order) — never certified
-    "llm_pii_redact", "llm_shuffle_shard", "llm_semdedup",
-    "llm_dsir_weights", "llm_semdedup_pipeline", "llm_chunk_dedup",
-    "llm_unigram_logprob",
+# Round-8 rotation targets (plans.ROTATION_WINDOW, SURVEY §11.1): 50 of
+# the 54 keys COVERAGE.md stamps `never` — relational_ext's 11, the
+# llm_data_ext tail, the five never singles, the twelve r7 additions,
+# and sixteen r7b keys.  The four newest never keys (sketch_ext's CMS/
+# theta pair, spark4_surface's collation/try pair) roll to round 9 with
+# the stale r2/r3 stamps.  Since r8 the window is the EXPLICIT
+# plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set pins
+# the intended membership independently so an accidental edit to either
+# side fails here.  tools/driver_sim.py covers the full surface
+# meanwhile.
+ROTATION_R8 = {
+    # relational_ext — entire module, never certified
+    "win_gap_islands", "events_markov_transitions", "join_null_safe",
+    "fn_bitwise", "agg_bool_logic", "sort_zorder_locality",
+    "agg_linear_fit", "join_interval_overlap", "events_windowed_topk",
+    "win_running_distinct", "scd2_build_intervals",
+    # llm_data_ext decoration-order tail — never certified
+    "llm_bpe_pair_stats", "llm_bpe_apply_merge", "llm_heaps_vocab_growth",
+    "llm_dataset_manifest", "llm_zipf_fit", "llm_incremental_dedup",
+    # never-certified singles in otherwise-certified modules
+    "mm_wav_decode", "set_union_by_name", "udtf_native_chunker",
+    "fn_struct", "fn_url",
+    # round-7 additions (iterative, lakehouse txn, sketch, manifest,
+    # SQL surface, feature store, Spark-4 surface)
+    "graph_pagerank_converged", "llm_kmeans_converged",
+    "sink_txn_commit_protocol", "sink_txn_conflict_retry",
+    "sink_txn_checkpoint", "stream_txn_exactly_once",
+    "llm_minhash_jaccard_estimate", "scan_manifest_skipping",
+    "sql_recursive_closure", "join_pit_scd2", "fn_variant_json",
+    "scan_python_datasource",
+    # round-7b corpus-quality / graph / ANN / analytics / ML waves
+    "llm_gopher_quality", "llm_temperature_mixture",
+    "llm_substring_span_dedup", "llm_vocab_coverage", "llm_dataset_split",
+    "graph_triangle_count", "graph_label_propagation",
+    "llm_mrl_truncated_rerank", "llm_bloom_decontam",
+    "llm_ann_recall_eval", "events_attribution_touch",
+    "agg_width_bucket_histogram", "events_ewma_smoothing",
+    "llm_perceptron_quality", "llm_classifier_eval",
+    "stream_state_timeout_flush",
 }
 
 
 def test_rotation_targets_fill_driver_window():
     """Registration order IS certification-priority order: the driver's
     per-round artifact records only the first 50 registration-order keys
-    (CORRECTNESS_r02.json truncated there), and load_all rotates each
-    round toward the keys with the oldest/no valid stamp.  This pin
-    encodes the CURRENT rotation (round 7: the never-certified mass
-    registered after the r6 window — streaming demos, multimodal codecs,
-    lakehouse, formats, graph/retrieval/events, TPC-H wave 3, the
-    llm_data_ext head) so a refactor that reorders load_all and silently
-    pushes the rotation targets back out of driver certification fails
-    here.  Update ROTATION_R7 together with load_all each round — that
-    is the policy, not a historical layout."""
+    (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
+    the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
+    the intended round-8 membership (ROTATION_R8 above) fills the first
+    50 slots and that ROTATION_WINDOW matches it exactly, so editing one
+    side without the other fails here.  Update ROTATION_R8 together with
+    plans.ROTATION_WINDOW each round — that is the policy, not a
+    historical layout."""
+    from climateiq_pipelines_spark.plans import ROTATION_WINDOW
+
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R7 - first50)
+    missing = sorted(ROTATION_R8 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
+    assert set(ROTATION_WINDOW) == ROTATION_R8
+    assert len(ROTATION_WINDOW) == 50
 
 
 def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
-    and verified only by a comment.  Pin the boundary explicitly: the
-    round-7 window opens with streaming/batch_shapes, ends inside
-    operators/llm_data_ext with llm_unigram_logprob in the LAST slot
-    (index 49), and the total key count must equal the full surface so a
-    module gaining/losing a @register call surfaces here."""
+    and verified only by a comment.  Since r8 load_all applies the
+    explicit ROTATION_WINDOW reorder; pin its observable effect: the
+    round-8 window opens with relational_ext's win_gap_islands, closes
+    with stream_state_timeout_flush at slot 49, and the total key count
+    must equal the full surface so a module gaining/losing a @register
+    call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "stream_tumbling_window", keys[:3]
-    assert keys[43] == "llm_pii_redact", keys[40:50]
-    assert keys[49] == "llm_unigram_logprob", keys[45:52]
+    assert keys[0] == "win_gap_islands", keys[:3]
+    assert keys[17] == "mm_wav_decode", keys[15:20]
+    assert keys[49] == "stream_state_timeout_flush", keys[45:52]
 
 
 def test_driver_window_is_fully_oracle_checkable():
@@ -591,3 +601,18 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
     plan = plan_of(spark, "sink_partitioned_parquet")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_year" in m.group(1) and "1997" in m.group(1), plan
+
+
+def test_oracle_sf_pins_cover_the_unrolled_iterative_keys():
+    """ADVICE r7: the two converged-iteration oracles unroll to the
+    sf0.01-measured stopping round, so an SF change would hash-mismatch
+    by construction.  The assumption is now DECLARED in
+    plans.ORACLE_SF_PINNED (driver_sim reports it attributably); pin
+    that both keys carry it and that nothing else silently joins the
+    fixture-pinned club without updating this test."""
+    from climateiq_pipelines_spark.plans import ORACLE_SF_PINNED
+
+    assert ORACLE_SF_PINNED == {
+        "graph_pagerank_converged": "sf0.01",
+        "llm_kmeans_converged": "sf0.01",
+    }

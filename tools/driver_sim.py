@@ -45,7 +45,22 @@ def main() -> int:
             continue
         res = compare_frames(key, pdf, con.execute(oracles[key]).fetchdf())
         if not res.ok:
-            bad.append(str(res))
+            from climateiq_pipelines_spark.plans import ORACLE_SF_PINNED
+
+            pinned = ORACLE_SF_PINNED.get(key)
+            if pinned is not None and os.path.basename(
+                sf_dir.rstrip("/")
+            ) != pinned:
+                # ADVICE r7: attributable, not a generic hash mismatch —
+                # this oracle's unroll constants were measured on `pinned`.
+                bad.append(
+                    f"[FAIL] {key}: oracle is PINNED to {pinned} "
+                    f"(fixture-measured unroll count) but this sweep ran "
+                    f"{sf_dir} — re-measure the stopping round and "
+                    f"regenerate the oracle for this SF. Raw: {res}"
+                )
+            else:
+                bad.append(str(res))
     print("FAILURES:" if bad else f"ALL {len(qs)} KEYS OK")
     for b in bad:
         print(b)
