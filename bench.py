@@ -151,7 +151,10 @@ HEADLINE = [
     # (bpe_apply_merge's fold, shuffle_shard's hash assign),
     # llm_classifier_eval / llm_ann_recall_eval re-run their component
     # keys' already-benched plans, and stream_state_timeout_flush's
-    # wall is dominated by its two-file staging harness, not a plan.
+    # wall is dominated by its two-file staging harness, not a plan —
+    # the ACCEPTED declination recorded in SURVEY §11.2 (a
+    # harness-excluded timing would measure micro-batch scheduling
+    # latency, comparable to nothing else in the suite).
 ]
 
 

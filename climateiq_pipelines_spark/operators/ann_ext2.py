@@ -294,18 +294,25 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: THE reason this shape exists — the bit set is m bits
     (8 KiB here; a few GiB for 10^10-ngram eval suites at proper m/n),
     a broadcast-able CONSTANT regardless of training-corpus size, and
-    since round 8 the plan ships it as exactly that: the eval slice's
-    positions collapse to ≤ m driver-side scalars (bounded by the
-    FILTER GEOMETRY, not the corpus) rendered as an m-char '0'/'1'
-    literal, so the 100 TB train side is filtered map-side by k
-    codegen'd substring probes with ZERO pre-filter shuffles.  Only
-    candidates (true hits + the tuned FP fraction) reach the dedup
-    shuffle and the broadcast exact-verify join.  The r7 relational
-    form (bitset as a DISTINCT relation, lookup as a semi-join +
-    count-k) was answer-identical but paid 5 corpus-sized shuffles;
-    at sf0.1 this form is ~3× faster and at 100 TB it is the only
-    shape that works — the train side never shuffles until after the
-    Bloom filter has discarded ~all of it."""
+    the plan ships it as exactly that: the eval slice's positions
+    collapse to ≤ m driver-side scalars (bounded by the FILTER
+    GEOMETRY, not the corpus — fetched with a bounded
+    take(m+1), the sweep-sanctioned pattern) packed into an
+    m/64-element array<long> plan literal, so the 100 TB train side
+    is filtered map-side by k codegen'd element_at + bitmask probes —
+    O(1) per probe — with ZERO pre-filter shuffles.  Only candidates
+    (true hits + the tuned FP fraction) reach the dedup shuffle and
+    the exact-verify join (eval side small → AQE broadcasts it, no
+    hint needed).  History, measured (BASELINE.md round-9): the r7
+    relational form (bitset as a DISTINCT relation, semi-join +
+    count-k) ran 1.56 s at sf0.1 but pays 5 corpus-sized shuffles;
+    the r8 substring-into-64KB-string-literal probe was O(m) PER
+    PROBE (UTF8String.substring walks bytes) and ran 54.41 s — the
+    round-8 incident.  This packed-long form keeps r8's zero-shuffle
+    map-side dispatch with an O(1) probe; see BASELINE.md round-9 for
+    the recorded before/after.  Note the builder materializes the
+    bit positions eagerly (one bounded job at plan-construction
+    time) — plan-only inspection of this key runs that job."""
     # Shingles are built MAP-SIDE from the word array (explode over a
     # transform of slices) — the r7 posexplode + lead-window form paid
     # a per-doc sort shuffle for a purely local computation.
@@ -318,49 +325,86 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "source", F.explode(grams).alias("s"))
+    # Side split FIRST (both filters reach the parquet scan), then a
+    # local-SF remedy with a 100 TB no-op: the sf0.1 documents table is
+    # ONE parquet split, so the TRAIN-side shingle explode — the
+    # query's dominant cost (measured 1.56 s of the r7 form's 1.56 s
+    # total) — ran on one core. Widen the PRE-explode train doc rows
+    # (one text row per doc; a narrow shuffle) to session parallelism
+    # only when the scan is narrower; at 100 TB the scan already has
+    # thousands of splits and this branch never fires. The eval slice
+    # (constant-sized at real scale) is NOT repartitioned — its two
+    # small jobs (position fetch, verify set) stay shuffle-free. The
+    # explode OUTPUT is still never shuffled until the Bloom filter
+    # has discarded ~all of it.
+    train_docs = docs.filter(F.col("source") != _EVAL_SOURCE)
+    eval_docs = docs.filter(F.col("source") == _EVAL_SOURCE)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        train_docs = train_docs.repartition(par)
     md5s = F.md5(F.col("s"))
     positions = [
         F.conv(F.substring(md5s, j * 4 + 1, 4), 16, 10).cast("long")
         for j in range(_BLOOM_K)
     ]
-    # Build the filter: ≤ m distinct positions collected once (8 KiB of
-    # state; the ONLY driver materialization, bounded by _BLOOM_BITS by
-    # construction) and rendered as an m-char bit string literal — the
-    # executors receive it with the plan, the probe is a pure codegen
-    # substring equality, no join, no shuffle.
+    # Build the filter: ≤ m distinct positions fetched once with a
+    # BOUNDED take(1) of a collect_set aggregate (≤ m longs = 512 KiB
+    # of state; bounded by _BLOOM_BITS by construction — 4 hex md5
+    # chars ARE [0, m)), packed into an m/64-word array<long> literal.
+    # collect_set-then-take(1) is ONE job — take(m+1) on a distinct
+    # relation runs limit-scale-up retries (2-3 jobs, measured +0.3 s).
+    # The executors receive the literal with the plan; each probe is
+    # codegen'd element_at + bitwise AND — O(1), unlike the r8
+    # substring-into-64KB-string probe whose UTF8String.substring
+    # walked O(position) bytes PER ROW (the 35× regression VERDICT r8
+    # traced; BASELINE.md round-9 records the fix measurement).  No
+    # join, no shuffle.
     eval_pos = (
-        sh.filter(F.col("source") == _EVAL_SOURCE)
+        eval_docs.select(F.explode(grams).alias("s"))
         .select(F.explode(F.array(*positions)).alias("pos"))
-        .distinct()
-        .collect()
+        .agg(F.collect_set("pos").alias("ps"))
+        .take(1)
     )
-    set_pos = {r["pos"] for r in eval_pos}
+    set_pos = set(eval_pos[0]["ps"]) if eval_pos else set()
     assert len(set_pos) <= _BLOOM_BITS
-    bitstr = "".join(
-        "1" if p in set_pos else "0" for p in range(_BLOOM_BITS)
+    packed = [0] * (_BLOOM_BITS // 64)
+    for p in set_pos:
+        packed[p >> 6] |= 1 << (p & 63)
+    # Two's-complement into Spark's signed long range; ship as an int64
+    # numpy array — F.lit(list) pays ~1.2 s of element-wise py4j calls
+    # for 1,024 elements, F.lit(np.int64 array) ~0.1 s (measured r9)
+    # and types directly as array<bigint>.
+    import numpy as np
+
+    packed = [w - (1 << 64) if w >= (1 << 63) else w for w in packed]
+    bits_lit = F.lit(np.array(packed, dtype=np.int64))
+    # Name the k position columns so the probe expressions (shiftright
+    # word index, shiftleft bit mask) stay plain SQL over them.
+    train = train_docs.select(
+        "doc_id", F.explode(grams).alias("s")
+    ).select(
+        "doc_id",
+        "s",
+        *[p.alias(f"p{j}") for j, p in enumerate(positions)],
     )
     is_hit = F.lit(True)
-    for p in positions:
-        is_hit = is_hit & (
-            F.substring(F.lit(bitstr), (p + 1).cast("int"), F.lit(1)) == "1"
+    for j in range(_BLOOM_K):
+        word = F.element_at(
+            bits_lit, F.expr(f"cast(shiftright(p{j}, 6) as int) + 1")
         )
+        mask = F.expr(f"shiftleft(1L, cast(p{j} & 63 as int))")
+        is_hit = is_hit & (word.bitwiseAND(mask) != F.lit(0))
     # Filter FIRST, dedup the surviving candidates (tiny: true hits +
-    # FP fraction), then exact-verify against the broadcast eval set.
-    cand = (
-        sh.filter(F.col("source") != _EVAL_SOURCE)
-        .filter(is_hit)
-        .select("doc_id", "s")
-        .distinct()
-    )
+    # FP fraction), then exact-verify against the eval set (small side;
+    # AQE broadcasts it without a hint).
+    cand = train.filter(is_hit).select("doc_id", "s").distinct()
     ev = (
-        docs.filter(F.col("source") == _EVAL_SOURCE)
-        .select(F.explode(grams).alias("s"))
+        eval_docs.select(F.explode(grams).alias("s"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        cand.join(F.broadcast(ev), "s", "left")
+        cand.join(ev, "s", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),

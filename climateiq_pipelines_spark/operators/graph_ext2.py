@@ -69,6 +69,22 @@ _TRIANGLE_ORACLE = """
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _cache_put(
+    cache: dict[tuple[str, str], DataFrame],
+    key: tuple[str, str],
+    df: DataFrame,
+) -> None:
+    """Keep only the LATEST entry per cache (ADVICE r8: unbounded
+    growth across sf_dir sweeps pins every evicted frame's checkpoint
+    RDD blocks for the life of the application).  Evicting the dict
+    reference releases the py4j handle, letting Spark's ContextCleaner
+    reclaim the checkpoint blocks; benches and sweeps visit one sf_dir
+    at a time, so a 1-entry cache keeps the warm-run benefit."""
+    for k in [k for k in cache if k != key]:
+        del cache[k]
+    cache[key] = df
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The part co-purchase edge list (u < v, distinct), shared by the
     triangle and label-propagation keys — localCheckpoint'd because
@@ -92,7 +108,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    _EDGE_CACHE[cache_key] = ed
+    _cache_put(_EDGE_CACHE, cache_key, ed)
     return ed
 
 
@@ -147,7 +163,7 @@ def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
         .localCheckpoint()
     )
-    _ORIENTED_CACHE[cache_key] = oriented
+    _cache_put(_ORIENTED_CACHE, cache_key, oriented)
     return oriented
 
 
@@ -188,6 +204,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive id-ordered closure: hash-equality proves the oriented
     intersection plan loses/duplicates nothing.
     """
+    # Orientation + checkpoint live in _oriented_edges (session-
+    # memoized; ADVICE r8 flagged the previous inline duplicate of
+    # that block as drift-prone dead-code bait).  The degree relation
+    # is recomputed here from the memoized checkpointed edge list —
+    # one cheap |E|→|V| aggregation, no second checkpoint.
     ed = _copurchase_edges(spark, sf_dir)
     deg = (
         ed.select(F.col("u").alias("node"))
@@ -195,29 +216,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    # Orient: lower-(degree, id) endpoint -> higher. The degree
-    # relation is |V|-sized — broadcast both joins.
-    du = F.broadcast(
-        deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    )
-    dv = F.broadcast(
-        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    )
-    oriented = (
-        ed.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
-            .alias("e")
-        )
-        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
-        .localCheckpoint()  # consumed by adjacency + scoring
-    )
+    oriented = _oriented_edges(spark, sf_dir)
     # Sorted out-adjacency per node (array length <= O(sqrt m) by the
     # orientation bound), joined onto both edge endpoints; the sorted
     # collect is deterministic, and array_intersect over the two

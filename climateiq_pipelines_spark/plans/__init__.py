@@ -73,41 +73,40 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 8 (SURVEY §11.1): 50 of the 54 keys COVERAGE.md stamps `never`
-# — relational_ext's 11, llm_data_ext's tail 6, the five never singles
-# (mm_wav_decode, set_union_by_name, udtf_native_chunker, fn_struct,
-# fn_url), the twelve r7 additions, and sixteen of the twenty r7b keys.
-# The four newest never keys (agg_cms_heavy_hitters,
-# agg_theta_set_algebra, fn_collation_lcase, fn_try_arithmetic) roll to
-# round 9 with the stale r2/r3 stamps (SURVEY §11.2).
+# Round 9 (VERDICT r8 task #3 — the arithmetic is exact): the 4 keys no
+# driver artifact has ever certified (registered after the r8 window
+# closed) + the 9 oldest stamps on the surface (1×r2 + 8×r3) + all 37
+# r4 stamps (led by sort_multikey_nulls, whose code changed in r7 AFTER
+# its stamp) = exactly 50.  After this round certifies, the never-count
+# is 0 and the oldest stamp anywhere on the surface becomes r5.
+# Round 8's window (the 50 then-never keys: relational_ext's 11, the
+# llm_data_ext tail, five singles, the r7/r7b additions) is recorded in
+# SURVEY §11.2's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # relational_ext (11)
-    "win_gap_islands", "events_markov_transitions", "join_null_safe",
-    "fn_bitwise", "agg_bool_logic", "sort_zorder_locality",
-    "agg_linear_fit", "join_interval_overlap", "events_windowed_topk",
-    "win_running_distinct", "scd2_build_intervals",
-    # llm_data_ext tail (6)
-    "llm_bpe_pair_stats", "llm_bpe_apply_merge", "llm_heaps_vocab_growth",
-    "llm_dataset_manifest", "llm_zipf_fit", "llm_incremental_dedup",
-    # never-certified singles across mixed modules (5)
-    "mm_wav_decode", "set_union_by_name", "udtf_native_chunker",
-    "fn_struct", "fn_url",
-    # r7 additions (12)
-    "graph_pagerank_converged", "llm_kmeans_converged",
-    "sink_txn_commit_protocol", "sink_txn_conflict_retry",
-    "sink_txn_checkpoint", "stream_txn_exactly_once",
-    "llm_minhash_jaccard_estimate", "scan_manifest_skipping",
-    "sql_recursive_closure", "join_pit_scd2", "fn_variant_json",
-    "scan_python_datasource",
-    # r7b wave-2/3 (16)
-    "llm_gopher_quality", "llm_temperature_mixture",
-    "llm_substring_span_dedup", "llm_vocab_coverage", "llm_dataset_split",
-    "graph_triangle_count", "graph_label_propagation",
-    "llm_mrl_truncated_rerank", "llm_bloom_decontam",
-    "llm_ann_recall_eval", "events_attribution_touch",
-    "agg_width_bucket_histogram", "events_ewma_smoothing",
-    "llm_perceptron_quality", "llm_classifier_eval",
-    "stream_state_timeout_flush",
+    # never driver-certified (4) — registered after the r8 window closed
+    "agg_cms_heavy_hitters", "agg_theta_set_algebra",
+    "fn_collation_lcase", "fn_try_arithmetic",
+    # oldest stamp on the surface: r2 (1)
+    "join_bucketed_colocated",
+    # r3 stamps (8)
+    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
+    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
+    "llm_fingerprint", "llm_ivf_topk",
+    # r4 stamps (37) — sorts, the llm.py §2.10 block, and the r4-added
+    # dedup/vector/tpch-ext/mm/ml_iter families
+    "sort_multikey_nulls", "topk_global", "limit_offset",
+    "llm_exact_dedup", "llm_minhash_neardup", "llm_token_counts",
+    "llm_tfidf_topterms", "llm_text_stats", "llm_lang_filter_sample",
+    "llm_embed_normalize", "llm_cosine_topk", "llm_knn_query",
+    "llm_centroid_assign", "llm_multimodal_join", "llm_simhash_bucket",
+    "llm_minhash_lsh", "llm_cosine_neardup", "llm_ngram_jaccard",
+    "llm_simhash_neardup", "llm_corpus_pipeline", "llm_stratified_sample",
+    "llm_pack_sequences", "sort_multikey_scalable", "llm_dedup_clusters",
+    "llm_simhash_multiprobe", "llm_text_normalize", "q7_volume_shipping",
+    "q10_returned_items", "q12_priority_by_flag", "llm_cosine_topk_lsh",
+    "q22_global_sales_opportunity", "mm_binary_file_scan",
+    "llm_kmeans_iterate", "llm_pq_encode", "llm_ivf_pq_topk",
+    "llm_winnow_fingerprint", "llm_winnow_neardup",
 ]
 def load_all() -> None:
     """Import every operator module so its @register calls run."""
@@ -128,8 +127,8 @@ def load_all() -> None:
         queries_tpch_wave3,
     )
     from climateiq_pipelines_spark.operators import llm_data_ext  # noqa: F401
-    # --- driver window (50) ends inside llm_data_ext, after
-    # llm_unigram_logprob (its 7th decoration-order key) ---
+    # (import order below no longer determines the driver window —
+    # _apply_rotation_window() reorders QUERIES from ROTATION_WINDOW.)
     from climateiq_pipelines_spark.operators import aggregates  # noqa: F401
     from climateiq_pipelines_spark.sources import scans  # noqa: F401
     from climateiq_pipelines_spark.operators import (  # noqa: F401

@@ -184,11 +184,15 @@ def test_simhash_neardup_avoids_all_pairs(spark):
 
 def test_no_driver_collect_in_engine_sources():
     """Static sweep: no .collect()/.toPandas() in engine query paths —
-    driver-side loops don't distribute. The one sanctioned driver-side
-    materialization is llm_cosine_topk's BOUNDED .take(MAX+1) probe
-    (the broadcast dimension of its block-NL; above MAX it dispatches
-    to the pure-DataFrame bucketed plan), which this sweep permits by
-    matching only the unbounded verbs."""
+    driver-side loops don't distribute. Two driver-side
+    materializations are sanctioned, both BOUNDED .take() forms the
+    sweep permits by matching only the unbounded verbs:
+    llm_cosine_topk's .take(MAX+1) probe (the broadcast dimension of
+    its block-NL; above MAX it dispatches to the pure-DataFrame
+    bucketed plan), and llm_bloom_decontam's .take(1) of a
+    collect_set aggregate bounded by the FILTER GEOMETRY (≤ m =
+    65,536 bit positions regardless of corpus size — the r8 verdict's
+    audited exemption, r9's packed-long rewrite)."""
     root = Path(__file__).resolve().parent.parent / "climateiq_pipelines_spark"
     offenders = []
     for p in root.rglob("*.py"):
@@ -269,45 +273,40 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-8 rotation targets (plans.ROTATION_WINDOW, SURVEY §11.1): 50 of
-# the 54 keys COVERAGE.md stamps `never` — relational_ext's 11, the
-# llm_data_ext tail, the five never singles, the twelve r7 additions,
-# and sixteen r7b keys.  The four newest never keys (sketch_ext's CMS/
-# theta pair, spark4_surface's collation/try pair) roll to round 9 with
-# the stale r2/r3 stamps.  Since r8 the window is the EXPLICIT
-# plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set pins
-# the intended membership independently so an accidental edit to either
-# side fails here.  tools/driver_sim.py covers the full surface
-# meanwhile.
-ROTATION_R8 = {
-    # relational_ext — entire module, never certified
-    "win_gap_islands", "events_markov_transitions", "join_null_safe",
-    "fn_bitwise", "agg_bool_logic", "sort_zorder_locality",
-    "agg_linear_fit", "join_interval_overlap", "events_windowed_topk",
-    "win_running_distinct", "scd2_build_intervals",
-    # llm_data_ext decoration-order tail — never certified
-    "llm_bpe_pair_stats", "llm_bpe_apply_merge", "llm_heaps_vocab_growth",
-    "llm_dataset_manifest", "llm_zipf_fit", "llm_incremental_dedup",
-    # never-certified singles in otherwise-certified modules
-    "mm_wav_decode", "set_union_by_name", "udtf_native_chunker",
-    "fn_struct", "fn_url",
-    # round-7 additions (iterative, lakehouse txn, sketch, manifest,
-    # SQL surface, feature store, Spark-4 surface)
-    "graph_pagerank_converged", "llm_kmeans_converged",
-    "sink_txn_commit_protocol", "sink_txn_conflict_retry",
-    "sink_txn_checkpoint", "stream_txn_exactly_once",
-    "llm_minhash_jaccard_estimate", "scan_manifest_skipping",
-    "sql_recursive_closure", "join_pit_scd2", "fn_variant_json",
-    "scan_python_datasource",
-    # round-7b corpus-quality / graph / ANN / analytics / ML waves
-    "llm_gopher_quality", "llm_temperature_mixture",
-    "llm_substring_span_dedup", "llm_vocab_coverage", "llm_dataset_split",
-    "graph_triangle_count", "graph_label_propagation",
-    "llm_mrl_truncated_rerank", "llm_bloom_decontam",
-    "llm_ann_recall_eval", "events_attribution_touch",
-    "agg_width_bucket_histogram", "events_ewma_smoothing",
-    "llm_perceptron_quality", "llm_classifier_eval",
-    "stream_state_timeout_flush",
+# Round-9 rotation targets (plans.ROTATION_WINDOW, VERDICT r8 task #3):
+# the 4 keys never certified by any driver artifact (registered after
+# the r8 window closed) + the 9 oldest stamps (1×r2 + 8×r3) + all 37
+# r4 stamps = exactly 50.  After r9 certifies, the never-count is 0 and
+# the oldest stamp on the surface becomes r5.  The window is the
+# EXPLICIT plans.ROTATION_WINDOW list (load_all reorders QUERIES); this
+# set pins the intended membership independently so an accidental edit
+# to either side fails here.  tools/driver_sim.py covers the full
+# surface meanwhile.
+ROTATION_R9 = {
+    # never driver-certified — registered after the r8 window closed
+    "agg_cms_heavy_hitters", "agg_theta_set_algebra",
+    "fn_collation_lcase", "fn_try_arithmetic",
+    # oldest stamp on the surface: r2
+    "join_bucketed_colocated",
+    # r3 stamps
+    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
+    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
+    "llm_fingerprint", "llm_ivf_topk",
+    # r4 stamps — sorts, the llm.py §2.10 block, and the r4-added
+    # dedup/vector/tpch-ext/mm/ml_iter families
+    "sort_multikey_nulls", "topk_global", "limit_offset",
+    "llm_exact_dedup", "llm_minhash_neardup", "llm_token_counts",
+    "llm_tfidf_topterms", "llm_text_stats", "llm_lang_filter_sample",
+    "llm_embed_normalize", "llm_cosine_topk", "llm_knn_query",
+    "llm_centroid_assign", "llm_multimodal_join", "llm_simhash_bucket",
+    "llm_minhash_lsh", "llm_cosine_neardup", "llm_ngram_jaccard",
+    "llm_simhash_neardup", "llm_corpus_pipeline", "llm_stratified_sample",
+    "llm_pack_sequences", "sort_multikey_scalable", "llm_dedup_clusters",
+    "llm_simhash_multiprobe", "llm_text_normalize", "q7_volume_shipping",
+    "q10_returned_items", "q12_priority_by_flag", "llm_cosine_topk_lsh",
+    "q22_global_sales_opportunity", "mm_binary_file_scan",
+    "llm_kmeans_iterate", "llm_pq_encode", "llm_ivf_pq_topk",
+    "llm_winnow_fingerprint", "llm_winnow_neardup",
 }
 
 
@@ -316,18 +315,18 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-8 membership (ROTATION_R8 above) fills the first
+    the intended round-9 membership (ROTATION_R9 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R8 together with
+    side without the other fails here.  Update ROTATION_R9 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R8 - first50)
+    missing = sorted(ROTATION_R9 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R8
+    assert set(ROTATION_WINDOW) == ROTATION_R9
     assert len(ROTATION_WINDOW) == 50
 
 
@@ -335,15 +334,16 @@ def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-8 window opens with relational_ext's win_gap_islands, closes
-    with stream_state_timeout_flush at slot 49, and the total key count
+    round-9 window opens with the never-certified sketch pair (led by
+    agg_cms_heavy_hitters), closes with llm_winnow_neardup at slot 49,
+    and the total key count
     must equal the full surface so a module gaining/losing a @register
     call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "win_gap_islands", keys[:3]
-    assert keys[17] == "mm_wav_decode", keys[15:20]
-    assert keys[49] == "stream_state_timeout_flush", keys[45:52]
+    assert keys[0] == "agg_cms_heavy_hitters", keys[:3]
+    assert keys[4] == "join_bucketed_colocated", keys[3:6]
+    assert keys[49] == "llm_winnow_neardup", keys[45:52]
 
 
 def test_driver_window_is_fully_oracle_checkable():
