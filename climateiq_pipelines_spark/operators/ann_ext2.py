@@ -22,7 +22,7 @@ from climateiq_pipelines_spark.functions.fixedpoint import (
     _sql_int_dot,
 )
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
 
 # --- llm_mrl_truncated_rerank ------------------------------------------
 _MRL_PREFIX_DIM = 16  # truncated prefix dims (full fixture dim: 64)
@@ -337,11 +337,10 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small jobs (position fetch, verify set) stay shuffle-free. The
     # explode OUTPUT is still never shuffled until the Bloom filter
     # has discarded ~all of it.
-    train_docs = docs.filter(F.col("source") != _EVAL_SOURCE)
+    train_docs = widen_if_narrow(
+        spark, docs.filter(F.col("source") != _EVAL_SOURCE)
+    )
     eval_docs = docs.filter(F.col("source") == _EVAL_SOURCE)
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        train_docs = train_docs.repartition(par)
     md5s = F.md5(F.col("s"))
     positions = [
         F.conv(F.substring(md5s, j * 4 + 1, 4), 16, 10).cast("long")

@@ -1023,7 +1023,16 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sized = sh.join(sizes, "doc_id")
+    # The pair self-join consumes `sized` on BOTH sides and Catalyst
+    # does not reuse the exchange across the differently-aliased
+    # branches (verified: 0 ReusedExchange in the executed plan), so
+    # without materialization the posexplode + window + distinct
+    # lineage runs twice. One localCheckpoint of the deduped hashed
+    # shingle relation (8 B/shingle + sizes) halves that: measured
+    # 2.44 s → 2.09 s warm, 9.2 s → 3.1 s cold at sf0.1 (BASELINE.md
+    # round-9). Same diamond-reuse discipline as the graph keys'
+    # edge checkpoint.
+    sized = sh.join(sizes, "doc_id").localCheckpoint()
     a = sized.select(
         F.col("doc_id").alias("a_id"), "shingle", F.col("n_sh").alias("a_sh")
     )
@@ -1099,6 +1108,10 @@ def _simhash60_sigs(docs: DataFrame) -> DataFrame:
     cached = _SIG_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    # NOT widened (registry.widen_if_narrow measured 0.39 s → 0.48 s
+    # here): _tokens' distinct already shuffles before the 60-way vote
+    # aggregate, so the heavy stage is parallel and a pre-explode
+    # repartition only adds a shuffle.
     toks = _tokens(docs)
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(

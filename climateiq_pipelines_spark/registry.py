@@ -194,6 +194,26 @@ def load_table(
     return df
 
 
+def widen_if_narrow(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW scan to session parallelism —
+    and a 100 TB no-op. Every sf0.1 fixture table is ONE parquet row
+    group, so a scan is one task and the first stage of every
+    compute-heavy plan (shingling, tokenizing, vector math) runs on a
+    single core; round 9 measured llm_bloom_decontam's probe scan at
+    2.22 s single-core vs 0.53 s widened. At production scale the scan
+    has thousands of row-group splits, the condition is false, and no
+    shuffle is added. Call it on the RAW loaded table (one row per
+    doc/vector — a narrow shuffle) BEFORE the explode/flatten that
+    fans rows out, and only in plans whose map stage is the dominant
+    cost; trivially-cheap relational keys should not pay the
+    repartition. The getNumPartitions probe compiles the physical scan
+    plan only (~25 ms, no job)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # Footer-probe memo keyed by (Spark app id, sf_dir): the fixture layout
 # is immutable within a session, so one metadata read per (session, dir)
 # suffices — several streaming keys in one bench/driver session

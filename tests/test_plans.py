@@ -359,6 +359,22 @@ def test_driver_window_is_fully_oracle_checkable():
     assert not missing, f"rows-only keys inside the driver window: {missing}"
 
 
+def test_bloom_probe_is_packed_long_bitmask(spark):
+    """Regression pin for the round-8 bloom incident: the train-side
+    probe must be the O(1) element_at-into-array<long> bitmask, never
+    the O(position) substring-into-an-m-char-string-literal form
+    (UTF8String.substring walks bytes; 54.41 s vs 1.24 s at sf0.1 —
+    BASELINE.md round-9). The plan must carry element_at + shiftleft
+    probes and no 65,536-char string literal."""
+    plan = plan_of(spark, "llm_bloom_decontam")
+    assert "element_at" in plan, plan
+    assert "shiftleft" in plan, plan
+    # The r8 form's fingerprint: the m-char '0'/'1' bit STRING printed
+    # inline (the packed array<long> literal also prints inline, but
+    # as comma-separated decimals — no kilochar 0/1 run).
+    assert not re.search(r"[01]{1000,}", plan)
+
+
 def test_dynamic_partition_pruning_fires(spark):
     """scan_dynamic_partition_pruning's fact scan must carry a
     dynamicpruning subquery in its partition filters — the runtime
