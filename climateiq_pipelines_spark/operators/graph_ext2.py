@@ -361,9 +361,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence (usually < 10 rounds) with the pagerank_converged
     stopping discipline."""
     ed = _copurchase_edges(spark, sf_dir)
+    # NOT checkpointed: sym is a map-only union over the already-
+    # checkpointed edge cache, so each round re-derives it for free,
+    # while materializing 2|E| rows cost a blocking write per call
+    # (measured r9: 4.30 s → 3.51 s warm at sf0.1 without it, and the
+    # write was the query's exposure to slow-disk spikes).
     sym = ed.unionAll(
         ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()  # read once per round
+    )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
