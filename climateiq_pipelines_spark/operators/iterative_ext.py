@@ -134,12 +134,18 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Static per-round inputs, materialized ONCE: every round issues its
     # own residual action, so without the checkpoint the edge build
     # would re-execute once per action.
+    # Checkpoints are LAZY (eager=False): each is materialized by the
+    # next driver action that reads it (deg by the count below,
+    # edge_deg by round 0's residual job, each round's ranks by its
+    # residual .first()), so no separate blocking materialization job
+    # runs per round — the dedup_graph r9 measurement (two jobs/round
+    # -> one) applied to this loop.
     edge_deg = (
         sym.join(deg, sym["u"] == deg["node"])
         .select("u", "v", "deg")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    deg = deg.localCheckpoint()
+    deg = deg.localCheckpoint(eager=False)
     n_nodes = deg.count()
 
     ranks = deg.select("node", F.lit(_PR_R0).cast("long").alias("r"))
@@ -155,7 +161,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "r"
                 )
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the residual job
         )
         # bounded driver action: ONE scalar row off the checkpointed
         # frames (the dedup_graph convergence-probe class).
@@ -277,13 +283,15 @@ def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unrolled plan — is the form that survives, which is exactly why
     it is registered surface and not just a docstring promise."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Lazy checkpoints (see graph_pagerank_converged): materialized by
+    # round 0's movement job, then reused.
     exploded = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_vecs = emb.count()
     assign = emb.select(
         "vec_id", F.col("label").alias("cluster"), F.lit(0).cast("long").alias("dist_fp")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     n_rounds = 0
     for _ in range(_KM_MAX_ROUNDS):
@@ -310,7 +318,7 @@ def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             dists.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", F.col("c_id").alias("cluster"), "dist_fp")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the moved count
         )
         moved = (
             new_assign.alias("a")

@@ -632,3 +632,36 @@ def test_oracle_sf_pins_cover_the_unrolled_iterative_keys():
         "graph_pagerank_converged": "sf0.01",
         "llm_kmeans_converged": "sf0.01",
     }
+
+
+def test_widen_if_narrow_semantics(spark):
+    """registry.widen_if_narrow is the shared local-SF remedy for the
+    fixture's single-row-group parquet files: a narrow scan gains
+    session parallelism, an already-wide frame passes through
+    UNCHANGED (the 100 TB no-op — no shuffle added to a wide scan),
+    and row content is preserved either way."""
+    from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert docs.rdd.getNumPartitions() < par  # fixture premise: narrow
+    widened = widen_if_narrow(spark, docs)
+    assert widened.rdd.getNumPartitions() == par
+    assert widened.count() == docs.count()
+    # Already-wide input: identical object back, no repartition node.
+    wide = docs.repartition(par + 1)
+    assert widen_if_narrow(spark, wide) is wide
+
+
+def test_graph_cache_evicts_to_latest_entry():
+    """ADVICE r8: the graph edge/orientation memo caches must not pin
+    checkpointed frames for every sf_dir ever swept — _cache_put keeps
+    only the latest (application, sf_dir) entry."""
+    from climateiq_pipelines_spark.operators.graph_ext2 import _cache_put
+
+    cache = {}
+    _cache_put(cache, ("app", "sf_a"), "frame_a")
+    _cache_put(cache, ("app", "sf_a"), "frame_a2")  # same key: replace
+    assert cache == {("app", "sf_a"): "frame_a2"}
+    _cache_put(cache, ("app", "sf_b"), "frame_b")  # new key: evict old
+    assert cache == {("app", "sf_b"): "frame_b"}
