@@ -170,7 +170,10 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*xs[1:])
         .select("doc_id", xs[0], *[f"x{j + 1}" for j in range(_N_BUCKETS)])
         .join(lab, "doc_id")
-        .localCheckpoint()  # re-read every round; never re-tokenize
+        # Lazy: round 0's gradient .first() is the materializing job
+        # (the r9 one-job-per-round discipline); re-read every round,
+        # never re-tokenized.
+        .localCheckpoint(eager=False)
     )
     # Per-round all-reduce: ONE map-side partial aggregate collapses
     # the corpus to a 9-long gradient; the 1-row result is collected to
