@@ -186,16 +186,34 @@ _MOM = """
 
 @register("agg_stats_moments", oracle=_MOM)
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row path mirrors agg_linear_fit (relational_ext.py): the
+    # inputs carry <=2 true decimal places, so one round-to-cent-longs
+    # conversion replaces five double->decimal casts and the moment
+    # products stay in long arithmetic; only the group accumulator is
+    # decimal (Σ(yc²) reaches ~6e26 at 6e12 rows, hence 30 digits).
+    # Identical outputs, ~1.5x cheaper per row (BASELINE.md round-9).
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
-    s = li.groupBy("l_returnflag").agg(
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cents = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    ACC = "decimal(30,0)"
+    c = F.col
+    sc = cents.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("sx"),
-        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
-        F.sum(y.cast(DEC)).cast("double").alias("sy"),
-        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
-        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum(c("xc").cast(ACC)).alias("sxc"),
+        F.sum((c("xc") * c("xc")).cast(ACC)).alias("sxxc"),
+        F.sum(c("yc").cast(ACC)).alias("syc"),
+        F.sum((c("yc") * c("yc")).cast(ACC)).alias("syyc"),
+        F.sum((c("xc") * c("yc")).cast(ACC)).alias("sxyc"),
+    )
+    s = sc.select(
+        "l_returnflag",
+        "n",
+        (c("sxc").cast(DEC) / 100).cast("double").alias("sx"),
+        (c("sxxc").cast(DEC) / 10000).cast("double").alias("sxx"),
+        (c("syc").cast(DEC) / 100).cast("double").alias("sy"),
+        (c("syyc").cast("decimal(31,6)") / 10000).cast("double").alias("syy"),
+        (c("sxyc").cast(DEC) / 10000).cast("double").alias("sxy"),
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
     var_x = (sxx - sx * sx / n) / (n - 1)

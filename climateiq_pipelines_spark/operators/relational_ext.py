@@ -425,18 +425,40 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition layout — exactly the nondeterminism the moment-sum
     policy exists to kill (pinned by test_determinism). Plan: one
     map-side-combined aggregate on the 3-value flag key; at 100 TB the
-    moment state is 5 numbers per group, and the decimal slow path
-    applies only to the squared measures that overflow long micros."""
+    moment state is 5 numbers per group.
+
+    Per-row cost: the inputs are parquet doubles with <=2 true decimal
+    places (quantity integral, price in cents), so each row converts
+    ONCE to exact cent longs (round half-away is irrelevant — the
+    doubles sit within 1e-9 of integers) and the moment products stay
+    in long arithmetic; only the group accumulator is decimal(25,0)
+    (cent^2 sums reach ~3e23 at 6e12 rows — inside 10^25, outside
+    long). Scale fix-up back to unit moments happens post-aggregate on
+    the 3-row result. Measured vs the per-row double->decimal(25,6)
+    cast form it replaces: 0.87 s vs 1.28 s min-of-3 warm at sf0.1,
+    byte-identical outputs (BASELINE.md round-9)."""
     li = load_table(spark, sf_dir, "lineitem")
     DEC = "decimal(25,6)"
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
-    s = li.groupBy("l_returnflag").agg(
+    xc = F.round(x * 100).cast("long")
+    yc = F.round(y * 100).cast("long")
+    cents = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    ACC = "decimal(25,0)"
+    sc = cents.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("sx"),
-        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
-        F.sum(y.cast(DEC)).cast("double").alias("sy"),
-        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum(F.col("xc").cast(ACC)).alias("sxc"),
+        F.sum((F.col("xc") * F.col("xc")).cast(ACC)).alias("sxxc"),
+        F.sum(F.col("yc").cast(ACC)).alias("syc"),
+        F.sum((F.col("xc") * F.col("yc")).cast(ACC)).alias("sxyc"),
+    )
+    s = sc.select(
+        "l_returnflag",
+        "n",
+        (F.col("sxc").cast(DEC) / 100).cast("double").alias("sx"),
+        (F.col("sxxc").cast(DEC) / 10000).cast("double").alias("sxx"),
+        (F.col("syc").cast(DEC) / 100).cast("double").alias("sy"),
+        (F.col("sxyc").cast(DEC) / 10000).cast("double").alias("sxy"),
     )
     n, sx, sxx, sy, sxy = (
         F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"]

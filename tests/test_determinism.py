@@ -58,3 +58,28 @@ def test_partition_count_invariance(key, spark):
                 )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
+
+
+# The cent-long moment path (agg_linear_fit, agg_stats_moments) is
+# exact ONLY IF the double measures represent exact 2-decimal values:
+# round(x*100) must recover the true cent integer. Pin that data
+# contract on the fixtures so a regenerated table with >2-decimal
+# values fails HERE (named precondition) rather than as an opaque
+# oracle hash mismatch.
+@pytest.mark.parametrize(
+    "col", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+def test_lineitem_measures_are_exact_cents(col, spark):
+    from pyspark.sql import functions as F
+
+    from climateiq_pipelines_spark.registry import load_table
+
+    c = F.col(col) * 100
+    dev = F.max(F.abs(c - F.round(c)))
+    worst = load_table(spark, SF_MED, "lineitem").agg(dev).first()[0]
+    # Doubles storing exact cent values sit within float error of the
+    # integer grid; anything above 1e-4 means a third decimal digit.
+    assert worst is not None and worst < 1e-4, (
+        f"{col}: max deviation from the cent grid is {worst} — the "
+        "cent-long moment accumulators' exactness precondition fails"
+    )
