@@ -57,7 +57,8 @@ SHOWCASE = [
     ("llm_bpe_apply_merge", "vocabulary-sized fold (aggregate HOF) after one corpus collapse; 1-row argmax broadcast"),
     ("graph_triangle_count", "degree-oriented adjacency INTERSECTION (r7b) — checkpointed edge list, broadcast degree + size-guarded broadcast adjacency, array_intersect per edge; no Σ outdeg² wedge materialization (measured 24 s → 6.6 s at sf0.1)"),
     ("llm_substring_span_dedup", "shared-shingle equi-join only (no cartesian), per-(pair,diagonal) islands window — partitions bounded by match runs"),
-    ("llm_bloom_decontam", "map-side k-position explode, bitset semi-join, HAVING k gate, exact verify LEFT join on candidates only"),
+    ("llm_bloom_decontam", "r9 packed-long bitset: k element_at+bitmask probes per shingle against a 1024-long array literal — zero pre-filter shuffles; exact verify join on candidates only"),
+    ("agg_linear_fit", "r9 cent-long moments: one round-to-cents conversion per row, long products, decimal accumulator only in the group state — pruned 3-column scan, map-side partial agg, one 3-row exchange"),
     ("llm_mrl_truncated_rerank", "Arrow block-NL over broadcast corpus, prefix-width stage-1 scoring, shortlist-only full-dim rerank (MapInPandas)"),
     ("graph_label_propagation", "per-round broadcast label join + (node,label) partial agg + node-partitioned argmax window; checkpointed frontier truncates lineage"),
     ("llm_perceptron_quality", "per-round ONE map-side partial aggregate to a 9-long gradient collected as model-sized driver state (all-reduce); weights re-enter as literals"),
