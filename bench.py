@@ -163,6 +163,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Self-describing artifact: this container shares a host, and
+    # host-level CPU steal shows up as load-average with NO local
+    # process to blame (ps shows idle; suite wall inflates 70 → 90+ s
+    # — see BASELINE.md round-9 load-storm notes). Recording the 1-min
+    # load before and after lets a reader tell a contended run from a
+    # code regression without re-running anything.
+    load_before = round(os.getloadavg()[0], 2)
+
     from climateiq_pipelines_spark import get_spark
     from climateiq_pipelines_spark.plans import QUERIES, load_all
 
@@ -210,6 +218,8 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
+        "load_1m_before": load_before,
+        "load_1m_after": round(os.getloadavg()[0], 2),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as f:
@@ -222,6 +232,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                "load_1m_before": load_before,
+                "load_1m_after": detail["load_1m_after"],
             }
         )
     )
