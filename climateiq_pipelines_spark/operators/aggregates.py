@@ -155,23 +155,38 @@ def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Second-order moments from exact DECIMAL power sums (decimal, not the
-# faster long-micro accumulator: Σx² at price magnitudes ~1e10/row blows
-# the int64 micro-unit budget at any realistic cardinality): n, Σx, Σx²,
-# Σxy are engine-identical. The derived double arithmetic (ratios, sqrt
-# chains) is NOT association-stable across engines — round-1 showed
-# last-ulp corr divergence — so every derived moment is rounded to 9 dp
-# on both sides.
+# Second-order moments from EXACT CENT-INTEGER power sums: the measures
+# are true 2-decimal values (pinned by test_determinism's cent-grid
+# contract), so round(x*100) recovers the exact cent integer on both
+# engines and every moment is pure integer arithmetic until ONE final
+# integer-sum → double conversion + double division — bit-identical
+# cross-engine. This replaced the per-row CAST(x*x AS DECIMAL(25,6))
+# form in round 9: quantizing the DOUBLE product is NOT grid-faithful
+# at price scale (y² ~ 1e10 has ulp ~ 3.7e-6 > the 5e-7 half-gap —
+# measured ~80% of rows with y > 1e5 units flip the 6th decimal), so
+# an exact-cents engine against a quantized oracle only matched
+# because the final double cast absorbed the sub-ulp net difference.
+# Exact cents on BOTH sides removes the quantize dependence entirely.
+# The derived double arithmetic (ratios, sqrt chains) is NOT
+# association-stable across engines — round-1 showed last-ulp corr
+# divergence — so every derived moment is rounded to 9 dp on both
+# sides.
 _MOM = """
-    WITH s AS (
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ),
+    s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(xc) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(xc * xc) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(yc) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(yc * yc) AS DOUBLE) / 10000.0 AS syy,
+             CAST(SUM(xc * yc) AS DOUBLE) / 10000.0 AS sxy
+      FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            round((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
@@ -206,14 +221,17 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((c("yc") * c("yc")).cast(ACC)).alias("syyc"),
         F.sum((c("xc") * c("yc")).cast(ACC)).alias("sxyc"),
     )
+    # Conversion back to unit scale happens in DOUBLE arithmetic —
+    # double(exact integer sum) / 100.0 — the IDENTICAL expression
+    # tree the oracle text runs, so the doubles match bit-for-bit.
     s = sc.select(
         "l_returnflag",
         "n",
-        (c("sxc").cast(DEC) / 100).cast("double").alias("sx"),
-        (c("sxxc").cast(DEC) / 10000).cast("double").alias("sxx"),
-        (c("syc").cast(DEC) / 100).cast("double").alias("sy"),
-        (c("syyc").cast("decimal(31,6)") / 10000).cast("double").alias("syy"),
-        (c("sxyc").cast(DEC) / 10000).cast("double").alias("sxy"),
+        (c("sxc").cast("double") / F.lit(100.0)).alias("sx"),
+        (c("sxxc").cast("double") / F.lit(10000.0)).alias("sxx"),
+        (c("syc").cast("double") / F.lit(100.0)).alias("sy"),
+        (c("syyc").cast("double") / F.lit(10000.0)).alias("syy"),
+        (c("sxyc").cast("double") / F.lit(10000.0)).alias("sxy"),
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
     var_x = (sxx - sx * sx / n) / (n - 1)

@@ -381,17 +381,20 @@ def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FIT_ORACLE = """
-    WITH s AS (
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ),
+    s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
-                  AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
-               AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6)))
-                  AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(xc) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(xc * xc) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(yc) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(xc * yc) AS DOUBLE) / 10000.0 AS sxy
+      FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
@@ -433,12 +436,14 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles sit within 1e-9 of integers) and the moment products stay
     in long arithmetic; only the group accumulator is decimal(25,0)
     (cent^2 sums reach ~3e23 at 6e12 rows — inside 10^25, outside
-    long). Scale fix-up back to unit moments happens post-aggregate on
-    the 3-row result. Measured vs the per-row double->decimal(25,6)
-    cast form it replaces: 0.87 s vs 1.28 s min-of-3 warm at sf0.1,
-    byte-identical outputs (BASELINE.md round-9)."""
+    long). Scale fix-up back to unit moments happens in double
+    arithmetic post-aggregate on the 3-row result, the same
+    expression tree as the oracle text — exact cents on BOTH sides,
+    no quantize-of-double dependence anywhere (see the _MOM comment
+    in aggregates.py for why that matters at price scale). Measured
+    vs the per-row double->decimal(25,6) cast form it replaces:
+    0.87 s vs 1.28 s min-of-3 warm at sf0.1 (BASELINE.md round-9)."""
     li = load_table(spark, sf_dir, "lineitem")
-    DEC = "decimal(25,6)"
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
     xc = F.round(x * 100).cast("long")
@@ -452,13 +457,15 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("yc").cast(ACC)).alias("syc"),
         F.sum((F.col("xc") * F.col("yc")).cast(ACC)).alias("sxyc"),
     )
+    # double(exact integer sum) / 100.0 — the identical expression tree
+    # the oracle text runs, so the unit-scale doubles match bitwise.
     s = sc.select(
         "l_returnflag",
         "n",
-        (F.col("sxc").cast(DEC) / 100).cast("double").alias("sx"),
-        (F.col("sxxc").cast(DEC) / 10000).cast("double").alias("sxx"),
-        (F.col("syc").cast(DEC) / 100).cast("double").alias("sy"),
-        (F.col("sxyc").cast(DEC) / 10000).cast("double").alias("sxy"),
+        (F.col("sxc").cast("double") / F.lit(100.0)).alias("sx"),
+        (F.col("sxxc").cast("double") / F.lit(10000.0)).alias("sxx"),
+        (F.col("syc").cast("double") / F.lit(100.0)).alias("sy"),
+        (F.col("sxyc").cast("double") / F.lit(10000.0)).alias("sxy"),
     )
     n, sx, sxx, sy, sxy = (
         F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"]

@@ -1,0 +1,84 @@
+"""Property-based checks for the round-9 cent-long moment accumulation
+(agg_linear_fit / agg_stats_moments) and its oracle semantics.
+
+The rewrite's surviving numerical claims, each pinned here:
+
+1. CENT RECOVERY — for any true value of k cents stored as the parquet
+   double k/100, `round(x * 100)` recovers exactly k on both engines.
+   This is the ONLY step where a double is interpreted; everything
+   after it is integer arithmetic until one final Σ→double conversion
+   and a double division by 100/10000 — expression trees the engine
+   and the DuckDB oracle text share verbatim.
+
+2. QUANTIZED PRODUCTS ARE NOT GRID-FAITHFUL AT PRICE SCALE — the
+   counterexample test. The first r9 form kept the oracle's
+   CAST(y*y AS DECIMAL(25,6)) while the engine moved to exact cents:
+   at y ≥ ~1e5 units, y² ≈ 1e10 has ulp ≈ 3.7e-6, larger than the
+   5e-7 HALF_UP half-gap, so the quantized DOUBLE product differs
+   from the exact 4-decimal product on the majority of rows
+   (measured ~80% over y ∈ [1e5, 2e5]); the asymmetric pair only
+   hash-matched because the final Σ→double cast absorbed the sub-ulp
+   net difference — a coin flip, not a guarantee. This test pins a
+   concrete failing value so the quantized-product oracle form cannot
+   quietly return.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_Q6 = Decimal("0.000001")
+
+
+def _as_dec6(x: float) -> Decimal:
+    """JVM/DuckDB cast(double AS decimal(_,6)) — exact binary value of
+    the double, then HALF_UP at 6 decimals."""
+    return Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP)
+
+
+@given(k=st.integers(min_value=-(10**12), max_value=10**12))
+@settings(max_examples=500, deadline=None)
+def test_cent_recovery_is_exact(k):
+    """round(double(k/100) * 100) == k far beyond any money domain
+    (10^12 cents = $10B line items): the double for k/100 sits within
+    a relative 2^-52 of the grid point, and the *100 product keeps the
+    error orders of magnitude under the 0.5 rounding radius."""
+    x = k / 100.0
+    assert round(x * 100) == k
+
+
+@given(
+    kx=st.integers(min_value=-10_000, max_value=10_000),
+    ky=st.integers(min_value=-(2 * 10**7), max_value=2 * 10**7),
+)
+@settings(max_examples=500, deadline=None)
+def test_cent_products_are_exact(kx, ky):
+    """The engine's long products equal the true 4-decimal products at
+    any magnitude the accumulator admits — integer arithmetic has no
+    scale-dependent failure mode (contrast the counterexample below)."""
+    xc = round((kx / 100.0) * 100)
+    yc = round((ky / 100.0) * 100)
+    assert Decimal(xc * yc).scaleb(-4) == (Decimal(kx) * Decimal(ky)).scaleb(-4)
+    assert Decimal(yc * yc).scaleb(-4) == (Decimal(ky) * Decimal(ky)).scaleb(-4)
+
+
+def test_quantized_double_product_diverges_at_price_scale():
+    """The reason both moment oracles use exact cents: quantizing the
+    DOUBLE product y*y to 6 decimals does NOT recover the exact
+    4-decimal product once y² ulp exceeds the half-gap. Concrete pin:
+    y = 122,542.57 (12,254,257 cents) — dec6(y*y) ends ...204903, the
+    exact product ends ...204900."""
+    ky = 12_254_257
+    y = ky / 100.0
+    quantized = _as_dec6(y * y)
+    exact = (Decimal(ky) * Decimal(ky)).scaleb(-4)
+    assert quantized != exact, (
+        "If this ever starts matching, the counterexample has rotted — "
+        "pick another from the ~80% failing band, do NOT revert the "
+        "oracles to CAST(y*y AS DECIMAL(25,6))."
+    )
+    # and the failure is sub-1e-5 — exactly the silent-last-digit class
+    assert abs(quantized - exact) < Decimal("0.00001")
