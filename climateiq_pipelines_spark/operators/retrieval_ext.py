@@ -165,15 +165,29 @@ _BM25_B = "0.75"
 # library-dependent value enters the arithmetic as an integer.
 # Contribution = idf * (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)),
 # floored to micros for exact integer summation (the dsum policy).
+#
+# EVERY literal is E-notation and EVERY integer operand is explicitly
+# CAST AS DOUBLE (round-9 fix): in Spark SQL a bare `1.2` or
+# `1000000.0` parses as DECIMAL, so the "shared" text previously ran
+# a decimal arithmetic chain on the Spark side and a double chain in
+# DuckDB — pre-floor values ~0.15 micros apart, a ~15% floor-flip per
+# (doc, term) that surfaced as a 1-micro top-10 divergence at sf0.1
+# (sf0.01 certs had passed on luck). E-notation literals are DOUBLE
+# in both dialects, making the whole chain pure IEEE ops —
+# bit-identical — with the inner ln knife-edge (ulp-of-libm vs the
+# micro floor, ~1e-9 per distinct (n_docs, df)) the only residual,
+# pinned by test_properties_r9's cross-engine identity sweep.
 _BM25_CONTRIB_SQL = f"""
   CAST(floor(
-    CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000)
-         AS BIGINT) / 1000000.0
-    * (tf * ({_BM25_K1} + 1.0))
-    / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
-         + {_BM25_B} * CAST(dl AS DOUBLE)
-           / (CAST(total_dl AS DOUBLE) / n_docs)))
-    * 1000000) AS BIGINT)
+    CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                        + 5.0e-1)
+                       / (CAST(df AS DOUBLE) + 5.0e-1) + 1.0e0) * 1.0e6)
+              AS BIGINT) AS DOUBLE) / 1.0e6
+    * (CAST(tf AS DOUBLE) * ({_BM25_K1}e0 + 1.0e0))
+    / (CAST(tf AS DOUBLE) + {_BM25_K1}e0 * (1.0e0 - {_BM25_B}e0
+         + {_BM25_B}e0 * CAST(dl AS DOUBLE)
+           / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+    * 1.0e6) AS BIGINT)
 """
 
 _BM25_TOPK = 10

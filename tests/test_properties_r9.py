@@ -82,3 +82,52 @@ def test_quantized_double_product_diverges_at_price_scale():
     )
     # and the failure is sub-1e-5 — exactly the silent-last-digit class
     assert abs(quantized - exact) < Decimal("0.00001")
+
+
+def test_bm25_contrib_text_is_cross_engine_bit_identical(spark):
+    """The BM25 per-(doc, term) contribution is ONE SQL text evaluated
+    by both engines; after the round-9 literal fix (bare decimals
+    parse as DECIMAL in Spark SQL but ran as DOUBLE in DuckDB — a
+    ~15% floor-flip per term before the fix) the text must produce
+    the IDENTICAL int64 micros on arbitrary integer inputs. 2,000
+    random tuples plus the tuple that exposed the bug (tf=2, dl=20,
+    df=3885 at sf0.1's N=5000)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from climateiq_pipelines_spark.operators.retrieval_ext import (
+        _BM25_CONTRIB_SQL,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.randint(1, 30),
+            rng.randint(1, 400),
+            rng.randint(1, 5000),
+            5000,
+            270704,
+        )
+        for _ in range(2000)
+    ]
+    rows.append((2, 20, 3885, 5000, 270704))  # the sf0.1 top-10 flipper
+    sdf = spark.createDataFrame(
+        rows, "tf long, dl long, df long, n_docs long, total_dl long"
+    )
+    sv = [
+        r["c"]
+        for r in sdf.select(F.expr(_BM25_CONTRIB_SQL).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(tf BIGINT, dl BIGINT, df BIGINT,"
+        " n_docs BIGINT, total_dl BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    dv = [x[0] for x in con.execute(f"SELECT {_BM25_CONTRIB_SQL} FROM t").fetchall()]
+    mismatches = [
+        (rows[i], a, b) for i, (a, b) in enumerate(zip(sv, dv)) if a != b
+    ]
+    assert not mismatches, mismatches[:5]
