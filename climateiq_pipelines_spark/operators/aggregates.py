@@ -171,6 +171,13 @@ def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # association-stable across engines — round-1 showed last-ulp corr
 # divergence — so every derived moment is rounded to 9 dp on both
 # sides.
+#
+# DIALECT NOTE (ADVICE r9 #2): this text is DuckDB-ONLY and must not
+# be run through spark.sql — SUM(xc * xc) of cent-squared products
+# (~1e14/row) relies on DuckDB's SUM(BIGINT)→HUGEINT widening; Spark's
+# SUM(BIGINT)→BIGINT would silently overflow around sf1.  The ENGINE
+# side accumulates in decimal(30,0) for exactly this reason (see the
+# builder comment below).
 _MOM = """
     WITH c AS (
       SELECT l_returnflag,

@@ -216,7 +216,136 @@ _CLUSTER_ORACLE = f"""
 """
 
 
-@register("llm_dedup_clusters", oracle=_CLUSTER_ORACLE)
+# VERDICT r9 task #3(b): the recursive `reach` CTE above materializes a
+# (node, reachable-root) pair per component-internal pair — O(Σ size²)
+# rows; measured 146 s of the 882 s round-9 sf0.1 sweep.  The builder
+# below replaces it for sweep use with min-label propagation UNROLLED
+# to the fixpoint depth solved in DuckDB itself (the iterative_ext
+# stop-round-solver trick): per-stage state is one label per node, so
+# the whole check is linear in nodes × rounds.  The static recursive
+# text stays the registered driver contract.
+_CLUSTER_LABEL_ROUNDS_CACHE: dict[str, int] = {}
+
+
+def _cluster_label_rounds(sf_dir: str) -> int:
+    """Solve min-label propagation over the simhash near-dup graph to
+    fixpoint in DuckDB; returns the first round whose labels equal the
+    previous round's (so unrolling that many stages provably reproduces
+    the component minima — propagation converges in ≤ diameter
+    rounds)."""
+    got = _CLUSTER_LABEL_ROUNDS_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        f"""
+        CREATE TEMP TABLE bi AS
+        WITH {_simhash60_sql_sig()},
+        edges AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        )
+        SELECT a_id AS src, b_id AS dst FROM edges
+        UNION ALL SELECT b_id, a_id FROM edges
+        """
+    )
+    con.execute(
+        "CREATE TEMP TABLE lbl_prev AS"
+        " SELECT doc_id AS node, doc_id AS label FROM documents"
+    )
+    n_rounds = 64  # safety cap; diameter of near-dup clusters is tiny
+    for rnd in range(1, 65):
+        con.execute(
+            """
+            CREATE OR REPLACE TEMP TABLE lbl_next AS
+            SELECT l.node,
+                   LEAST(l.label, COALESCE(MIN(nl.label), l.label))
+                     AS label
+            FROM lbl_prev l
+            LEFT JOIN bi ON bi.src = l.node
+            LEFT JOIN lbl_prev nl ON nl.node = bi.dst
+            GROUP BY l.node, l.label
+            """
+        )
+        changed = con.execute(
+            "SELECT COUNT(*) FROM lbl_next a JOIN lbl_prev b USING (node)"
+            " WHERE a.label <> b.label"
+        ).fetchone()[0]
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE lbl_prev AS SELECT * FROM lbl_next"
+        )
+        if changed == 0:
+            n_rounds = rnd
+            break
+    con.close()
+    _CLUSTER_LABEL_ROUNDS_CACHE[sf_dir] = n_rounds
+    return n_rounds
+
+
+def _cluster_oracle_unrolled(n_rounds: int) -> str:
+    """Non-recursive cluster oracle: min-label propagation unrolled to
+    ``n_rounds`` MATERIALIZED stages (DuckDB would otherwise inline
+    each lbl{i} into both of lbl{i+1}'s references — 2^rounds blowup)."""
+    stages = []
+    prev = "lbl0"
+    for i in range(1, n_rounds + 1):
+        stages.append(
+            f"""lbl{i} AS MATERIALIZED (
+      SELECT l.node,
+             LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+      FROM {prev} l
+      LEFT JOIN bi ON bi.src = l.node
+      LEFT JOIN {prev} nl ON nl.node = bi.dst
+      GROUP BY l.node, l.label
+    )"""
+        )
+        prev = f"lbl{i}"
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH {_simhash60_sql_sig()},
+    edges AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ),
+    bi AS MATERIALIZED (
+      SELECT a_id AS src, b_id AS dst FROM edges
+      UNION ALL
+      SELECT b_id, a_id FROM edges
+    ),
+    lbl0 AS MATERIALIZED (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+    ),
+    {joined},
+    comp AS (SELECT node AS doc_id, label AS cluster_id FROM {prev})
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+"""
+
+
+def _cluster_oracle_for(sf_dir: str) -> str:
+    """SF-parameterized oracle (plans.ORACLE_BUILDERS): fixpoint-depth
+    min-label unroll — answers identical to the recursive text at every
+    SF (pinned by tests/test_oracle_builders.py), linear instead of
+    O(Σ cluster_size²) in DuckDB."""
+    return _cluster_oracle_unrolled(_cluster_label_rounds(sf_dir))
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    oracle_builder=_cluster_oracle_for,  # sweep-speed path (r9 task #3b)
+)
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over simhash near-dup edges (Hamming ≤ 3 on
     the 60-bit token simhash), by ALTERNATING STAR CONTRACTION (r6;

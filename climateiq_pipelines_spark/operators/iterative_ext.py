@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
+# VERDICT r9 task #2: memoized stop-round solutions per (key, sf_dir)
+# so sweep tooling + tests can call the oracle builders repeatedly
+# without re-running the DuckDB fixpoint loop each time.
+_STOP_ROUND_CACHE: dict[tuple[str, str], int] = {}
+
 # ---------------------------------------------------------------- pagerank
 
 _PR_R0 = 1_000_000  # initial rank, micro-units (graph_ext twin)
@@ -81,10 +86,80 @@ def _pagerank_converged_oracle(n_rounds: int) -> str:
     """
 
 
+def _pagerank_stop_round(sf_dir: str) -> int:
+    """Run the engine's residual stopping rule to fixpoint in DuckDB
+    (integer-exact state ⇒ identical residuals ⇒ identical stopping
+    round — module docstring) so the oracle builder can unroll to the
+    right depth for ANY sf_dir.  Incremental temp tables, not prefix
+    re-execution: linear in rounds."""
+    got = _STOP_ROUND_CACHE.get(("pagerank", sf_dir))
+    if got is not None:
+        return got
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE TEMP TABLE sym AS
+        WITH edges AS (
+          SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+          FROM read_parquet('{sf_dir}/lineitem.parquet') li
+          JOIN read_parquet('{sf_dir}/orders.parquet') o
+            ON li.l_orderkey = o.o_orderkey
+        )
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        """
+    )
+    con.execute(
+        "CREATE TEMP TABLE deg AS"
+        " SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u"
+    )
+    n_nodes = con.execute("SELECT COUNT(*) FROM deg").fetchone()[0]
+    con.execute(
+        f"CREATE TEMP TABLE r_prev AS"
+        f" SELECT node, CAST({_PR_R0} AS BIGINT) AS r FROM deg"
+    )
+    n_rounds = _PR_MAX_ROUNDS
+    for rnd in range(1, _PR_MAX_ROUNDS + 1):
+        con.execute(
+            f"""
+            CREATE OR REPLACE TEMP TABLE r_next AS
+            SELECT s.v AS node,
+                   {_PR_BASE} + (SUM(p.r // d.deg) * 85) // 100 AS r
+            FROM sym s
+            JOIN r_prev p ON p.node = s.u
+            JOIN deg d ON d.node = s.u
+            GROUP BY s.v
+            """
+        )
+        residual = con.execute(
+            "SELECT SUM(ABS(a.r - b.r))"
+            " FROM r_next a JOIN r_prev b USING (node)"
+        ).fetchone()[0]
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE r_prev AS SELECT * FROM r_next"
+        )
+        if residual <= n_nodes * _PR_TOL_MICRO:
+            n_rounds = rnd
+            break
+    con.close()
+    _STOP_ROUND_CACHE[("pagerank", sf_dir)] = n_rounds
+    return n_rounds
+
+
+def _pagerank_oracle_for(sf_dir: str) -> str:
+    """SF-parameterized oracle (plans.ORACLE_BUILDERS): solve the
+    stopping round for this sf_dir, then emit the ordinary unrolled
+    text.  At sf0.01 this reproduces the static ORACLES entry exactly
+    (pinned by tests/test_oracle_builders.py)."""
+    return _pagerank_converged_oracle(_pagerank_stop_round(sf_dir))
+
+
 @register(
     "graph_pagerank_converged",
     oracle=_pagerank_converged_oracle(_PR_ROUNDS_SF001),
     oracle_sf="sf0.01",  # ADVICE r7: unroll count measured on sf0.01
+    oracle_builder=_pagerank_oracle_for,  # any-SF sweep path (r9 task #2)
 )
 def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK TO CONVERGENCE — graph_pagerank's per-round plan (same
@@ -230,7 +305,10 @@ def _kmeans_iter_sql(i: int) -> str:
     """
 
 
-_KMEANS_CONVERGED_ORACLE = f"""
+def _kmeans_converged_oracle(n_rounds: int) -> str:
+    """The unrolled k-means oracle generalized to ``n_rounds`` rounds
+    (the pagerank twin's _pagerank_converged_oracle shape)."""
+    return f"""
     WITH exploded AS (
       SELECT vec_id, label,
              generate_subscripts(embedding, 1) AS pos,
@@ -241,21 +319,102 @@ _KMEANS_CONVERGED_ORACLE = f"""
       SELECT vec_id, label AS cluster, CAST(0 AS BIGINT) AS dist_fp
       FROM embeddings
     ),
-    {", ".join(_kmeans_iter_sql(i) for i in range(1, _KM_ROUNDS_SF001 + 1))}
+    {", ".join(_kmeans_iter_sql(i) for i in range(1, n_rounds + 1))}
     SELECT cluster AS cluster_id,
            COUNT(*) AS n_vecs,
            round(CAST(SUM(dist_fp) AS DOUBLE) / 1000000000000.0, 6)
              AS inertia,
-           CAST({_KM_ROUNDS_SF001} AS INTEGER) AS n_rounds
-    FROM assign{_KM_ROUNDS_SF001}
+           CAST({n_rounds} AS INTEGER) AS n_rounds
+    FROM assign{n_rounds}
     GROUP BY cluster
 """
 
 
+def _kmeans_stop_round(sf_dir: str) -> int:
+    """Run the engine's movement stopping rule (moved ≤ n/_KM_TOL_DIV,
+    cap _KM_MAX_ROUNDS) to fixpoint in DuckDB — same arithmetic as the
+    unrolled oracle CTEs, incremental temp tables instead of prefix
+    re-execution.  Integer-exact per-round state ⇒ identical movement
+    counts ⇒ identical stopping round (module docstring)."""
+    got = _STOP_ROUND_CACHE.get(("kmeans", sf_dir))
+    if got is not None:
+        return got
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE TEMP TABLE exploded AS
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS x
+        FROM read_parquet('{sf_dir}/embeddings.parquet')
+        """
+    )
+    con.execute(
+        f"CREATE TEMP TABLE assign_prev AS SELECT vec_id, label AS cluster"
+        f" FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    n_vecs = con.execute("SELECT COUNT(*) FROM assign_prev").fetchone()[0]
+    n_rounds = _KM_MAX_ROUNDS
+    for rnd in range(1, _KM_MAX_ROUNDS + 1):
+        con.execute(
+            """
+            CREATE OR REPLACE TEMP TABLE centroids AS
+            SELECT a.cluster AS c_id, e.pos,
+                   CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * 1000000000)
+                                 AS BIGINT)) AS DOUBLE)
+                     / 1000000000.0 / COUNT(*) AS c
+            FROM exploded e JOIN assign_prev a USING (vec_id)
+            GROUP BY a.cluster, e.pos
+            """
+        )
+        con.execute(
+            """
+            CREATE OR REPLACE TEMP TABLE assign_next AS
+            SELECT vec_id, c_id AS cluster FROM (
+              SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist_fp ASC, c_id) AS rn
+              FROM (
+                SELECT e.vec_id, c.c_id,
+                       SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                                      * (CAST(e.x AS DOUBLE) - c.c)
+                                      * 1000000000000) AS BIGINT)) AS dist_fp
+                FROM exploded e JOIN centroids c ON e.pos = c.pos
+                GROUP BY e.vec_id, c.c_id
+              )
+            ) WHERE rn = 1
+            """
+        )
+        moved = con.execute(
+            "SELECT COUNT(*) FROM assign_next a JOIN assign_prev b"
+            " USING (vec_id) WHERE a.cluster <> b.cluster"
+        ).fetchone()[0]
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE assign_prev AS"
+            " SELECT * FROM assign_next"
+        )
+        if moved * _KM_TOL_DIV <= n_vecs:
+            n_rounds = rnd
+            break
+    con.close()
+    _STOP_ROUND_CACHE[("kmeans", sf_dir)] = n_rounds
+    return n_rounds
+
+
+def _kmeans_oracle_for(sf_dir: str) -> str:
+    """SF-parameterized oracle (plans.ORACLE_BUILDERS): solve the
+    stopping round for this sf_dir, then emit the ordinary unrolled
+    text.  At sf0.01 this reproduces the static ORACLES entry exactly
+    (pinned by tests/test_oracle_builders.py)."""
+    return _kmeans_converged_oracle(_kmeans_stop_round(sf_dir))
+
+
 @register(
     "llm_kmeans_converged",
-    oracle=_KMEANS_CONVERGED_ORACLE,
+    oracle=_kmeans_converged_oracle(_KM_ROUNDS_SF001),
     oracle_sf="sf0.01",  # ADVICE r7: unroll count measured on sf0.01
+    oracle_builder=_kmeans_oracle_for,  # any-SF sweep path (r9 task #2)
 )
 def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-MEANS TO CONVERGENCE — llm_kmeans_iterate's per-round Lloyd
@@ -277,15 +436,15 @@ def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the integer-exact state: identical assignments each round ⇒
     identical movement counts ⇒ identical stopping round.
 
-    Oracle scope (module docstring): the unrolled oracle pins the
-    SF0.01 stopping round (3). The movement rule is n-PROPORTIONAL
-    (moved ≤ n/10), so other scales stop at other rounds — the
-    round-9 full-surface sf0.1 sweep measured the engine correctly
-    taking 4 rounds there while the 3-round oracle text (naturally)
-    disagrees; that is the documented calibration boundary, not an
-    engine defect. Contrast graph_pagerank_converged, whose PER-NODE
-    tolerance is scale-invariant and whose oracle therefore matched
-    at sf0.1 as well.
+    Oracle scope: the STATIC ORACLES text pins the SF0.01 stopping
+    round (3) for the driver contract; the movement rule is
+    n-PROPORTIONAL (moved ≤ n/10) so other scales stop at other rounds
+    (measured: 4 at sf0.1). Since round 10 the registered
+    oracle_builder (_kmeans_oracle_for) closes that gap: it solves the
+    stopping rule to fixpoint in DuckDB for the TARGET sf_dir and
+    unrolls the oracle to that depth, so sweeps at any SF get a full
+    value check (VERDICT r9 task #2) — the former EXPECTED_SCOPE_LIMITED
+    waiver in tools/parity_sweep.py is deleted.
 
     Scale per round: unchanged from llm_kmeans_iterate (k×64 broadcast
     centroids, one linear distance aggregate) + the 1-row movement

@@ -380,6 +380,9 @@ def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DIALECT NOTE (ADVICE r9 #2): DuckDB-only text — SUM(xc * xc) relies
+# on SUM(BIGINT)→HUGEINT widening; running it through spark.sql would
+# silently overflow int64 around sf1 (see aggregates._MOM's twin note).
 _FIT_ORACLE = """
     WITH c AS (
       SELECT l_returnflag,

@@ -29,15 +29,35 @@ ORACLES: dict[str, str] = {}
 # to sf0.01") instead of as a generic hash mismatch.
 ORACLE_SF_PINNED: dict[str, str] = {}
 
+# VERDICT r9 task #2: SF-PARAMETERIZED oracle builders.  A key whose
+# static ORACLES text unrolls a fixture-measured constant registers a
+# builder ``sf_dir -> SQL text`` here; sweep tooling (tools/
+# parity_sweep.py, tools/driver_sim.py) prefers the builder so the
+# SAME key is fully value-checked at ANY scale factor.  The builder
+# derives its unroll depth by running the published stopping rule to
+# fixpoint in DuckDB (legitimate: cross-engine stop-round equivalence
+# follows from the keys' integer-exact per-round state — see the
+# iterative_ext docstrings), then emits the ordinary unrolled text; the
+# full value comparison still runs independently on that text.  The
+# driver contract (__spark_entry__.oracle_sql() -> static strings at
+# sf0.01) is unchanged.
+ORACLE_BUILDERS: dict[str, Callable[[str], str]] = {}
+
 
 def register(
-    key: str, oracle: str | None = None, oracle_sf: str | None = None
+    key: str,
+    oracle: str | None = None,
+    oracle_sf: str | None = None,
+    oracle_builder: Callable[[str], str] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a query builder; ``oracle=None`` declares the key
     rows-only (driver's weaker check) — only allowed for the keys SURVEY
     §2 marks rows-only, with the reason in the builder's docstring.
     ``oracle_sf`` records the fixture-dir basename the oracle's
-    constants were measured on (see ORACLE_SF_PINNED)."""
+    constants were measured on (see ORACLE_SF_PINNED); ``oracle_builder``
+    supplies the SF-parameterized text for other scales (see
+    ORACLE_BUILDERS — pinned keys should carry one so sweeps stay
+    full-surface)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
@@ -47,6 +67,8 @@ def register(
             ORACLES[key] = oracle
         if oracle_sf is not None:
             ORACLE_SF_PINNED[key] = oracle_sf
+        if oracle_builder is not None:
+            ORACLE_BUILDERS[key] = oracle_builder
         return fn
 
     return deco
@@ -73,40 +95,44 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 9 (VERDICT r8 task #3 — the arithmetic is exact): the 4 keys no
-# driver artifact has ever certified (registered after the r8 window
-# closed) + the 9 oldest stamps on the surface (1×r2 + 8×r3) + all 37
-# r4 stamps (led by sort_multikey_nulls, whose code changed in r7 AFTER
-# its stamp) = exactly 50.  After this round certifies, the never-count
-# is 0 and the oldest stamp anywhere on the surface becomes r5.
-# Round 8's window (the 50 then-never keys: relational_ext's 11, the
-# llm_data_ext tail, five singles, the r7/r7b additions) is recorded in
-# SURVEY §11.2's as-built log.
+# Round 10 (VERDICT r9 task #1, pre-sequenced in SURVEY §11): post-r9
+# the stamp distribution is 32×r5, 50×r6, 50×r7, 50×r8, 50×r9 with zero
+# never-certified keys, so the window chases the oldest-stamp mass:
+# ALL 32 r5 stamps (the §2.2 filters, §2.5 windows, §2.7 setops incl.
+# the *_all variants, §2.8 scalar-fn family, §2.11 UDFs, right-outer
+# join, win_percent_cume) + the 18 registration-oldest r6 stamps (the
+# 16 aggregates.py keys + the first two scans) = exactly 50.  After
+# this round certifies, the oldest stamp anywhere becomes r6 (steady
+# state: every key re-certified at least once per ~5 rounds).
+# Round 9's window (4 never-certified + 1×r2 + 8×r3 + 37×r4) is
+# recorded in SURVEY §11.2's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # never driver-certified (4) — registered after the r8 window closed
-    "agg_cms_heavy_hitters", "agg_theta_set_algebra",
-    "fn_collation_lcase", "fn_try_arithmetic",
-    # oldest stamp on the surface: r2 (1)
-    "join_bucketed_colocated",
-    # r3 stamps (8)
-    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
-    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
-    "llm_fingerprint", "llm_ivf_topk",
-    # r4 stamps (37) — sorts, the llm.py §2.10 block, and the r4-added
-    # dedup/vector/tpch-ext/mm/ml_iter families
-    "sort_multikey_nulls", "topk_global", "limit_offset",
-    "llm_exact_dedup", "llm_minhash_neardup", "llm_token_counts",
-    "llm_tfidf_topterms", "llm_text_stats", "llm_lang_filter_sample",
-    "llm_embed_normalize", "llm_cosine_topk", "llm_knn_query",
-    "llm_centroid_assign", "llm_multimodal_join", "llm_simhash_bucket",
-    "llm_minhash_lsh", "llm_cosine_neardup", "llm_ngram_jaccard",
-    "llm_simhash_neardup", "llm_corpus_pipeline", "llm_stratified_sample",
-    "llm_pack_sequences", "sort_multikey_scalable", "llm_dedup_clusters",
-    "llm_simhash_multiprobe", "llm_text_normalize", "q7_volume_shipping",
-    "q10_returned_items", "q12_priority_by_flag", "llm_cosine_topk_lsh",
-    "q22_global_sales_opportunity", "mm_binary_file_scan",
-    "llm_kmeans_iterate", "llm_pq_encode", "llm_ivf_pq_topk",
-    "llm_winnow_fingerprint", "llm_winnow_neardup",
+    # r5 stamps (32) — §2.2 projection/filter (4)
+    "proj_computed_columns", "filter_comparison_chain",
+    "filter_in_like_null", "filter_between_dates",
+    # §2.5 windows (7) + win_percent_cume (1)
+    "win_rank_topn_per_group", "win_rank_dense_ntile",
+    "win_lag_lead_delta", "win_running_sum", "win_moving_avg_rows",
+    "win_range_frame", "win_first_last", "win_percent_cume",
+    # §2.7 set ops (5) + the *_all variants (2)
+    "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "set_dropdup_subset",
+    "set_intersect_all", "set_except_all",
+    # §2.8 scalar functions (8)
+    "fn_string", "fn_date", "fn_math", "fn_conditional",
+    "fn_array", "fn_map", "fn_json", "fn_hash",
+    # §2.11 UDF surface (4) + right-outer join (1)
+    "udf_scalar_py", "udf_pandas_vectorized", "udaf_grouped_pandas",
+    "udtf_explode_sessions", "join_right_outer",
+    # r6 stamps, 18 registration-oldest — aggregates.py (16)
+    "agg_pricing_summary", "agg_count_distinct",
+    "agg_approx_count_distinct", "agg_conditional_filter",
+    "agg_stats_moments", "agg_percentiles", "agg_collect_sorted",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_distinct_rows",
+    "agg_min_max_by", "agg_pivot", "agg_approx_percentile",
+    "agg_hll_sketch_merge", "agg_unpivot_melt",
+    # ...and the first two scans.py registrations (2)
+    "scan_parquet_project", "scan_all_tables_counts",
 ]
 def load_all() -> None:
     """Import every operator module so its @register calls run."""

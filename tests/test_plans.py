@@ -182,17 +182,40 @@ def test_simhash_neardup_avoids_all_pairs(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+# ADVICE r9 #5: the collect-sweep now also matches .take( — every
+# driver-side materialization, bounded or not, must be EXPLICITLY
+# sanctioned here by (file, line-regex), with the bound stated.  A new
+# .take(N) in engine sources fails the sweep until audited.
+TAKE_OK = [
+    # llm_cosine_topk / _blocknl: .take(max_vectors+1) probe — the
+    # broadcast dimension of the Arrow block-NL, capped by the
+    # byte-budget constant; above it the key dispatches to the bucketed
+    # pure-DataFrame plan.  emb.take(1) reads one row for dim sniffing.
+    ("llm.py", r"\.take\(max\+1\)"),  # docstring reference to the probe
+    ("llm.py", r"emb\.take\(1\)"),
+    ("llm.py", r"emb\.take\(max_vectors \+ 1\)"),
+    # llm_mrl_truncated_rerank: same block-NL probe pair.
+    ("ann_ext2.py", r"emb\.take\(1\)"),
+    ("ann_ext2.py", r"emb\.take\(max_vectors \+ 1\)"),
+    # llm_bloom_decontam: .take(1) of a collect_set aggregate bounded
+    # by FILTER GEOMETRY (≤ m = 65,536 bit positions regardless of
+    # corpus size — the r8 verdict's audited exemption).
+    ("ann_ext2.py", r"\.take\(1\)"),
+    # agg_cms_heavy_hitters: .take(_CMS_TOPK) — constant top-k of an
+    # already-aggregated sketch-sized relation.
+    ("sketch_ext.py", r"\.take\(_CMS_TOPK\)"),
+    # scan_manifest_skipping: .take(_PARTS + 1) over the manifest —
+    # bounded by the fixture topology constant, not corpus rows.
+    ("manifest_read.py", r"\.take\(_PARTS \+ 1\)"),
+]
+
+
 def test_no_driver_collect_in_engine_sources():
     """Static sweep: no .collect()/.toPandas() in engine query paths —
-    driver-side loops don't distribute. Two driver-side
-    materializations are sanctioned, both BOUNDED .take() forms the
-    sweep permits by matching only the unbounded verbs:
-    llm_cosine_topk's .take(MAX+1) probe (the broadcast dimension of
-    its block-NL; above MAX it dispatches to the pure-DataFrame
-    bucketed plan), and llm_bloom_decontam's .take(1) of a
-    collect_set aggregate bounded by the FILTER GEOMETRY (≤ m =
-    65,536 bit positions regardless of corpus size — the r8 verdict's
-    audited exemption, r9's packed-long rewrite)."""
+    driver-side loops don't distribute — and (ADVICE r9 #5) no .take(
+    outside the TAKE_OK audit list above, so every bounded driver-side
+    materialization is explicitly sanctioned with its bound, and a new
+    unbounded-in-practice .take(N) cannot pass silently."""
     root = Path(__file__).resolve().parent.parent / "climateiq_pipelines_spark"
     offenders = []
     for p in root.rglob("*.py"):
@@ -201,6 +224,10 @@ def test_no_driver_collect_in_engine_sources():
         for i, line in enumerate(p.read_text().splitlines(), 1):
             if ".collect()" in line or ".toPandas()" in line:
                 offenders.append(f"{p.name}:{i}")
+            elif ".take(" in line and not any(
+                p.name == f and re.search(pat, line) for f, pat in TAKE_OK
+            ):
+                offenders.append(f"{p.name}:{i} (unaudited .take)")
     assert not offenders, offenders
 
 
@@ -273,40 +300,42 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-9 rotation targets (plans.ROTATION_WINDOW, VERDICT r8 task #3):
-# the 4 keys never certified by any driver artifact (registered after
-# the r8 window closed) + the 9 oldest stamps (1×r2 + 8×r3) + all 37
-# r4 stamps = exactly 50.  After r9 certifies, the never-count is 0 and
-# the oldest stamp on the surface becomes r5.  The window is the
-# EXPLICIT plans.ROTATION_WINDOW list (load_all reorders QUERIES); this
-# set pins the intended membership independently so an accidental edit
-# to either side fails here.  tools/driver_sim.py covers the full
-# surface meanwhile.
-ROTATION_R9 = {
-    # never driver-certified — registered after the r8 window closed
-    "agg_cms_heavy_hitters", "agg_theta_set_algebra",
-    "fn_collation_lcase", "fn_try_arithmetic",
-    # oldest stamp on the surface: r2
-    "join_bucketed_colocated",
-    # r3 stamps
-    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
-    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
-    "llm_fingerprint", "llm_ivf_topk",
-    # r4 stamps — sorts, the llm.py §2.10 block, and the r4-added
-    # dedup/vector/tpch-ext/mm/ml_iter families
-    "sort_multikey_nulls", "topk_global", "limit_offset",
-    "llm_exact_dedup", "llm_minhash_neardup", "llm_token_counts",
-    "llm_tfidf_topterms", "llm_text_stats", "llm_lang_filter_sample",
-    "llm_embed_normalize", "llm_cosine_topk", "llm_knn_query",
-    "llm_centroid_assign", "llm_multimodal_join", "llm_simhash_bucket",
-    "llm_minhash_lsh", "llm_cosine_neardup", "llm_ngram_jaccard",
-    "llm_simhash_neardup", "llm_corpus_pipeline", "llm_stratified_sample",
-    "llm_pack_sequences", "sort_multikey_scalable", "llm_dedup_clusters",
-    "llm_simhash_multiprobe", "llm_text_normalize", "q7_volume_shipping",
-    "q10_returned_items", "q12_priority_by_flag", "llm_cosine_topk_lsh",
-    "q22_global_sales_opportunity", "mm_binary_file_scan",
-    "llm_kmeans_iterate", "llm_pq_encode", "llm_ivf_pq_topk",
-    "llm_winnow_fingerprint", "llm_winnow_neardup",
+# Round-10 rotation targets (plans.ROTATION_WINDOW, VERDICT r9 task #1):
+# all 32 r5 stamps (the oldest mass post-r9) + the 18 registration-
+# oldest r6 stamps (the 16 aggregates.py keys + the first two scans.py
+# registrations) = exactly 50.  After r10 certifies, the oldest stamp
+# on the surface becomes r6.  The window is the EXPLICIT
+# plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set pins
+# the intended membership independently so an accidental edit to either
+# side fails here.  tools/driver_sim.py covers the full surface
+# meanwhile.
+ROTATION_R10 = {
+    # r5 stamps — §2.2 projection/filter
+    "proj_computed_columns", "filter_comparison_chain",
+    "filter_in_like_null", "filter_between_dates",
+    # §2.5 windows + win_percent_cume
+    "win_rank_topn_per_group", "win_rank_dense_ntile",
+    "win_lag_lead_delta", "win_running_sum", "win_moving_avg_rows",
+    "win_range_frame", "win_first_last", "win_percent_cume",
+    # §2.7 set ops + the *_all variants
+    "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "set_dropdup_subset",
+    "set_intersect_all", "set_except_all",
+    # §2.8 scalar functions
+    "fn_string", "fn_date", "fn_math", "fn_conditional",
+    "fn_array", "fn_map", "fn_json", "fn_hash",
+    # §2.11 UDF surface + right-outer join
+    "udf_scalar_py", "udf_pandas_vectorized", "udaf_grouped_pandas",
+    "udtf_explode_sessions", "join_right_outer",
+    # r6 stamps, 18 registration-oldest — aggregates.py
+    "agg_pricing_summary", "agg_count_distinct",
+    "agg_approx_count_distinct", "agg_conditional_filter",
+    "agg_stats_moments", "agg_percentiles", "agg_collect_sorted",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_distinct_rows",
+    "agg_min_max_by", "agg_pivot", "agg_approx_percentile",
+    "agg_hll_sketch_merge", "agg_unpivot_melt",
+    # ...and the first two scans.py registrations
+    "scan_parquet_project", "scan_all_tables_counts",
 }
 
 
@@ -315,18 +344,18 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-9 membership (ROTATION_R9 above) fills the first
+    the intended round-10 membership (ROTATION_R10 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R9 together with
+    side without the other fails here.  Update ROTATION_R10 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R9 - first50)
+    missing = sorted(ROTATION_R10 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R9
+    assert set(ROTATION_WINDOW) == ROTATION_R10
     assert len(ROTATION_WINDOW) == 50
 
 
@@ -334,16 +363,16 @@ def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-9 window opens with the never-certified sketch pair (led by
-    agg_cms_heavy_hitters), closes with llm_winnow_neardup at slot 49,
-    and the total key count
+    round-10 window opens with the r5-stamped filter family (led by
+    proj_computed_columns), closes with scan_all_tables_counts at slot
+    49, and the total key count
     must equal the full surface so a module gaining/losing a @register
     call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "agg_cms_heavy_hitters", keys[:3]
-    assert keys[4] == "join_bucketed_colocated", keys[3:6]
-    assert keys[49] == "llm_winnow_neardup", keys[45:52]
+    assert keys[0] == "proj_computed_columns", keys[:3]
+    assert keys[4] == "win_rank_topn_per_group", keys[3:6]
+    assert keys[49] == "scan_all_tables_counts", keys[45:52]
 
 
 def test_driver_window_is_fully_oracle_checkable():
@@ -644,7 +673,11 @@ def test_widen_if_narrow_semantics(spark):
 
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, SF_SMALL, "documents")
-    assert docs.rdd.getNumPartitions() < par  # fixture premise: narrow
+    if docs.rdd.getNumPartitions() >= par:
+        # ADVICE r9 #3: on a 1-core runner (defaultParallelism == 1)
+        # the scan is never narrower than the session — the premise,
+        # not the behavior, is absent; skip instead of failing.
+        pytest.skip("fixture scan not narrower than defaultParallelism")
     widened = widen_if_narrow(spark, docs)
     assert widened.rdd.getNumPartitions() == par
     assert widened.count() == docs.count()

@@ -131,3 +131,59 @@ def test_bm25_contrib_text_is_cross_engine_bit_identical(spark):
         (rows[i], a, b) for i, (a, b) in enumerate(zip(sv, dv)) if a != b
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_bm25_idf_floor_has_margin_at_every_fixture_input():
+    """VERDICT r9 task #4: the one library-dependent value in the BM25
+    chain is floor(ln(idf_arg) * 1e6) — if a fixture's pre-floor value
+    sat within libm's ~1e-9 ulp band of an integer boundary, a libm
+    build difference could flip the floor and the cross-engine identity
+    would hold while BOTH engines drifted from the intended score.
+    Enumerate every distinct (n_docs, df) the fixture query terms
+    produce at BOTH checked scales and assert the pre-floor value sits
+    > 1e-7 (100x the exposure) from its floor boundaries, so a future
+    fixture regen landing on a knife edge fails loudly here."""
+    import math
+
+    import duckdb
+
+    from climateiq_pipelines_spark.operators.retrieval_ext import (
+        _BM25_QUERY,
+    )
+
+    eps = 1e-7
+    for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"]:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/documents.parquet')"
+        )
+        terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+        pairs = con.execute(
+            f"""
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+              WHERE w <> ''
+            ),
+            tf AS (
+              SELECT doc_id, w FROM words WHERE w IN ({terms})
+              GROUP BY doc_id, w
+            ),
+            dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+            SELECT (SELECT COUNT(DISTINCT doc_id) FROM words) AS n_docs, df
+            FROM dfq
+            """
+        ).fetchall()
+        con.close()
+        assert pairs, f"no query-term hits at {sf_dir}?"
+        for n_docs, df in pairs:
+            pre_floor = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6
+            frac = pre_floor - math.floor(pre_floor)
+            assert eps < frac < 1 - eps, (
+                f"{sf_dir}: (n_docs={n_docs}, df={df}) pre-floor idf micro"
+                f" value {pre_floor!r} sits within {eps} of a floor"
+                f" boundary (frac={frac!r}) — regenerate or re-margin"
+            )

@@ -33,6 +33,15 @@ def main() -> int:
     assert len(E.entry(spark).collect()) > 0, "t1 smoke failed"
     con = duck_connect(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
+    # At the sf0.01 certification scale the sim is FAITHFUL to the real
+    # driver: static oracle_sql() strings only.  At any other sf_dir,
+    # keys with an SF-parameterized builder (plans.ORACLE_BUILDERS) get
+    # their oracle built for that scale (VERDICT r9 task #2) — the
+    # ORACLE_SF_PINNED attribution below remains the fallback for
+    # pinned keys WITHOUT a builder.
+    from climateiq_pipelines_spark.plans import ORACLE_BUILDERS
+
+    at_cert_sf = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
     bad: list[str] = []
     for key, fn in sorted(qs.items()):
         try:
@@ -43,7 +52,11 @@ def main() -> int:
         if key not in oracles:
             print(f"# {key}: rows-only ({len(pdf)} rows)", file=sys.stderr)
             continue
-        res = compare_frames(key, pdf, con.execute(oracles[key]).fetchdf())
+        if not at_cert_sf and key in ORACLE_BUILDERS:
+            oracle_text = ORACLE_BUILDERS[key](sf_dir)
+        else:
+            oracle_text = oracles[key]
+        res = compare_frames(key, pdf, con.execute(oracle_text).fetchdf())
         if not res.ok:
             from climateiq_pipelines_spark.plans import ORACLE_SF_PINNED
 

@@ -5,15 +5,25 @@ bug (BASELINE.md round-9).
 The driver certifies at sf0.01; value-range-driven divergences (floor
 knife-edges, quantize-of-double grid misses, n-proportional stopping
 rules) can hide below that scale. This sweep runs EVERY queries() key
-against its oracle_sql() twin at the given sf_dir (default sf0.1 —
-10x the certification scale) with the strict local comparator.
+against its oracle twin at the given sf_dir (default sf0.1 — 10x the
+certification scale) with the strict local comparator.
 
-Known documented non-green row at sf0.1: `llm_kmeans_converged` — its
-unrolled oracle pins the SF0.01 stopping round by design (module
-docstring in operators/iterative_ext.py); the engine's extra round at
-sf0.1 is correct under its n-proportional movement rule.
+Oracle selection (VERDICT r9 task #2): keys registered in
+plans.ORACLE_BUILDERS get their oracle text BUILT for the target
+sf_dir (the converged-iteration keys solve their stopping rule to
+fixpoint in DuckDB and unroll to that depth; the cluster key swaps the
+quadratic recursive reach-CTE for a fixpoint-depth label unroll).
+Everything else uses the static oracle_sql() text. Result: 232/232
+fully value-checked at ANY scale — no documented-exception map.
 
-Usage: python tools/parity_sweep.py [sf_dir]
+Fast mode (VERDICT r9 task #3): `--fast` dispatches
+llm_minhash_neardup to its banded LSH twin by setting
+llm.ALLPAIRS_MAX_DOCS = 0 — the two keys SHARE one oracle (banding is
+oracle-proven lossless), so this changes the executed PLAN, never the
+checked answer; the guarded exact path is already proven at
+certification scale each round. Coverage stays 232 keys.
+
+Usage: python tools/parity_sweep.py [--fast] [sf_dir]
 """
 
 from __future__ import annotations
@@ -24,23 +34,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_SCOPE_LIMITED = {
-    # key -> why a non-sf0.01 sweep may legitimately disagree
-    "llm_kmeans_converged": (
-        "oracle unrolls the SF0.01 stopping round; the movement rule is"
-        " n-proportional (operators/iterative_ext.py docstring)"
-    ),
-}
-
 
 def main() -> int:
     import duckdb
 
     from climateiq_pipelines_spark import get_spark
     from climateiq_pipelines_spark.parity import compare_frames
+    from climateiq_pipelines_spark.plans import ORACLE_BUILDERS
     import __spark_entry__ as E
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--fast"]
+    fast = "--fast" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    if fast:
+        from climateiq_pipelines_spark.operators import llm
+
+        llm.ALLPAIRS_MAX_DOCS = 0  # force the shared-oracle LSH plan
+        print("FAST MODE: llm_minhash_neardup dispatches to the LSH twin",
+              flush=True)
     spark = get_spark(app_name="parity-sweep", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -53,7 +64,7 @@ def main() -> int:
             f" read_parquet('{sf_dir}/{t}.parquet')"
         )
     queries, oracles = E.queries(), E.oracle_sql()
-    bad, scoped, t_all = [], [], time.perf_counter()
+    bad, built, t_all = [], [], time.perf_counter()
     for i, (key, fn) in enumerate(queries.items()):
         t0 = time.perf_counter()
         try:
@@ -65,13 +76,15 @@ def main() -> int:
                     flush=True,
                 )
                 continue
-            du = con.execute(oracles[key]).df()
+            if key in ORACLE_BUILDERS:
+                text = ORACLE_BUILDERS[key](sf_dir)
+                built.append(key)
+            else:
+                text = oracles[key]
+            du = con.execute(text).df()
             res = compare_frames(key, sp, du)
             if res.ok:
-                tag = "OK"
-            elif key in EXPECTED_SCOPE_LIMITED:
-                tag = "SCOPE-LIMITED (documented)"
-                scoped.append(key)
+                tag = "OK" + (" (built oracle)" if key in built else "")
             else:
                 tag = "MISMATCH"
                 bad.append((key, res.reasons))
@@ -85,7 +98,8 @@ def main() -> int:
             print(f"[{i + 1}/{len(queries)}] {key}: EXC {exc}", flush=True)
     print(
         f"TOTAL {time.perf_counter() - t_all:.0f}s;"
-        f" unexpected mismatches={len(bad)}; documented-scope={scoped}",
+        f" unexpected mismatches={len(bad)}; built oracles={built};"
+        f" fast={fast}",
         flush=True,
     )
     for k, r in bad:
