@@ -142,11 +142,16 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
+        # No .distinct() between the stars (round-10 A/B): the
+        # downstream min-aggregate is duplicate-insensitive and its
+        # partial (map-side) aggregation collapses duplicates without
+        # a dedicated shuffle, while the round's FINAL distinct still
+        # canonicalizes the state — measured 4.18-4.34 s -> 4.04 s
+        # warm at sf0.1 (BASELINE.md round-10), answers identical.
         e = (
             nbrs.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # SMALL-STAR: edges are oriented u > v, so Γ⁻(u) is u's full
         # smaller neighborhood; link each of them AND u itself to
