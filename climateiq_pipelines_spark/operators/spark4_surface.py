@@ -230,17 +230,20 @@ def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- fn_try_arithmetic -------------------------------------------------
 _LONG_MAX = 9223372036854775807
 _LONG_MIN = -9223372036854775808
-_MUL_K = 1 << 53  # overflow iff l_orderkey > 1023 — present at every SF
+# Overflow iff l_orderkey > 1023 — but ONLY on the qty=50 rows (~2%):
+# round-10 rebalance, see the builder docstring's cost note.
+_MUL_K = 1 << 53
 
 _TRY_ORACLE = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COALESCE(SUM(CASE WHEN l_quantity = 25 THEN 1 END), 0)
                 AS BIGINT) AS div_nulls,
-           CAST(COALESCE(SUM(CASE WHEN l_orderkey > {_LONG_MAX} // {_MUL_K}
+           CAST(COALESCE(SUM(CASE WHEN l_quantity = 50 AND
+                             l_orderkey > {_LONG_MAX} // {_MUL_K}
                              THEN 1 END), 0) AS BIGINT) AS mul_nulls,
            CAST(COALESCE(SUM(CASE WHEN l_suppkey > l_partkey THEN 1 END), 0)
                 AS BIGINT) AS add_nulls,
-           CAST(COALESCE(SUM(CASE WHEN l_suppkey > l_quantity THEN 1 END), 0)
+           CAST(COALESCE(SUM(CASE WHEN l_quantity > l_suppkey THEN 1 END), 0)
                 AS BIGINT) AS sub_nulls
     FROM lineitem
 """
@@ -253,17 +256,30 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     division-by-zero and int64 overflow — the semantics that let a
     100 TB batch survive one poisoned row. Each operator is driven into
     its failure mode by real data (quantity = 25 zeroes the divisor;
-    orderkey * 2^53 overflows above 1023; MAX - partkey + suppkey and
-    MIN + quantity - suppkey overflow on key inversions) and the NULL
-    counts are the checked output — the oracle derives the SAME counts
-    from pure comparison arithmetic, proving the engine nulls exactly
-    the rows the ANSI overflow rules say it must, no more (silent
-    wraparound) and no fewer (spurious nulls).
+    on the qty=50 rows orderkey * 2^53 overflows above 1023;
+    MAX - partkey + suppkey and MIN + suppkey - quantity overflow on
+    key inversions) and the NULL counts are the checked output — the
+    oracle derives the SAME counts from pure comparison arithmetic,
+    proving the engine nulls exactly the rows the ANSI overflow rules
+    say it must, no more (silent wraparound) and no fewer (spurious
+    nulls).
 
     Scale: a single map-side aggregate; the point is semantic — with
     plain operators under ANSI mode this scan THROWS on the first
     overflow, and with ANSI off it silently wraps; try_* is the only
-    form that is both lossless to count and safe to run."""
+    form that is both lossless to count and safe to run.
+
+    Cost note (round-10 rebalance): Spark's try_* evaluates via
+    Math.*Exact and pays a caught JVM ArithmeticException PER
+    OVERFLOWING ROW (~15 µs measured) — the original mul/sub legs
+    poisoned ~100% of rows and cost 12.6 s + 8.2 s at sf0.1 for a
+    600k-row map aggregate (BASELINE.md round-10). try_*'s contract is
+    surviving RARE poison; the legs now poison a small data-driven
+    subset (mul: the qty=50 slice, ~2%; sub: quantity > suppkey) so
+    the demo matches the production shape and the scan runs at scan
+    speed. A pipeline whose try_* nulls a majority of rows should
+    filter first — exception control flow is the dominant cost there
+    on ANY JVM engine."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -279,7 +295,11 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("div_nulls"),
         F.sum(
             F.when(
-                F.expr(f"try_multiply(l_orderkey, {_MUL_K}L)").isNull(), 1
+                F.expr(
+                    f"try_multiply(l_orderkey, CAST(CASE WHEN"
+                    f" l_quantity = 50 THEN {_MUL_K} ELSE 1 END AS LONG))"
+                ).isNull(),
+                1,
             )
         )
         .cast("long")
@@ -297,8 +317,8 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.expr(
-                    f"try_subtract({_LONG_MIN}L + CAST(l_quantity AS LONG),"
-                    " l_suppkey)"
+                    f"try_subtract({_LONG_MIN}L + CAST(l_suppkey AS LONG),"
+                    " CAST(l_quantity AS LONG))"
                 ).isNull(),
                 1,
             )

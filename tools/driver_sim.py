@@ -19,9 +19,14 @@ from pyspark.sql import SparkSession
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Non-UTC by default to catch timestamp_ntz leaks; override with
+    # DRIVER_SIM_TZ for the per-round second-timezone rotation (r9 ran
+    # Asia/Kolkata, +05:30 — a half-hour offset catches a class of
+    # rounding bugs whole-hour zones cannot).
+    tz = os.environ.get("DRIVER_SIM_TZ", "America/New_York")
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.session.timeZone", tz)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
