@@ -331,7 +331,19 @@ def llm_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = selected.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sel"))
-    sized = selected.join(sizes, "doc_id")
+    # Same diamond as llm_ngram_jaccard (llm.py round-9 fix): the pair
+    # self-join consumes `sized` on BOTH differently-aliased sides and
+    # Catalyst does not reuse the exchange across them, so without
+    # materialization the per-position md5 explode + window + distinct
+    # lineage runs several times. One localCheckpoint of the compressed
+    # sketch relation (~2/(w+1) of the k-gram rows) removes the
+    # re-execution: measured 6.2-6.5 s -> 5.8 s warm at sf0.1 — modest
+    # here because the wall is the posting-list join itself (11.7M
+    # candidate groups from 8-char collisions; stage profile in
+    # BASELINE.md round-10), which is exactly the cost the docstring's
+    # 100 TB stoplist note is about. The checkpoint still removes 2-3
+    # executions of the fingerprint lineage at any scale.
+    sized = selected.join(sizes, "doc_id").localCheckpoint()
     a = sized.select(
         F.col("doc_id").alias("a_id"), "sel", F.col("n_sel").alias("a_sel")
     )
