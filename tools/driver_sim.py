@@ -4,7 +4,12 @@ Builds a driver-like session (NOT the engine's factory, non-UTC timezone
 to catch timestamp_ntz leaks), runs t1 smoke + every queries() key at
 sf0.01 against its DuckDB oracle with the strict local comparator.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [--window] [sf_dir]
+
+--window restricts the sweep to the first 50 registration-order keys —
+exactly the slice the external driver certifies (plans.ROTATION_WINDOW)
+— for fast validation right after a rotation edit, before the full
+232-key run.
 """
 
 from __future__ import annotations
@@ -18,7 +23,9 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # Non-UTC by default to catch timestamp_ntz leaks; override with
     # DRIVER_SIM_TZ for the per-round second-timezone rotation (r9 ran
     # Asia/Kolkata, +05:30 — a half-hour offset catches a class of
@@ -38,6 +45,13 @@ def main() -> int:
     assert len(E.entry(spark).collect()) > 0, "t1 smoke failed"
     con = duck_connect(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
+    if window_only:
+        # The driver artifact truncates at 50 entries; registration
+        # order IS certification priority (plans._apply_rotation_window)
+        # — keep insertion order, not sorted order, for the slice.
+        qs = dict(list(qs.items())[:50])
+        print(f"# --window: first {len(qs)} registration-order keys",
+              file=sys.stderr)
     # At the sf0.01 certification scale the sim is FAITHFUL to the real
     # driver: static oracle_sql() strings only.  At any other sf_dir,
     # keys with an SF-parameterized builder (plans.ORACLE_BUILDERS) get
