@@ -104,6 +104,8 @@ def test_no_scope_limited_waiver_remains():
     """ADVICE r9 #1: the blanket EXPECTED_SCOPE_LIMITED waiver could
     hide a REAL llm_kmeans_converged regression.  The builder makes the
     waiver unnecessary; pin its absence so it cannot quietly return."""
-    text = Path("tools/parity_sweep.py").read_text()
+    text = (
+        Path(__file__).resolve().parent.parent / "tools" / "parity_sweep.py"
+    ).read_text()
     assert "EXPECTED_SCOPE_LIMITED" not in text
     assert "ORACLE_BUILDERS" in text
