@@ -95,44 +95,55 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 10 (VERDICT r9 task #1, pre-sequenced in SURVEY §11): post-r9
-# the stamp distribution is 32×r5, 50×r6, 50×r7, 50×r8, 50×r9 with zero
-# never-certified keys, so the window chases the oldest-stamp mass:
-# ALL 32 r5 stamps (the §2.2 filters, §2.5 windows, §2.7 setops incl.
-# the *_all variants, §2.8 scalar-fn family, §2.11 UDFs, right-outer
-# join, win_percent_cume) + the 18 registration-oldest r6 stamps (the
-# 16 aggregates.py keys + the first two scans) = exactly 50.  After
-# this round certifies, the oldest stamp anywhere becomes r6 (steady
-# state: every key re-certified at least once per ~5 rounds).
-# Round 9's window (4 never-certified + 1×r2 + 8×r3 + 37×r4) is
-# recorded in SURVEY §11.2's as-built log.
+# Round 11 (VERDICT r10 task #1, pre-sequenced in SURVEY §11.3):
+# post-r10 the stamp distribution is 32×r6, 50×r7, 50×r8, 50×r9,
+# 50×r10 with zero never-certified keys.  THREE keys changed in round
+# 10 AFTER their r9 stamps and lead the window (the sort_multikey_nulls
+# r9 precedent): llm_dedup_clusters (intermediate distinct removed),
+# llm_winnow_neardup (sketch checkpoint added), fn_try_arithmetic
+# (overflow legs AND oracle text rebalanced — its r9 stamp certifies
+# the old pair).  Then ALL 32 remaining r6 stamps (scan/sink formats,
+# the q4/q13/q14/q19/q21/q2 TPC-H block, llm_pipeline_ext's 4,
+# events_funnel/cohort, and the 13 r6-stamped join keys incl.
+# join_salted_skew + join_asof_tolerance) + the 15 registration-oldest
+# r7 stamps (the 14 streaming keys + mm_binary_ingest) = exactly 50.
+# mm_decode_features / mm_frame_sample / mm_ppm_decode roll to r12.
+# After this round certifies, the oldest stamp anywhere becomes r7
+# (steady state: every key re-certified at least once per ~5 rounds).
+# Round 10's window (32×r5 + 18×r6) is recorded in SURVEY §11.3's
+# as-built log.
 ROTATION_WINDOW: list[str] = [
-    # r5 stamps (32) — §2.2 projection/filter (4)
-    "proj_computed_columns", "filter_comparison_chain",
-    "filter_in_like_null", "filter_between_dates",
-    # §2.5 windows (7) + win_percent_cume (1)
-    "win_rank_topn_per_group", "win_rank_dense_ntile",
-    "win_lag_lead_delta", "win_running_sum", "win_moving_avg_rows",
-    "win_range_frame", "win_first_last", "win_percent_cume",
-    # §2.7 set ops (5) + the *_all variants (2)
-    "set_union_all", "set_union_distinct", "set_intersect",
-    "set_except", "set_dropdup_subset",
-    "set_intersect_all", "set_except_all",
-    # §2.8 scalar functions (8)
-    "fn_string", "fn_date", "fn_math", "fn_conditional",
-    "fn_array", "fn_map", "fn_json", "fn_hash",
-    # §2.11 UDF surface (4) + right-outer join (1)
-    "udf_scalar_py", "udf_pandas_vectorized", "udaf_grouped_pandas",
-    "udtf_explode_sessions", "join_right_outer",
-    # r6 stamps, 18 registration-oldest — aggregates.py (16)
-    "agg_pricing_summary", "agg_count_distinct",
-    "agg_approx_count_distinct", "agg_conditional_filter",
-    "agg_stats_moments", "agg_percentiles", "agg_collect_sorted",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_distinct_rows",
-    "agg_min_max_by", "agg_pivot", "agg_approx_percentile",
-    "agg_hll_sketch_merge", "agg_unpivot_melt",
-    # ...and the first two scans.py registrations (2)
-    "scan_parquet_project", "scan_all_tables_counts",
+    # changed-after-stamp keys (3) — priority per the r9 precedent
+    "llm_dedup_clusters", "llm_winnow_neardup", "fn_try_arithmetic",
+    # r6 stamps (32) — scan/sink formats (7)
+    "scan_csv_roundtrip", "scan_json_roundtrip",
+    "sink_partitioned_parquet", "sink_sorted_bucketed",
+    "sink_merge_upsert", "scan_orc_roundtrip", "scan_text_roundtrip",
+    # TPC-H block (6)
+    "q4_order_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    # llm_pipeline_ext (4)
+    "llm_ngram_contamination", "llm_mixture_weights",
+    "llm_seqlen_histogram", "llm_repetition_filter",
+    # events analytics (2)
+    "events_funnel_steps", "events_cohort_retention",
+    # joins (13) — the 11 remaining §2.3 keys + salted/tolerance
+    "join_broadcast_dim", "join_shuffle_fact", "join_multikey",
+    "join_left_outer", "join_full_outer", "join_left_semi",
+    "join_left_anti", "join_cross_small", "join_theta_inequality",
+    "join_range_interval", "join_asof_last_event",
+    "join_asof_tolerance", "join_salted_skew",
+    # r7 stamps, 15 registration-oldest — streaming (14)
+    "stream_tumbling_window", "stream_sliding_window",
+    "stream_session_window", "stream_watermark_late",
+    "stream_stateful_dedup", "stream_running_counts",
+    "stream_readstream_demo", "stream_stateful_sessions",
+    "stream_sliding_demo", "stream_dedup_watermark_demo",
+    "stream_stream_join_demo", "stream_foreachbatch_sink",
+    "stream_watermark_spans", "stream_windowed_topk_demo",
+    # ...and mm_binary_ingest (1)
+    "mm_binary_ingest",
 ]
 def load_all() -> None:
     """Import every operator module so its @register calls run."""

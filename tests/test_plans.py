@@ -300,42 +300,47 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-10 rotation targets (plans.ROTATION_WINDOW, VERDICT r9 task #1):
-# all 32 r5 stamps (the oldest mass post-r9) + the 18 registration-
-# oldest r6 stamps (the 16 aggregates.py keys + the first two scans.py
-# registrations) = exactly 50.  After r10 certifies, the oldest stamp
-# on the surface becomes r6.  The window is the EXPLICIT
+# Round-11 rotation targets (plans.ROTATION_WINDOW, VERDICT r10 task
+# #1): the 3 keys whose code/oracle changed in round 10 AFTER their r9
+# driver stamps, then all 32 remaining r6 stamps (the oldest mass
+# post-r10), then the 15 registration-oldest r7 stamps (14 streaming +
+# mm_binary_ingest) = exactly 50.  After r11 certifies, the oldest
+# stamp on the surface becomes r7.  The window is the EXPLICIT
 # plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set pins
 # the intended membership independently so an accidental edit to either
 # side fails here.  tools/driver_sim.py covers the full surface
 # meanwhile.
-ROTATION_R10 = {
-    # r5 stamps — §2.2 projection/filter
-    "proj_computed_columns", "filter_comparison_chain",
-    "filter_in_like_null", "filter_between_dates",
-    # §2.5 windows + win_percent_cume
-    "win_rank_topn_per_group", "win_rank_dense_ntile",
-    "win_lag_lead_delta", "win_running_sum", "win_moving_avg_rows",
-    "win_range_frame", "win_first_last", "win_percent_cume",
-    # §2.7 set ops + the *_all variants
-    "set_union_all", "set_union_distinct", "set_intersect",
-    "set_except", "set_dropdup_subset",
-    "set_intersect_all", "set_except_all",
-    # §2.8 scalar functions
-    "fn_string", "fn_date", "fn_math", "fn_conditional",
-    "fn_array", "fn_map", "fn_json", "fn_hash",
-    # §2.11 UDF surface + right-outer join
-    "udf_scalar_py", "udf_pandas_vectorized", "udaf_grouped_pandas",
-    "udtf_explode_sessions", "join_right_outer",
-    # r6 stamps, 18 registration-oldest — aggregates.py
-    "agg_pricing_summary", "agg_count_distinct",
-    "agg_approx_count_distinct", "agg_conditional_filter",
-    "agg_stats_moments", "agg_percentiles", "agg_collect_sorted",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_distinct_rows",
-    "agg_min_max_by", "agg_pivot", "agg_approx_percentile",
-    "agg_hll_sketch_merge", "agg_unpivot_melt",
-    # ...and the first two scans.py registrations
-    "scan_parquet_project", "scan_all_tables_counts",
+ROTATION_R11 = {
+    # changed-after-stamp priority keys
+    "llm_dedup_clusters", "llm_winnow_neardup", "fn_try_arithmetic",
+    # r6 stamps — scan/sink formats
+    "scan_csv_roundtrip", "scan_json_roundtrip",
+    "sink_partitioned_parquet", "sink_sorted_bucketed",
+    "sink_merge_upsert", "scan_orc_roundtrip", "scan_text_roundtrip",
+    # TPC-H block
+    "q4_order_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    # llm_pipeline_ext
+    "llm_ngram_contamination", "llm_mixture_weights",
+    "llm_seqlen_histogram", "llm_repetition_filter",
+    # events analytics
+    "events_funnel_steps", "events_cohort_retention",
+    # joins — the 11 remaining §2.3 keys + salted/tolerance
+    "join_broadcast_dim", "join_shuffle_fact", "join_multikey",
+    "join_left_outer", "join_full_outer", "join_left_semi",
+    "join_left_anti", "join_cross_small", "join_theta_inequality",
+    "join_range_interval", "join_asof_last_event",
+    "join_asof_tolerance", "join_salted_skew",
+    # r7 stamps, 15 registration-oldest — streaming + mm_binary_ingest
+    "stream_tumbling_window", "stream_sliding_window",
+    "stream_session_window", "stream_watermark_late",
+    "stream_stateful_dedup", "stream_running_counts",
+    "stream_readstream_demo", "stream_stateful_sessions",
+    "stream_sliding_demo", "stream_dedup_watermark_demo",
+    "stream_stream_join_demo", "stream_foreachbatch_sink",
+    "stream_watermark_spans", "stream_windowed_topk_demo",
+    "mm_binary_ingest",
 }
 
 
@@ -344,18 +349,18 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-10 membership (ROTATION_R10 above) fills the first
+    the intended round-11 membership (ROTATION_R11 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R10 together with
+    side without the other fails here.  Update ROTATION_R11 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R10 - first50)
+    missing = sorted(ROTATION_R11 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R10
+    assert set(ROTATION_WINDOW) == ROTATION_R11
     assert len(ROTATION_WINDOW) == 50
 
 
@@ -363,16 +368,16 @@ def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-10 window opens with the r5-stamped filter family (led by
-    proj_computed_columns), closes with scan_all_tables_counts at slot
-    49, and the total key count
+    round-11 window opens with the three changed-after-stamp keys (led
+    by llm_dedup_clusters), closes with mm_binary_ingest at slot 49,
+    and the total key count
     must equal the full surface so a module gaining/losing a @register
     call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "proj_computed_columns", keys[:3]
-    assert keys[4] == "win_rank_topn_per_group", keys[3:6]
-    assert keys[49] == "scan_all_tables_counts", keys[45:52]
+    assert keys[0] == "llm_dedup_clusters", keys[:3]
+    assert keys[3] == "scan_csv_roundtrip", keys[2:5]
+    assert keys[49] == "mm_binary_ingest", keys[45:52]
 
 
 def test_driver_window_is_fully_oracle_checkable():
