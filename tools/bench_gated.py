@@ -1,0 +1,108 @@
+"""Load-gated bench launcher — the committed closing run's front door.
+
+VERDICT r10 task #2: round 10 burned nine steal-polluted bench attempts
+before landing one clean record run, with the gating done by hand
+(watch `uptime`, launch when quiet).  This wrapper codifies that: poll
+the 1-minute load average and only launch `bench.py` once it sits below
+the threshold, retrying on a timer; every polling decision is recorded
+and EMBEDDED in the output artifact so a reader can see exactly what
+the host looked like around the committed number instead of trusting a
+prose note.
+
+The gate is PRE-LAUNCH only.  `load_1m_after` is self-inflicted (the
+suite itself drives all local cores — the r10 record run ended at load
+3.44 after starting at 0.09), so post-run load cannot distinguish steal
+from honest work; what it CAN do is flag a storm that arrived
+mid-suite, which is why both values stay in the artifact for the
+reader.  bench.py itself is untouched — the external driver invokes it
+directly and must never block on host weather.
+
+Usage:
+    python tools/bench_gated.py [--threshold 0.2] [--poll 30]
+        [--max-wait 3600] [--out bench_rNN_record.json]
+
+Exit 0 with the artifact written, or exit 1 if the host never went
+quiet within --max-wait (nothing is written; attempts go to stderr so
+the evidence of the refusal survives in the terminal log).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=0.2,
+                    help="max load_1m at which bench.py may launch")
+    ap.add_argument("--poll", type=float, default=30.0,
+                    help="seconds between load polls while waiting")
+    ap.add_argument("--max-wait", type=float, default=3600.0,
+                    help="give up (exit 1) after this many seconds")
+    ap.add_argument("--out", default=os.path.join(REPO, "bench_record.json"))
+    args = ap.parse_args()
+
+    attempts: list[dict] = []
+    waited = 0.0
+    while True:
+        load = round(os.getloadavg()[0], 2)
+        ok = load <= args.threshold
+        attempts.append({
+            "load_1m": load,
+            "launched": ok,
+            "waited_sec": round(waited, 1),
+        })
+        print(f"# load_1m={load} threshold={args.threshold} "
+              f"{'LAUNCH' if ok else 'wait'}", file=sys.stderr)
+        if ok:
+            break
+        if waited >= args.max_wait:
+            print(f"# host never went quiet within {args.max_wait}s; "
+                  "refusing to commit a steal-polluted number",
+                  file=sys.stderr)
+            print(json.dumps(attempts, indent=1), file=sys.stderr)
+            return 1
+        time.sleep(args.poll)
+        waited += args.poll
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        print(f"# bench.py failed rc={proc.returncode}", file=sys.stderr)
+        return proc.returncode
+
+    # bench.py prints exactly one JSON line on stdout; the full
+    # per-query dict lands in BENCH_QUERIES.json next to it.
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
+        detail = json.load(f)
+    artifact = dict(detail)  # queries + summary fields
+    artifact["gate"] = {
+        "threshold": args.threshold,
+        "poll_sec": args.poll,
+        "attempts": attempts,
+        "bench_wall_sec": round(time.time() - t0, 1),
+    }
+    assert summary["value"] == artifact["value"]  # same run, two views
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps({k: artifact[k] for k in
+                      ("metric", "value", "unit", "n_queries", "sf")}))
+    print(f"# wrote {args.out} ({len(attempts)} gate attempt(s))",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -21,7 +21,21 @@ llm_minhash_neardup to its banded LSH twin by setting
 llm.ALLPAIRS_MAX_DOCS = 0 — the two keys SHARE one oracle (banding is
 oracle-proven lossless), so this changes the executed PLAN, never the
 checked answer; the guarded exact path is already proven at
-certification scale each round. Coverage stays 232 keys.
+certification scale each round. The per-key line prints
+"OK (LSH twin plan)" so the substitution is visible in archived logs
+(ADVICE r10 #4). Coverage stays 232 keys.
+
+Fast mode, digest keys (VERDICT r10 task #3): the three
+full-projection keys whose strict per-cell comparator dominates sweep
+wall (fn_math 16.3 s / proj_computed_columns 10.8 s / fn_date 9.0 s
+at sf0.1 — sub-second engine plans buried under 600k x 13-cell Python
+canonicalization) compare a 2-value digest aggregate computed INSIDE
+each engine instead (climateiq_pipelines_spark/parity_digest.py; the
+sink_compression_codecs construction with an exact IEEE float
+decomposition).  Strict per-cell canonicalization still runs for them
+at sf0.01 certification scale, in every non-fast sweep, and in
+driver_sim; tests/test_parity_digest.py pins that the digest twins
+fail alongside the strict comparator on single-cell mutations.
 
 Usage: python tools/parity_sweep.py [--fast] [sf_dir]
 """
@@ -33,6 +47,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Fast-mode digest keys (VERDICT r10 task #3): full-projection keys
+# whose strict-comparator cost dominates their sweep wall while the
+# engine plan is sub-second.  Membership is a deliberate act — adding
+# a key here removes its per-cell check from FAST sweeps only, so the
+# key must be (a) in every driver window rotation as usual and (b)
+# covered by the digest mutation pin in tests/test_parity_digest.py.
+DIGEST_FAST_KEYS = {"fn_math", "proj_computed_columns", "fn_date"}
 
 
 def main() -> int:
@@ -68,6 +90,28 @@ def main() -> int:
     for i, (key, fn) in enumerate(queries.items()):
         t0 = time.perf_counter()
         try:
+            if fast and key in DIGEST_FAST_KEYS:
+                from climateiq_pipelines_spark import parity_digest as PD
+
+                df = fn(spark, sf_dir)
+                cols = PD.kinds_from_spark(df)
+                sd = PD.spark_digest(spark, df)
+                dd = PD.duck_digest(con, cols, oracles[key])
+                if tuple(sd.iloc[0]) == tuple(dd.iloc[0]):
+                    tag = "OK (digest twin)"
+                else:
+                    tag = "MISMATCH"
+                    bad.append((key, [
+                        f"digest spark={tuple(sd.iloc[0])}"
+                        f" oracle={tuple(dd.iloc[0])}"
+                        " — re-run without --fast to localize"
+                    ]))
+                print(
+                    f"[{i + 1}/{len(queries)}] {key}: {tag}"
+                    f" ({time.perf_counter() - t0:.1f}s)",
+                    flush=True,
+                )
+                continue
             sp = fn(spark, sf_dir).toPandas()
             if key not in oracles:
                 print(
@@ -85,6 +129,8 @@ def main() -> int:
             res = compare_frames(key, sp, du)
             if res.ok:
                 tag = "OK" + (" (built oracle)" if key in built else "")
+                if fast and key == "llm_minhash_neardup":
+                    tag += " (LSH twin plan)"  # ADVICE r10 #4 visibility
             else:
                 tag = "MISMATCH"
                 bad.append((key, res.reasons))
