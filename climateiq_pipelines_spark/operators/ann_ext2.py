@@ -361,8 +361,7 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_pos = (
         eval_docs.select(F.explode(grams).alias("s"))
         .select(F.explode(F.array(*positions)).alias("pos"))
-        .agg(F.collect_set("pos").alias("ps"))
-        .take(1)
+        .agg(F.collect_set("pos").alias("ps")).take(1)
     )
     set_pos = set(eval_pos[0]["ps"]) if eval_pos else set()
     assert len(set_pos) <= _BLOOM_BITS

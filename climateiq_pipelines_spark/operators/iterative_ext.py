@@ -21,6 +21,8 @@ Registered last in plans.load_all — after the round-7 driver window.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -32,6 +34,29 @@ from climateiq_pipelines_spark.registry import load_table
 # so sweep tooling + tests can call the oracle builders repeatedly
 # without re-running the DuckDB fixpoint loop each time.
 _STOP_ROUND_CACHE: dict[tuple[str, str], int] = {}
+
+# VERDICT r10 task #4: COMMITTED memo of solved stopping rounds per
+# fixture-dir BASENAME, consulted before the in-process cache and the
+# DuckDB solve — repeat sweeps (fresh processes) skip the fixpoint
+# loop entirely.  Staleness protection: the solvers stay the source of
+# truth, and tests/test_oracle_builders.py re-derives one SF of every
+# solver each run (via the _solve_* functions, which never consult
+# this map) and fails loudly if a fixture change moves a stopping
+# round.  An sf_dir whose basename is absent here still solves live.
+SOLVED_STOP_ROUNDS: dict[tuple[str, str], int] = {
+    ("pagerank", "sf0.001"): 18,
+    ("pagerank", "sf0.01"): 18,
+    ("pagerank", "sf0.1"): 18,
+    ("kmeans", "sf0.001"): 3,
+    ("kmeans", "sf0.01"): 3,
+    ("kmeans", "sf0.1"): 4,
+}
+
+
+def _memo_rounds(kind: str, sf_dir: str) -> int | None:
+    return SOLVED_STOP_ROUNDS.get(
+        (kind, os.path.basename(os.path.normpath(sf_dir)))
+    )
 
 # ---------------------------------------------------------------- pagerank
 
@@ -87,14 +112,26 @@ def _pagerank_converged_oracle(n_rounds: int) -> str:
 
 
 def _pagerank_stop_round(sf_dir: str) -> int:
+    """Stopping round for this sf_dir: committed memo (by fixture
+    basename) -> in-process cache -> live DuckDB solve."""
+    memo = _memo_rounds("pagerank", sf_dir)
+    if memo is not None:
+        return memo
+    got = _STOP_ROUND_CACHE.get(("pagerank", sf_dir))
+    if got is not None:
+        return got
+    n_rounds = _solve_pagerank_rounds(sf_dir)
+    _STOP_ROUND_CACHE[("pagerank", sf_dir)] = n_rounds
+    return n_rounds
+
+
+def _solve_pagerank_rounds(sf_dir: str) -> int:
     """Run the engine's residual stopping rule to fixpoint in DuckDB
     (integer-exact state ⇒ identical residuals ⇒ identical stopping
     round — module docstring) so the oracle builder can unroll to the
     right depth for ANY sf_dir.  Incremental temp tables, not prefix
-    re-execution: linear in rounds."""
-    got = _STOP_ROUND_CACHE.get(("pagerank", sf_dir))
-    if got is not None:
-        return got
+    re-execution: linear in rounds.  Never consults the memo — this is
+    the re-derivation path the staleness test drives."""
     import duckdb
 
     con = duckdb.connect()
@@ -143,7 +180,6 @@ def _pagerank_stop_round(sf_dir: str) -> int:
             n_rounds = rnd
             break
     con.close()
-    _STOP_ROUND_CACHE[("pagerank", sf_dir)] = n_rounds
     return n_rounds
 
 
@@ -331,14 +367,26 @@ def _kmeans_converged_oracle(n_rounds: int) -> str:
 
 
 def _kmeans_stop_round(sf_dir: str) -> int:
+    """Stopping round for this sf_dir: committed memo (by fixture
+    basename) -> in-process cache -> live DuckDB solve."""
+    memo = _memo_rounds("kmeans", sf_dir)
+    if memo is not None:
+        return memo
+    got = _STOP_ROUND_CACHE.get(("kmeans", sf_dir))
+    if got is not None:
+        return got
+    n_rounds = _solve_kmeans_rounds(sf_dir)
+    _STOP_ROUND_CACHE[("kmeans", sf_dir)] = n_rounds
+    return n_rounds
+
+
+def _solve_kmeans_rounds(sf_dir: str) -> int:
     """Run the engine's movement stopping rule (moved ≤ n/_KM_TOL_DIV,
     cap _KM_MAX_ROUNDS) to fixpoint in DuckDB — same arithmetic as the
     unrolled oracle CTEs, incremental temp tables instead of prefix
     re-execution.  Integer-exact per-round state ⇒ identical movement
-    counts ⇒ identical stopping round (module docstring)."""
-    got = _STOP_ROUND_CACHE.get(("kmeans", sf_dir))
-    if got is not None:
-        return got
+    counts ⇒ identical stopping round (module docstring).  Never
+    consults the memo — the staleness test's re-derivation path."""
     import duckdb
 
     con = duckdb.connect()
@@ -398,7 +446,6 @@ def _kmeans_stop_round(sf_dir: str) -> int:
             n_rounds = rnd
             break
     con.close()
-    _STOP_ROUND_CACHE[("kmeans", sf_dir)] = n_rounds
     return n_rounds
 
 

@@ -109,3 +109,52 @@ def test_no_scope_limited_waiver_remains():
     ).read_text()
     assert "EXPECTED_SCOPE_LIMITED" not in text
     assert "ORACLE_BUILDERS" in text
+
+
+def test_committed_stop_round_memos_match_live_solve():
+    """VERDICT r10 task #4: the committed SOLVED_* memo maps let repeat
+    sweeps skip the DuckDB fixpoint solve, so a fixture change must be
+    caught HERE — re-derive one SF per solver each run through the
+    _solve_* paths (which never consult the memos) and assert the memo
+    row agrees.  sf0.001 keeps this under a second per solver."""
+    from climateiq_pipelines_spark.operators.dedup_graph import (
+        SOLVED_LABEL_ROUNDS,
+        _solve_cluster_label_rounds,
+    )
+    from climateiq_pipelines_spark.operators.iterative_ext import (
+        SOLVED_STOP_ROUNDS,
+        _solve_kmeans_rounds,
+        _solve_pagerank_rounds,
+    )
+
+    sf_dir, base = SF001, SF001.rstrip("/").rsplit("/", 1)[-1]
+    assert _solve_pagerank_rounds(sf_dir) == SOLVED_STOP_ROUNDS[
+        ("pagerank", base)
+    ]
+    assert _solve_kmeans_rounds(sf_dir) == SOLVED_STOP_ROUNDS[
+        ("kmeans", base)
+    ]
+    assert _solve_cluster_label_rounds(sf_dir) == SOLVED_LABEL_ROUNDS[base]
+
+
+def test_memo_consulted_before_solving(monkeypatch):
+    """The memo must short-circuit BEFORE any DuckDB work: with the
+    duckdb module poisoned, a memoized sf_dir still answers (and an
+    unknown basename raises through the poisoned import) — pinning the
+    lookup order the sweep-wall saving depends on."""
+    import builtins
+
+    from climateiq_pipelines_spark.operators import iterative_ext as ie
+
+    real_import = builtins.__import__
+
+    def poisoned(name, *a, **k):
+        if name == "duckdb":
+            raise AssertionError("solver ran despite committed memo")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", poisoned)
+    assert ie._pagerank_stop_round("/root/testdata/sf0.1") == 18
+    assert ie._kmeans_stop_round("/root/testdata/sf0.1") == 4
+    with pytest.raises(AssertionError, match="despite committed memo"):
+        ie._solve_pagerank_rounds("/root/testdata/sf0.001")

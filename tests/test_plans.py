@@ -199,8 +199,10 @@ TAKE_OK = [
     ("ann_ext2.py", r"emb\.take\(max_vectors \+ 1\)"),
     # llm_bloom_decontam: .take(1) of a collect_set aggregate bounded
     # by FILTER GEOMETRY (≤ m = 65,536 bit positions regardless of
-    # corpus size — the r8 verdict's audited exemption).
-    ("ann_ext2.py", r"\.take\(1\)"),
+    # corpus size — the r8 verdict's audited exemption).  Anchored to
+    # the aggregate expression itself (ADVICE r10 #3): a bare
+    # \.take\(1\) pattern sanctioned ANY future .take(1) in the file.
+    ("ann_ext2.py", r"collect_set\(\"pos\"\)\.alias\(\"ps\"\)\)\.take\(1\)"),
     # agg_cms_heavy_hitters: .take(_CMS_TOPK) — constant top-k of an
     # already-aggregated sketch-sized relation.
     ("sketch_ext.py", r"\.take\(_CMS_TOPK\)"),
@@ -219,8 +221,8 @@ def test_no_driver_collect_in_engine_sources():
     root = Path(__file__).resolve().parent.parent / "climateiq_pipelines_spark"
     offenders = []
     for p in root.rglob("*.py"):
-        if p.name == "parity.py":  # test harness, not a query path
-            continue
+        if p.name in ("parity.py", "parity_digest.py"):
+            continue  # comparator harnesses, not query paths
         for i, line in enumerate(p.read_text().splitlines(), 1):
             if ".collect()" in line or ".toPandas()" in line:
                 offenders.append(f"{p.name}:{i}")
