@@ -31,12 +31,19 @@ def main() -> int:
     # Asia/Kolkata, +05:30 — a half-hour offset catches a class of
     # rounding bugs whole-hour zones cannot).
     tz = os.environ.get("DRIVER_SIM_TZ", "America/New_York")
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", tz)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Engine-config robustness axis (VERDICT r10 task #7): e.g.
+    # DRIVER_SIM_EXTRA_CONF="spark.sql.adaptive.enabled=false" or
+    # "...codegen.wholeStage=false" runs the whole surface under an
+    # adversarial engine configuration; comma-separated k=v pairs.
+    for kv in filter(None, os.environ.get("DRIVER_SIM_EXTRA_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
