@@ -22,9 +22,10 @@ bit-for-bit; adjacent-ulp doubles get distinct strings (injective —
 pinned by tests/test_parity_digest.py's ulp probe).  Values below
 1e-292 (where the 2^(52-e) scale factor would itself overflow)
 collapse to a shared ``0:0`` token — non-injective there by choice:
-one pow() per cell measured 2.6x cheaper than the denormal-safe split
-pair, and no fixture column is within 250 orders of magnitude of a
-denormal.  ``floor(log2(ax))`` may be off by one near power-of-two
+one pow() per cell instead of the denormal-safe split pair (a modest
+measured win, ~9.9 -> 9.2 s warm on the fn_math digest, and half the
+transcendental calls), and no fixture column is within 250 orders of
+magnitude of a denormal.  ``floor(log2(ax))`` may be off by one near power-of-two
 boundaries (libm log2 is not correctly rounded); the one-step
 halve/double adjustment on the scaled value repairs it before the
 final cast.
@@ -67,9 +68,10 @@ def _scaled(ax: str, e: str) -> str:
     exponent shift, no rounding.  One pow() per cell, not a split pair:
     the split was only needed to keep 2^(52-e) representable for
     DENORMAL inputs (e < -971), which instead take a fallback token in
-    the canon CASE — measured 2.6x cheaper on the 4.2M-cell fn_math
-    digest, and the fixture float domain has no denormals (the token
-    keeps the digest well-defined, merely non-injective below 1e-292)."""
+    the canon CASE — halves the pow() count per cell (modest measured
+    win on the 4.2M-cell fn_math digest), and the fixture float domain
+    has no denormals (the token keeps the digest well-defined, merely
+    non-injective below 1e-292)."""
     return f"({ax} * pow(2, 52 - {e}))"
 
 
