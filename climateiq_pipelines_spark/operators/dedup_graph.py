@@ -247,8 +247,16 @@ SOLVED_LABEL_ROUNDS: dict[str, int] = {
 
 def _cluster_label_rounds(sf_dir: str) -> int:
     """Label-propagation depth for this sf_dir: committed memo (by
-    fixture basename) -> in-process cache -> live DuckDB solve."""
-    memo = SOLVED_LABEL_ROUNDS.get(os.path.basename(os.path.normpath(sf_dir)))
+    fixture basename, canonical fixture root only — see
+    iterative_ext.FIXTURE_ROOT) -> in-process cache -> live solve."""
+    from climateiq_pipelines_spark.operators.iterative_ext import FIXTURE_ROOT
+
+    real = os.path.realpath(sf_dir)
+    memo = (
+        SOLVED_LABEL_ROUNDS.get(os.path.basename(real))
+        if os.path.commonpath([real, FIXTURE_ROOT]) == FIXTURE_ROOT
+        else None
+    )
     if memo is not None:
         return memo
     got = _CLUSTER_LABEL_ROUNDS_CACHE.get(sf_dir)

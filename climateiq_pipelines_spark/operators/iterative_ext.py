@@ -53,10 +53,19 @@ SOLVED_STOP_ROUNDS: dict[tuple[str, str], int] = {
 }
 
 
+# The memos describe the driver-generated fixtures under THIS root
+# only (TESTDATA.md); a user pointing sweep tooling at their own
+# differently-generated /tmp/.../sf0.1 must get a live solve, not the
+# canonical fixture's depth (a wrong memoized depth would surface as
+# an unattributable engine MISMATCH).
+FIXTURE_ROOT = "/root/testdata"
+
+
 def _memo_rounds(kind: str, sf_dir: str) -> int | None:
-    return SOLVED_STOP_ROUNDS.get(
-        (kind, os.path.basename(os.path.normpath(sf_dir)))
-    )
+    real = os.path.realpath(sf_dir)
+    if os.path.commonpath([real, FIXTURE_ROOT]) != FIXTURE_ROOT:
+        return None
+    return SOLVED_STOP_ROUNDS.get((kind, os.path.basename(real)))
 
 # ---------------------------------------------------------------- pagerank
 

@@ -47,7 +47,12 @@ digests cover).
 What the digest does NOT check vs the strict comparator: column
 dtypes (schema parity is certified per-round at sf0.01) and WHICH
 rows differ on mismatch — a digest failure says re-run the key under
-the strict path, it does not localize.
+the strict path, it does not localize.  One place it is STRICTER: a
+float-column NULL and NaN both arrive as NaN through the strict
+path's pandas transfer (float64 has no separate null), while the
+in-engine digest distinguishes them — a genuine NULL-vs-NaN engine
+divergence fails fast sweeps (conservative false alarm relative to
+strict, never a miss).
 """
 
 from __future__ import annotations
@@ -166,12 +171,27 @@ def digest_sql(cols: list[tuple[str, str]], inner: str, dialect: str) -> str:
             for i in floats
         ]
         sql = f"SELECT {', '.join(parts)} FROM ({sql}) AS _dgD"
-        # stage F: canonical strings for the float columns.
+        # stage F: canonical strings for the float columns.  Signed
+        # zero: the strict comparator distinguishes -0.0 from 0.0
+        # (repr equality), so the digest must too or a sign flip would
+        # pass fast sweeps.  `raw < 0` is false for -0.0 and no single
+        # probe works in both engines — Spark's atan2 deliberately
+        # normalizes -0.0 to +0.0 (probed: atan2(-0.0,-1) = +pi) while
+        # its string cast keeps the sign (Java Double.toString), and
+        # DuckDB is exactly opposite (atan2(-0.0,-1) = -pi, VARCHAR
+        # cast renders '0.0') — so each dialect uses ITS sign-faithful
+        # primitive to reach the same '-0'/'0' token.
+        def _negzero(i: int) -> str:
+            if dialect == "spark":
+                return f"CAST(raw{i} AS STRING) LIKE '-%'"
+            return f"atan2(raw{i}, -1.0) < 0"
+
         parts = [f"c{i}" for i, (_, k) in enumerate(cols) if k != "float"]
         parts += [
             f"CASE WHEN raw{i} IS NULL THEN '{NULLTOK}' "
             f"WHEN isnan(raw{i}) THEN 'nan' "
-            f"WHEN raw{i} = 0 THEN '0' "
+            f"WHEN raw{i} = 0 THEN "
+            f"(CASE WHEN {_negzero(i)} THEN '-0' ELSE '0' END) "
             f"WHEN raw{i} = {_INF} THEN 'inf' "
             f"WHEN raw{i} = -{_INF} THEN '-inf' "
             f"ELSE concat(CASE WHEN raw{i} < 0 THEN '-' ELSE '' END, "

@@ -54,18 +54,6 @@ def test_builder_reproduces_static_text_at_certification_sf(key):
     assert ORACLE_BUILDERS[key](SF01) == ORACLES[key]
 
 
-def test_kmeans_solver_depth_is_sf_dependent():
-    """The kmeans movement rule is n-proportional: the solved depth at
-    sf0.001 (n=50) differs from sf0.01's 3 or matches it only by
-    measurement, never by assumption — just pin that the solver RUNS at
-    another SF and returns a sane depth within the engine's cap."""
-    from climateiq_pipelines_spark.operators.iterative_ext import (
-        _KM_MAX_ROUNDS,
-        _kmeans_stop_round,
-    )
-
-    depth = _kmeans_stop_round(SF001)
-    assert 1 <= depth <= _KM_MAX_ROUNDS
 
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -116,7 +104,9 @@ def test_committed_stop_round_memos_match_live_solve():
     sweeps skip the DuckDB fixpoint solve, so a fixture change must be
     caught HERE — re-derive one SF per solver each run through the
     _solve_* paths (which never consult the memos) and assert the memo
-    row agrees.  sf0.001 keeps this under a second per solver."""
+    rows agree — ALL committed rows, so a regenerated sf0.01/sf0.1
+    fixture that moves a stopping round fails HERE by name instead of
+    as an unattributable sweep MISMATCH (~5 s total)."""
     from climateiq_pipelines_spark.operators.dedup_graph import (
         SOLVED_LABEL_ROUNDS,
         _solve_cluster_label_rounds,
@@ -127,14 +117,17 @@ def test_committed_stop_round_memos_match_live_solve():
         _solve_pagerank_rounds,
     )
 
-    sf_dir, base = SF001, SF001.rstrip("/").rsplit("/", 1)[-1]
-    assert _solve_pagerank_rounds(sf_dir) == SOLVED_STOP_ROUNDS[
-        ("pagerank", base)
-    ]
-    assert _solve_kmeans_rounds(sf_dir) == SOLVED_STOP_ROUNDS[
-        ("kmeans", base)
-    ]
-    assert _solve_cluster_label_rounds(sf_dir) == SOLVED_LABEL_ROUNDS[base]
+    for sf_dir in (SF001, SF01, "/root/testdata/sf0.1"):
+        base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        assert _solve_pagerank_rounds(sf_dir) == SOLVED_STOP_ROUNDS[
+            ("pagerank", base)
+        ], base
+        assert _solve_kmeans_rounds(sf_dir) == SOLVED_STOP_ROUNDS[
+            ("kmeans", base)
+        ], base
+        assert (
+            _solve_cluster_label_rounds(sf_dir) == SOLVED_LABEL_ROUNDS[base]
+        ), base
 
 
 def test_memo_consulted_before_solving(monkeypatch):
@@ -158,3 +151,8 @@ def test_memo_consulted_before_solving(monkeypatch):
     assert ie._kmeans_stop_round("/root/testdata/sf0.1") == 4
     with pytest.raises(AssertionError, match="despite committed memo"):
         ie._solve_pagerank_rounds("/root/testdata/sf0.001")
+    # a directory merely NAMED like a fixture but outside the canonical
+    # root must NOT hit the memo (it may hold different data): the
+    # lookup falls through to the solver, which the poison catches
+    with pytest.raises(AssertionError, match="despite committed memo"):
+        ie._pagerank_stop_round("/tmp/not-the-fixtures/sf0.1")

@@ -123,7 +123,9 @@ def _py_canon(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return PD.NULLTOK  # pandas-transfer path conflates NaN/NULL
     if v == 0:
-        return "0"
+        # signed zero: the strict comparator's repr distinguishes
+        # -0.0, so the canon does too (atan2 sign probe in-engine)
+        return "-0" if math.copysign(1.0, v) < 0 else "0"
     if math.isinf(v):
         return "inf" if v > 0 else "-inf"
     sign = "-" if v < 0 else ""

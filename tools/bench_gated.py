@@ -79,12 +79,27 @@ def main() -> int:
     )
     sys.stderr.write(proc.stderr)
     if proc.returncode != 0:
+        # keep bench.py's stdout too — it may hold the last progress
+        # evidence of where a partial run died
+        sys.stderr.write(proc.stdout)
         print(f"# bench.py failed rc={proc.returncode}", file=sys.stderr)
         return proc.returncode
 
-    # bench.py prints exactly one JSON line on stdout; the full
-    # per-query dict lands in BENCH_QUERIES.json next to it.
-    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # bench.py prints exactly one JSON line on stdout; scan backwards
+    # for the first line that parses so a stray trailing warning after
+    # the JSON can't crash the gate after a long wait-and-run.
+    summary = None
+    for line in reversed(proc.stdout.strip().splitlines() or [""]):
+        try:
+            summary = json.loads(line)
+            break
+        except ValueError:
+            continue
+    if not isinstance(summary, dict) or "value" not in summary:
+        sys.stderr.write(proc.stdout)
+        print("# bench.py exited 0 but printed no parseable JSON summary",
+              file=sys.stderr)
+        return 1
     with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
         detail = json.load(f)
     artifact = dict(detail)  # queries + summary fields

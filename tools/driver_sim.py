@@ -39,9 +39,15 @@ def main() -> int:
     # Engine-config robustness axis (VERDICT r10 task #7): e.g.
     # DRIVER_SIM_EXTRA_CONF="spark.sql.adaptive.enabled=false" or
     # "...codegen.wholeStage=false" runs the whole surface under an
-    # adversarial engine configuration; comma-separated k=v pairs.
+    # adversarial engine configuration; comma-separated k=v pairs
+    # (values must not contain commas).  A malformed pair ABORTS: a
+    # typo that silently ran the default config would commit a
+    # robustness log evidencing a property that was never tested.
     for kv in filter(None, os.environ.get("DRIVER_SIM_EXTRA_CONF", "").split(",")):
-        k, _, v = kv.partition("=")
+        k, eq, v = kv.partition("=")
+        if not eq or not k.strip() or not v.strip():
+            sys.exit(f"DRIVER_SIM_EXTRA_CONF: malformed pair {kv!r} "
+                     "(expected key=value[,key=value...])")
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
