@@ -252,9 +252,11 @@ def _cluster_label_rounds(sf_dir: str) -> int:
     from climateiq_pipelines_spark.operators.iterative_ext import FIXTURE_ROOT
 
     real = os.path.realpath(sf_dir)
+    # ADVICE r11: direct children of the canonical root only — a
+    # regenerated /root/testdata/experiments/sf0.1 must solve live.
     memo = (
         SOLVED_LABEL_ROUNDS.get(os.path.basename(real))
-        if os.path.commonpath([real, FIXTURE_ROOT]) == FIXTURE_ROOT
+        if os.path.dirname(real) == FIXTURE_ROOT
         else None
     )
     if memo is not None:

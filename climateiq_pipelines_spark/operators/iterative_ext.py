@@ -57,13 +57,17 @@ SOLVED_STOP_ROUNDS: dict[tuple[str, str], int] = {
 # only (TESTDATA.md); a user pointing sweep tooling at their own
 # differently-generated /tmp/.../sf0.1 must get a live solve, not the
 # canonical fixture's depth (a wrong memoized depth would surface as
-# an unattributable engine MISMATCH).
+# an unattributable engine MISMATCH).  ADVICE r11: the memo applies
+# only to DIRECT children of the root — a regenerated
+# /root/testdata/experiments/sf0.1 shares a basename with the canonical
+# fixture but not its data, so a subtree match would hand it the wrong
+# depth.
 FIXTURE_ROOT = "/root/testdata"
 
 
 def _memo_rounds(kind: str, sf_dir: str) -> int | None:
     real = os.path.realpath(sf_dir)
-    if os.path.commonpath([real, FIXTURE_ROOT]) != FIXTURE_ROOT:
+    if os.path.dirname(real) != FIXTURE_ROOT:
         return None
     return SOLVED_STOP_ROUNDS.get((kind, os.path.basename(real)))
 

@@ -21,7 +21,8 @@ over/underflows, so both engines produce the same integer pair
 bit-for-bit; adjacent-ulp doubles get distinct strings (injective —
 pinned by tests/test_parity_digest.py's ulp probe).  Values below
 1e-292 (where the 2^(52-e) scale factor would itself overflow)
-collapse to a shared ``0:0`` token — non-injective there by choice:
+collapse to a SIGNED ``0:0`` / ``-0:0`` token (the stage-F canon
+keeps the sign) — non-injective within each sign by choice:
 one pow() per cell instead of the denormal-safe split pair (a modest
 measured win, ~9.9 -> 9.2 s warm on the fn_math digest, and half the
 transcendental calls), and no fixture column is within 250 orders of
@@ -241,6 +242,10 @@ def spark_digest(spark, df) -> pd.DataFrame:
         )
     finally:
         spark.catalog.dropTempView("_digest_in")
+        # ADVICE r11: drop the checkpointed blocks — without this each
+        # digest key leaves its full materialized relation (600k x 13
+        # at sf0.1) in block storage for the session lifetime.
+        ckpt.unpersist()
 
 
 def duck_digest(con, cols: list[tuple[str, str]], oracle_text: str) -> pd.DataFrame:

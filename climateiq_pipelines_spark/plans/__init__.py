@@ -43,6 +43,10 @@ ORACLE_SF_PINNED: dict[str, str] = {}
 # sf0.01) is unchanged.
 ORACLE_BUILDERS: dict[str, Callable[[str], str]] = {}
 
+# Pristine decoration order (filled by _apply_rotation_window before it
+# reorders QUERIES) — see tools/gen_rotation.py.
+REGISTRATION_ORDER: list[str] = []
+
 
 def register(
     key: str,
@@ -95,55 +99,51 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 11 (VERDICT r10 task #1, pre-sequenced in SURVEY §11.3):
-# post-r10 the stamp distribution is 32×r6, 50×r7, 50×r8, 50×r9,
-# 50×r10 with zero never-certified keys.  THREE keys changed in round
-# 10 AFTER their r9 stamps and lead the window (the sort_multikey_nulls
-# r9 precedent): llm_dedup_clusters (intermediate distinct removed),
-# llm_winnow_neardup (sketch checkpoint added), fn_try_arithmetic
-# (overflow legs AND oracle text rebalanced — its r9 stamp certifies
-# the old pair).  Then ALL 32 remaining r6 stamps (scan/sink formats,
-# the q4/q13/q14/q19/q21/q2 TPC-H block, llm_pipeline_ext's 4,
-# events_funnel/cohort, and the 13 r6-stamped join keys incl.
-# join_salted_skew + join_asof_tolerance) + the 15 registration-oldest
-# r7 stamps (the 14 streaming keys + mm_binary_ingest) = exactly 50.
-# mm_decode_features / mm_frame_sample / mm_ppm_decode roll to r12.
-# After this round certifies, the oldest stamp anywhere becomes r7
-# (steady state: every key re-certified at least once per ~5 rounds).
-# Round 10's window (32×r5 + 18×r6) is recorded in SURVEY §11.3's
-# as-built log.
+# Round 12 (VERDICT r11 task #1, pre-sequenced in SURVEY §11.4):
+# post-r11 the stamp distribution is 35×r7, 50×r8, 47×r9, 50×r10,
+# 50×r11 with zero never-certified keys and NO changed-after-stamp
+# priority keys (nothing certified r9+ changed in round 11).  The
+# window = ALL 35 remaining r7 stamps + the 15 registration-oldest r8
+# stamps = exactly 50.  Since this round the list is DERIVED, not
+# hand-sequenced: tools/gen_rotation.py merges the CORRECTNESS
+# artifacts and orders by (stamp round ASC, pristine registration
+# index ASC); tests/test_plans.py re-runs the derivation in-process
+# and asserts list equality, so a hand edit that diverges from the
+# artifacts fails CI (VERDICT r11 task #6 — r6/r7 hit ordering
+# hazards doing this by prose).  After this round certifies, the
+# oldest stamp anywhere becomes r8.  Round 11's window (3 priority +
+# 32×r6 + 15×r7) is recorded in SURVEY §11.4's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # changed-after-stamp keys (3) — priority per the r9 precedent
-    "llm_dedup_clusters", "llm_winnow_neardup", "fn_try_arithmetic",
-    # r6 stamps (32) — scan/sink formats (7)
-    "scan_csv_roundtrip", "scan_json_roundtrip",
-    "sink_partitioned_parquet", "sink_sorted_bucketed",
-    "sink_merge_upsert", "scan_orc_roundtrip", "scan_text_roundtrip",
-    # TPC-H block (6)
-    "q4_order_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q19_discounted_revenue",
-    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
-    # llm_pipeline_ext (4)
-    "llm_ngram_contamination", "llm_mixture_weights",
-    "llm_seqlen_histogram", "llm_repetition_filter",
-    # events analytics (2)
-    "events_funnel_steps", "events_cohort_retention",
-    # joins (13) — the 11 remaining §2.3 keys + salted/tolerance
-    "join_broadcast_dim", "join_shuffle_fact", "join_multikey",
-    "join_left_outer", "join_full_outer", "join_left_semi",
-    "join_left_anti", "join_cross_small", "join_theta_inequality",
-    "join_range_interval", "join_asof_last_event",
-    "join_asof_tolerance", "join_salted_skew",
-    # r7 stamps, 15 registration-oldest — streaming (14)
-    "stream_tumbling_window", "stream_sliding_window",
-    "stream_session_window", "stream_watermark_late",
-    "stream_stateful_dedup", "stream_running_counts",
-    "stream_readstream_demo", "stream_stateful_sessions",
-    "stream_sliding_demo", "stream_dedup_watermark_demo",
-    "stream_stream_join_demo", "stream_foreachbatch_sink",
-    "stream_watermark_spans", "stream_windowed_topk_demo",
-    # ...and mm_binary_ingest (1)
-    "mm_binary_ingest",
+    # r7 stamps (35) — multimodal codecs (3)
+    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
+    # lakehouse + formats_ext scan/sink block (8)
+    "sink_merge_on_read", "sink_time_travel",
+    "sink_compact_small_files", "sink_range_partitioned_stats",
+    "scan_csv_malformed", "scan_schema_evolution",
+    "scan_dynamic_partition_pruning", "sink_compression_codecs",
+    # graph + retrieval_ext (5)
+    "graph_pagerank", "llm_inverted_index", "llm_sliding_chunks",
+    "llm_bm25_score", "llm_rrf_fusion",
+    # events_ext (5)
+    "events_top_paths", "events_anomaly_zscore",
+    "events_rfm_segmentation", "events_inter_arrival_stats",
+    "events_type_entropy",
+    # TPC-H wave 3 (7)
+    "q8_market_share", "q9_product_profit", "q15_top_supplier",
+    "q16_parts_supplier_relation", "q17_small_qty_revenue",
+    "q20_potential_promotion", "q11_important_stock",
+    # llm_data_ext head (7)
+    "llm_pii_redact", "llm_shuffle_shard", "llm_semdedup",
+    "llm_dsir_weights", "llm_semdedup_pipeline", "llm_chunk_dedup",
+    "llm_unigram_logprob",
+    # r8 stamps, 15 registration-oldest — llm_data_ext tail (6)
+    "llm_bpe_pair_stats", "llm_bpe_apply_merge",
+    "llm_heaps_vocab_growth", "llm_dataset_manifest", "llm_zipf_fit",
+    "llm_incremental_dedup",
+    # ...and the scattered r8 singles (9)
+    "set_union_by_name", "udtf_native_chunker", "fn_struct", "fn_url",
+    "mm_wav_decode", "win_gap_islands", "events_markov_transitions",
+    "join_null_safe", "fn_bitwise",
 ]
 def load_all() -> None:
     """Import every operator module so its @register calls run."""
@@ -224,6 +224,13 @@ def _apply_rotation_window() -> None:
     names a key no module registered (a typo'd rotation must fail
     loudly, not silently certify the wrong keys).
     """
+    # Pristine decoration order, BEFORE the window reorder — the
+    # stamp-age tie-break tools/gen_rotation.py sequences rotations by
+    # ("registration-oldest" in SURVEY §11.4).  Captured once: the
+    # reorder is idempotent, so on a second call QUERIES would already
+    # be window-led and recapturing would corrupt the order.
+    if not REGISTRATION_ORDER:
+        REGISTRATION_ORDER.extend(QUERIES)
     missing = [k for k in ROTATION_WINDOW if k not in QUERIES]
     if missing:
         raise KeyError(f"ROTATION_WINDOW names unregistered keys: {missing}")

@@ -156,3 +156,15 @@ def test_memo_consulted_before_solving(monkeypatch):
     # lookup falls through to the solver, which the poison catches
     with pytest.raises(AssertionError, match="despite committed memo"):
         ie._pagerank_stop_round("/tmp/not-the-fixtures/sf0.1")
+    # ADVICE r11: NESTED under the root is not enough either — a
+    # regenerated /root/testdata/experiments/sf0.1 shares the canonical
+    # basename but not its data; only DIRECT children of FIXTURE_ROOT
+    # may inherit a memoized depth (same rule in both memo maps).
+    with pytest.raises(AssertionError, match="despite committed memo"):
+        ie._pagerank_stop_round("/root/testdata/experiments/sf0.1")
+    from climateiq_pipelines_spark.operators import dedup_graph as dg
+
+    monkeypatch.setattr(dg, "_CLUSTER_LABEL_ROUNDS_CACHE", {})
+    assert dg._cluster_label_rounds("/root/testdata/sf0.1") == 12
+    with pytest.raises(AssertionError, match="despite committed memo"):
+        dg._cluster_label_rounds("/root/testdata/experiments/sf0.1")

@@ -302,47 +302,46 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-11 rotation targets (plans.ROTATION_WINDOW, VERDICT r10 task
-# #1): the 3 keys whose code/oracle changed in round 10 AFTER their r9
-# driver stamps, then all 32 remaining r6 stamps (the oldest mass
-# post-r10), then the 15 registration-oldest r7 stamps (14 streaming +
-# mm_binary_ingest) = exactly 50.  After r11 certifies, the oldest
-# stamp on the surface becomes r7.  The window is the EXPLICIT
+# Round-12 rotation targets (plans.ROTATION_WINDOW, VERDICT r11 task
+# #1): no changed-after-stamp priority keys this round, so the window
+# is exactly the oldest-stamp mass — all 35 remaining r7 stamps + the
+# 15 registration-oldest r8 stamps.  After r12 certifies, the oldest
+# stamp on the surface becomes r8.  The window is the EXPLICIT
 # plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set pins
 # the intended membership independently so an accidental edit to either
 # side fails here.  tools/driver_sim.py covers the full surface
 # meanwhile.
-ROTATION_R11 = {
-    # changed-after-stamp priority keys
-    "llm_dedup_clusters", "llm_winnow_neardup", "fn_try_arithmetic",
-    # r6 stamps — scan/sink formats
-    "scan_csv_roundtrip", "scan_json_roundtrip",
-    "sink_partitioned_parquet", "sink_sorted_bucketed",
-    "sink_merge_upsert", "scan_orc_roundtrip", "scan_text_roundtrip",
-    # TPC-H block
-    "q4_order_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q19_discounted_revenue",
-    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
-    # llm_pipeline_ext
-    "llm_ngram_contamination", "llm_mixture_weights",
-    "llm_seqlen_histogram", "llm_repetition_filter",
-    # events analytics
-    "events_funnel_steps", "events_cohort_retention",
-    # joins — the 11 remaining §2.3 keys + salted/tolerance
-    "join_broadcast_dim", "join_shuffle_fact", "join_multikey",
-    "join_left_outer", "join_full_outer", "join_left_semi",
-    "join_left_anti", "join_cross_small", "join_theta_inequality",
-    "join_range_interval", "join_asof_last_event",
-    "join_asof_tolerance", "join_salted_skew",
-    # r7 stamps, 15 registration-oldest — streaming + mm_binary_ingest
-    "stream_tumbling_window", "stream_sliding_window",
-    "stream_session_window", "stream_watermark_late",
-    "stream_stateful_dedup", "stream_running_counts",
-    "stream_readstream_demo", "stream_stateful_sessions",
-    "stream_sliding_demo", "stream_dedup_watermark_demo",
-    "stream_stream_join_demo", "stream_foreachbatch_sink",
-    "stream_watermark_spans", "stream_windowed_topk_demo",
-    "mm_binary_ingest",
+ROTATION_R12 = {
+    # r7 stamps (35) — multimodal codecs
+    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
+    # lakehouse + formats_ext scan/sink block
+    "sink_merge_on_read", "sink_time_travel",
+    "sink_compact_small_files", "sink_range_partitioned_stats",
+    "scan_csv_malformed", "scan_schema_evolution",
+    "scan_dynamic_partition_pruning", "sink_compression_codecs",
+    # graph + retrieval_ext
+    "graph_pagerank", "llm_inverted_index", "llm_sliding_chunks",
+    "llm_bm25_score", "llm_rrf_fusion",
+    # events_ext
+    "events_top_paths", "events_anomaly_zscore",
+    "events_rfm_segmentation", "events_inter_arrival_stats",
+    "events_type_entropy",
+    # TPC-H wave 3
+    "q8_market_share", "q9_product_profit", "q15_top_supplier",
+    "q16_parts_supplier_relation", "q17_small_qty_revenue",
+    "q20_potential_promotion", "q11_important_stock",
+    # llm_data_ext head
+    "llm_pii_redact", "llm_shuffle_shard", "llm_semdedup",
+    "llm_dsir_weights", "llm_semdedup_pipeline", "llm_chunk_dedup",
+    "llm_unigram_logprob",
+    # r8 stamps (15, registration-oldest) — llm_data_ext tail
+    "llm_bpe_pair_stats", "llm_bpe_apply_merge",
+    "llm_heaps_vocab_growth", "llm_dataset_manifest", "llm_zipf_fit",
+    "llm_incremental_dedup",
+    # ...and the scattered r8 singles
+    "set_union_by_name", "udtf_native_chunker", "fn_struct", "fn_url",
+    "mm_wav_decode", "win_gap_islands", "events_markov_transitions",
+    "join_null_safe", "fn_bitwise",
 }
 
 
@@ -351,35 +350,101 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-11 membership (ROTATION_R11 above) fills the first
+    the intended round-12 membership (ROTATION_R12 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R11 together with
+    side without the other fails here.  Update ROTATION_R12 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R11 - first50)
+    missing = sorted(ROTATION_R12 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R11
+    assert set(ROTATION_WINDOW) == ROTATION_R12
     assert len(ROTATION_WINDOW) == 50
+
+
+def test_rotation_window_matches_artifact_derivation():
+    """VERDICT r11 task #6: the committed ROTATION_WINDOW must equal
+    tools/gen_rotation.py's mechanical derivation from the merged
+    CORRECTNESS artifacts — (stamp round ASC, pristine registration
+    index ASC), no priority keys this round (nothing certified r9+
+    changed in round 11).  The r6/r7 rotations hit ordering hazards
+    and r8's was hand arithmetic; this pin makes the prose
+    pre-sequencing checkable every CI run.  When a future round HAS
+    changed-after-stamp priority keys, pass them here in window order."""
+    import tools.gen_rotation as gr
+    from climateiq_pipelines_spark.plans import (
+        REGISTRATION_ORDER,
+        ROTATION_WINDOW,
+    )
+
+    derived = gr.derive_window(
+        REGISTRATION_ORDER,
+        gr.merged_stamps(max_round=11),  # r12 window <- artifacts r1..r11
+        priority=[],
+        n=50,
+    )
+    assert derived == list(ROTATION_WINDOW)
 
 
 def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-11 window opens with the three changed-after-stamp keys (led
-    by llm_dedup_clusters), closes with mm_binary_ingest at slot 49,
-    and the total key count
+    round-12 window opens with the multimodal codec trio (led by
+    mm_decode_features), closes with fn_bitwise at slot 49, and the
+    total key count
     must equal the full surface so a module gaining/losing a @register
     call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "llm_dedup_clusters", keys[:3]
-    assert keys[3] == "scan_csv_roundtrip", keys[2:5]
-    assert keys[49] == "mm_binary_ingest", keys[45:52]
+    assert keys[0] == "mm_decode_features", keys[:3]
+    assert keys[3] == "sink_merge_on_read", keys[2:5]
+    assert keys[49] == "fn_bitwise", keys[45:52]
+
+
+def test_driver_sim_evidence_header_is_parseable_and_first():
+    """VERDICT r11 task #2: every archived driver_sim .out must be
+    self-describing — round 11 committed two robustness logs whose
+    content was the identical string 'ALL 232 KEYS OK' and git recorded
+    them as renames of r8/r9 logs.  Pin (a) the header is one line of
+    parseable JSON carrying tz/extra_conf/sf_dir/n_keys/wall_sec/date,
+    and (b) main() prints it BEFORE the OK/FAILURES line, so the header
+    is the first stdout line of every sweep."""
+    import inspect
+    import json as _json
+
+    import tools.driver_sim as ds
+
+    line = ds.evidence_header("Pacific/Chatham", "/root/testdata/sf0.01",
+                              False, 232, 1234.56)
+    assert "\n" not in line
+    hdr = _json.loads(line)
+    for field in ("tool", "tz", "extra_conf", "sf_dir", "window_only",
+                  "n_keys", "wall_sec", "date_utc"):
+        assert field in hdr, field
+    assert hdr["tz"] == "Pacific/Chatham"
+    assert hdr["n_keys"] == 232
+    assert hdr["wall_sec"] == 1234.6
+    src = inspect.getsource(ds.main)
+    assert src.index("evidence_header(") < src.index("KEYS OK"), (
+        "header must print before the final OK line")
+
+
+def test_bench_gated_summary_scan_skips_non_dict_json():
+    """ADVICE r11: the gated bench's backward stdout scan must not
+    discard a completed run because a trailing line parses as a bare
+    JSON number/null — only a dict carrying "value" is the summary."""
+    import tools.bench_gated as bg
+
+    real = '{"metric": "bench", "value": 60.9, "sf": 0.1}'
+    assert bg.extract_summary(real + "\n42\nnull\n# done")["value"] == 60.9
+    assert bg.extract_summary("no json here\n[1, 2]\n17") is None
+    # newest summary wins when two exist (a rerun appends)
+    newer = '{"value": 59.0}'
+    assert bg.extract_summary(real + "\n" + newer)["value"] == 59.0
 
 
 def test_driver_window_is_fully_oracle_checkable():

@@ -38,6 +38,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def extract_summary(stdout: str) -> dict | None:
+    """Last line of ``stdout`` that parses as the summary shape (a dict
+    carrying "value").  ADVICE r11: the old scan broke on the FIRST line
+    parsing as ANY JSON value, so a trailing bare number or 'null' line
+    discarded a completed (possibly long-waited) run even though the
+    real summary line existed earlier."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and "value" in parsed:
+            return parsed
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=0.2,
@@ -86,16 +102,11 @@ def main() -> int:
         return proc.returncode
 
     # bench.py prints exactly one JSON line on stdout; scan backwards
-    # for the first line that parses so a stray trailing warning after
-    # the JSON can't crash the gate after a long wait-and-run.
-    summary = None
-    for line in reversed(proc.stdout.strip().splitlines() or [""]):
-        try:
-            summary = json.loads(line)
-            break
-        except ValueError:
-            continue
-    if not isinstance(summary, dict) or "value" not in summary:
+    # for the summary shape so stray trailing output after the JSON
+    # can't crash the gate after a long wait-and-run (see
+    # extract_summary).
+    summary = extract_summary(proc.stdout)
+    if summary is None:
         sys.stderr.write(proc.stdout)
         print("# bench.py exited 0 but printed no parseable JSON summary",
               file=sys.stderr)

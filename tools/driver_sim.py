@@ -14,15 +14,37 @@ exactly the slice the external driver certifies (plans.ROTATION_WINDOW)
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
 
+def evidence_header(
+    tz: str, sf_dir: str, window_only: bool, n_keys: int, wall_sec: float
+) -> str:
+    """One JSON line embedding the run's own configuration — the first
+    stdout line of every sweep, so archived evidence logs are unique and
+    self-describing (VERDICT r11 task #2: two r11 robustness logs were
+    byte-identical to r8/r9 logs and git recorded them as renames)."""
+    return json.dumps({
+        "tool": "driver_sim",
+        "tz": tz,
+        "extra_conf": os.environ.get("DRIVER_SIM_EXTRA_CONF", ""),
+        "sf_dir": sf_dir,
+        "window_only": window_only,
+        "n_keys": n_keys,
+        "wall_sec": round(wall_sec, 1),
+        "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }, sort_keys=True)
+
+
 def main() -> int:
+    t0 = time.monotonic()
     args = [a for a in sys.argv[1:] if a != "--window"]
     window_only = "--window" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -106,6 +128,14 @@ def main() -> int:
                 )
             else:
                 bad.append(str(res))
+    # Self-describing evidence header (VERDICT r11 task #2): in round 11
+    # git detected two committed robustness logs as RENAMES of r8/r9
+    # logs because the content was the identical string "ALL 232 KEYS
+    # OK" — the claim chain ran through commit messages instead of the
+    # artifact.  The first stdout line now embeds the run's own config,
+    # so every archived .out is unique and auditable on its face.
+    print(evidence_header(tz, sf_dir, window_only, len(qs),
+                          time.monotonic() - t0))
     print("FAILURES:" if bad else f"ALL {len(qs)} KEYS OK")
     for b in bad:
         print(b)
