@@ -142,6 +142,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             bad.append((key, [f"EXC {type(exc).__name__}: {exc}"]))
             print(f"[{i + 1}/{len(queries)}] {key}: EXC {exc}", flush=True)
+    # Self-describing evidence footer (VERDICT r11 task #2, same rule
+    # as driver_sim.evidence_header): the archived log must identify
+    # its own sf_dir/mode without consulting the commit message.
+    import json
+
+    print(json.dumps({
+        "tool": "parity_sweep",
+        "sf_dir": sf_dir,
+        "fast": fast,
+        "n_keys": len(queries),
+        "built_oracles": built,
+        "wall_sec": round(time.perf_counter() - t_all, 1),
+        "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }, sort_keys=True), flush=True)
     print(
         f"TOTAL {time.perf_counter() - t_all:.0f}s;"
         f" unexpected mismatches={len(bad)}; built oracles={built};"
