@@ -433,6 +433,26 @@ def test_driver_sim_evidence_header_is_parseable_and_first():
         "header must print before the final OK line")
 
 
+def test_gen_rotation_derive_window_rules():
+    """Unit pins for the rotation derivation: priority keys lead in
+    the given order; never-certified (no stamp) sorts before every
+    stamped key; ties break by registration index; unknown/duplicate
+    priority keys fail loudly (a typo'd rotation must not silently
+    derive a wrong window)."""
+    import pytest as _pytest
+
+    from tools.gen_rotation import derive_window
+
+    reg = ["a", "b", "c", "d", "e"]
+    stamps = {"a": 3, "b": 1, "c": 2, "e": 1}  # d never certified
+    assert derive_window(reg, stamps, [], 3) == ["d", "b", "e"]
+    assert derive_window(reg, stamps, ["c"], 3) == ["c", "d", "b"]
+    with _pytest.raises(KeyError):
+        derive_window(reg, stamps, ["zzz"], 3)
+    with _pytest.raises(KeyError):
+        derive_window(reg, stamps, ["a", "a"], 3)
+
+
 def test_bench_gated_summary_scan_skips_non_dict_json():
     """ADVICE r11: the gated bench's backward stdout scan must not
     discard a completed run because a trailing line parses as a bare
