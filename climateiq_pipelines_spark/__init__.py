@@ -8,7 +8,7 @@ PySpark: DataFrame/SQL logical plans, Catalyst/AQE physical planning,
 Pandas UDFs only where built-in expressions cannot express the semantics.
 """
 
-from climateiq_pipelines_spark.session import get_spark
+from climateiq_pipelines_spark.session import get_spark, release_blocks
 from climateiq_pipelines_spark.registry import TABLES, load_table
 
-__all__ = ["get_spark", "load_table", "TABLES"]
+__all__ = ["get_spark", "load_table", "TABLES", "release_blocks"]

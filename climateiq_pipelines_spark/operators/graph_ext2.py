@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.session import register_frame_cache
 
 # Per-node triangle participation is orientation-invariant, so the
 # oracle uses the SIMPLEST correct formulation (id-ordered u<v<w edge
@@ -66,7 +67,10 @@ _TRIANGLE_ORACLE = """
 # localCheckpoint lives for the session — rebuilding the order-pair
 # self-join per key wastes ~2.5 s each at sf0.1 (the registry.py
 # footer-probe memoization discipline applied to a derived frame).
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Registered with session.release_blocks so harness-level block
+# reclaim also drops these handles (a checkpointed frame whose blocks
+# were unpersisted cannot be reused — lineage is truncated).
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = register_frame_cache({})
 
 
 def _cache_put(
@@ -119,7 +123,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on EVERY call. One checkpoint per (application, sf_dir) makes warm
 # runs measure the intersection/scoring plan, which is the number the
 # bench is for.
-_ORIENTED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ORIENTED_CACHE: dict[tuple[str, str], DataFrame] = register_frame_cache({})
 
 
 def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

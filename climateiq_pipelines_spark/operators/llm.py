@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.session import register_frame_cache
 
 # ---------------------------------------------------------------- helpers
 
@@ -1093,7 +1094,8 @@ _SIMHASH_NEARDUP_ORACLE = f"""
 # discipline applied to the signature build. Keyed on the input
 # DataFrame's semanticHash so a different corpus/projection can never
 # alias a cache entry.
-_SIG_CACHE: dict[tuple[str, int], DataFrame] = {}
+# Registered with session.release_blocks — see graph_ext2._EDGE_CACHE.
+_SIG_CACHE: dict[tuple[str, int], DataFrame] = register_frame_cache({})
 
 
 def _simhash60_sigs(docs: DataFrame) -> DataFrame:

@@ -51,3 +51,56 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Module-level caches of CHECKPOINTED DataFrames (the session-memoized
+# derived frames: graph edge lists, simhash signature relations).
+# Registered here so release_blocks can drop the Python handles before
+# unpersisting — a cached DataFrame whose checkpoint blocks were
+# unpersisted is poison (lineage is truncated, so any reuse dies with
+# CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; measured on llm_dedup_clusters /
+# graph_label_propagation in the first round-12 reclaim sweep).  The
+# caches rebuild on next use — trading the ~2.5 s warm-reuse per
+# dependent key for deterministic reclaim.
+SESSION_FRAME_CACHES: list[dict] = []
+
+
+def register_frame_cache(cache: dict) -> dict:
+    """Register a module-level {key: DataFrame} cache holding
+    checkpointed frames; release_blocks clears every registered cache
+    before unpersisting so no stale checkpoint handle survives."""
+    SESSION_FRAME_CACHES.append(cache)
+    return cache
+
+
+def release_blocks(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD and cached relation; returns how
+    many RDDs were released.
+
+    Several operators localCheckpoint a relation they RETURN (diamond
+    reuse, fixpoint bases, optimization barriers) — the checkpoint must
+    outlive the call, so the operator itself cannot unpersist it.  The
+    blocks are reclaimed lazily by the ContextCleaner when the RDD is
+    garbage-collected, but a HARNESS that runs hundreds of keys in one
+    session (parity_sweep, driver_sim — or any long-lived production
+    session at 100 TB) should reclaim deterministically between units
+    of work: round-12 measured the leak making sweep timings
+    ORDER-DEPENDENT (llm_ann_recall_eval 13.4 s in r11's key order vs
+    40.5 s in r12's, on a quiet host, code untouched; 17.4 s cold /
+    3.5 s warm in a fresh session).  Call AFTER the unit's result is
+    fully consumed (e.g. toPandas) — never between building a
+    DataFrame and collecting it.
+    """
+    for cache in SESSION_FRAME_CACHES:
+        cache.clear()
+    sc = spark.sparkContext
+    released = 0
+    # JavaSparkContext.getPersistentRDDs returns a java.util.Map whose
+    # values are JavaRDDs; py4j exposes it dict-like.  Snapshot before
+    # iterating: unpersist mutates the underlying map.
+    jmap = sc._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
+        released += 1
+    spark.catalog.clearCache()
+    return released

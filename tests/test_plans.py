@@ -433,6 +433,55 @@ def test_driver_sim_evidence_header_is_parseable_and_first():
         "header must print before the final OK line")
 
 
+def test_release_blocks_reclaims_checkpoints(spark):
+    """Round-12 harness hygiene: operators localCheckpoint relations
+    they return and cannot unpersist them before the caller consumes
+    the result, so a many-key session accumulates blocks and per-key
+    timing becomes order-dependent (measured: llm_ann_recall_eval
+    13.4 s vs 40.5 s purely from key order).  release_blocks must
+    reclaim every persistent RDD once the result is consumed."""
+    from climateiq_pipelines_spark.session import release_blocks
+
+    release_blocks(spark)  # start clean — other tests may have leaked
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert df.count() == 1000
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_before >= 1
+    released = release_blocks(spark)
+    assert released >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # releasing an already-clean session is a no-op, not an error
+    assert release_blocks(spark) == 0
+
+
+def test_release_blocks_clears_registered_frame_caches(spark):
+    """A module-level cache holding a checkpointed DataFrame is POISON
+    after its blocks are unpersisted (lineage is truncated — reuse dies
+    with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; hit live by
+    llm_dedup_clusters / graph_label_propagation in the first round-12
+    reclaim sweep).  release_blocks must clear every registered cache
+    so consumers rebuild instead of reusing a dead handle — and the
+    engine's real caches must actually be registered."""
+    from climateiq_pipelines_spark import session as S
+    from climateiq_pipelines_spark.operators import graph_ext2, llm
+
+    assert any(c is graph_ext2._EDGE_CACHE for c in S.SESSION_FRAME_CACHES)
+    assert any(c is graph_ext2._ORIENTED_CACHE for c in S.SESSION_FRAME_CACHES)
+    assert any(c is llm._SIG_CACHE for c in S.SESSION_FRAME_CACHES)
+
+    probe = S.register_frame_cache({})
+    try:
+        ckpt = spark.range(100).localCheckpoint(eager=True)
+        probe["k"] = ckpt
+        S.release_blocks(spark)
+        assert probe == {}, "registered cache must be cleared"
+        # the checkpointed frame itself is now dead by design; a fresh
+        # build works fine
+        assert spark.range(100).count() == 100
+    finally:
+        S.SESSION_FRAME_CACHES.remove(probe)
+
+
 def test_gen_rotation_derive_window_rules():
     """Unit pins for the rotation derivation: priority keys lead in
     the given order; never-certified (no stamp) sorts before every

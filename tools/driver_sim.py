@@ -95,6 +95,8 @@ def main() -> int:
     # pinned keys WITHOUT a builder.
     from climateiq_pipelines_spark.plans import ORACLE_BUILDERS
 
+    from climateiq_pipelines_spark.session import release_blocks
+
     at_cert_sf = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
     bad: list[str] = []
     for key, fn in sorted(qs.items()):
@@ -103,6 +105,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
             bad.append(f"[FAIL] {key}: raised {exc}")
             continue
+        finally:
+            # Deterministic block reclaim between keys — operators
+            # localCheckpoint relations they return; without this the
+            # blocks accumulate for the session lifetime and per-key
+            # timing becomes order-dependent (session.release_blocks).
+            release_blocks(spark)
         if key not in oracles:
             print(f"# {key}: rows-only ({len(pdf)} rows)", file=sys.stderr)
             continue

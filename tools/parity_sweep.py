@@ -60,7 +60,7 @@ DIGEST_FAST_KEYS = {"fn_math", "proj_computed_columns", "fn_date"}
 def main() -> int:
     import duckdb
 
-    from climateiq_pipelines_spark import get_spark
+    from climateiq_pipelines_spark import get_spark, release_blocks
     from climateiq_pipelines_spark.parity import compare_frames
     from climateiq_pipelines_spark.plans import ORACLE_BUILDERS
     import __spark_entry__ as E
@@ -142,6 +142,15 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             bad.append((key, [f"EXC {type(exc).__name__}: {exc}"]))
             print(f"[{i + 1}/{len(queries)}] {key}: EXC {exc}", flush=True)
+        finally:
+            # Deterministic block reclaim between keys (round 12):
+            # operators legitimately localCheckpoint relations they
+            # return and cannot unpersist them before the caller
+            # consumes the result; without harness-side reclaim the
+            # blocks accumulate and sweep timings become
+            # ORDER-DEPENDENT (see session.release_blocks docstring
+            # for the measured incident).
+            release_blocks(spark)
     # Self-describing evidence footer (VERDICT r11 task #2, same rule
     # as driver_sim.evidence_header): the archived log must identify
     # its own sf_dir/mode without consulting the commit message.
