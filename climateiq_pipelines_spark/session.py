@@ -98,9 +98,15 @@ def release_blocks(spark: SparkSession) -> int:
     # JavaSparkContext.getPersistentRDDs returns a java.util.Map whose
     # values are JavaRDDs; py4j exposes it dict-like.  Snapshot before
     # iterating: unpersist mutates the underlying map.
+    # blocking=False: the JavaRDD overload defaults to a BLOCKING
+    # unpersist (waits for every block-removal ack), measured ~0.2 s
+    # per release_blocks call across a 232-key sweep (~46 s of pure
+    # wait).  Async removal is fine here — the next key never reuses
+    # these blocks (that is the point), and the BlockManager frees
+    # them in the background.
     jmap = sc._jsc.getPersistentRDDs()
     for jrdd in list(jmap.values()):
-        jrdd.unpersist()
+        jrdd.unpersist(False)
         released += 1
     spark.catalog.clearCache()
     return released
