@@ -207,6 +207,16 @@ def main() -> None:
         timings[key] = round(best, 4)
         total += best
         print(f"# {key}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        if os.environ.get("SPARK_BENCH_RECLAIM") == "1":
+            # A/B probe (round 12): deterministic block reclaim between
+            # HEADLINE keys, the parity_sweep/driver_sim hygiene applied
+            # to the bench session.  OFF by default — it changes what
+            # the suite measures (cross-key cache reuse is part of the
+            # warm-session protocol above); flips only with a recorded
+            # gated A/B in BASELINE.md.
+            from climateiq_pipelines_spark.session import release_blocks
+
+            release_blocks(spark)
 
     # Full per-query detail: stderr + sibling file (NOT the stdout line —
     # the driver's tail capture is ~2000 chars and r6's 81-query dict
