@@ -234,6 +234,20 @@ def spark_digest(spark, df) -> pd.DataFrame:
     # measured 13.7 s vs 3.4 s on fn_math at sf0.1.  localCheckpoint
     # computes the key's relation exactly once (the repo's standard
     # diamond-reuse pattern), then the digest runs over stored rows.
+    # ADVICE r11 + round-12 self-review: Dataset.unpersist() is a NO-OP
+    # for localCheckpoint storage (it only consults the CacheManager;
+    # the checkpointed INTERNAL RDD stays in getPersistentRDDs —
+    # verified empirically on Spark 4.1.2).  Release the blocks at the
+    # RDD level instead: snapshot the persistent-RDD ids before the
+    # checkpoint and unpersist exactly the ids this call added, so a
+    # caller WITHOUT harness-level release_blocks (tests, ad-hoc use)
+    # doesn't leak the full materialized relation (600k x 13 at sf0.1)
+    # per digest key for the session lifetime.
+    def _persistent_jrdds() -> dict:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {jr.id(): jr for jr in list(jmap.values())}
+
+    before = set(_persistent_jrdds())
     ckpt = df.localCheckpoint(eager=False)
     try:
         ckpt.createOrReplaceTempView("_digest_in")
@@ -242,10 +256,9 @@ def spark_digest(spark, df) -> pd.DataFrame:
         )
     finally:
         spark.catalog.dropTempView("_digest_in")
-        # ADVICE r11: drop the checkpointed blocks — without this each
-        # digest key leaves its full materialized relation (600k x 13
-        # at sf0.1) in block storage for the session lifetime.
-        ckpt.unpersist()
+        for rid, jr in _persistent_jrdds().items():
+            if rid not in before:
+                jr.unpersist(False)
 
 
 def duck_digest(con, cols: list[tuple[str, str]], oracle_text: str) -> pd.DataFrame:

@@ -47,6 +47,18 @@ def test_digest_twins_match(key, spark, duck_small):
     assert tuple(sd.iloc[0]) == tuple(dd.iloc[0])
 
 
+def test_spark_digest_releases_its_checkpoint_blocks(spark):
+    """Round-12 self-review: Dataset.unpersist() is a NO-OP for
+    localCheckpoint storage (CacheManager-only), so the ADVICE r11 fix
+    must release at the RDD level.  Pin that spark_digest leaves the
+    session's persistent-RDD count exactly where it found it — without
+    relying on harness-level release_blocks."""
+    df = QUERIES["fn_date"](spark, SF_SMALL)
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    PD.spark_digest(spark, df)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_before
+
+
 # One float-column and one int-column mutation per digest key: the
 # oracle side is wrapped in SELECT * REPLACE so exactly one cell of one
 # row changes, then BOTH comparators must reject.

@@ -431,6 +431,16 @@ def test_driver_sim_evidence_header_is_parseable_and_first():
     src = inspect.getsource(ds.main)
     assert src.index("evidence_header(") < src.index("KEYS OK"), (
         "header must print before the final OK line")
+    # Both tools must share ONE line shape (tools/evidence.py) — the
+    # round-12 self-review found parity_sweep had a hand-rolled twin
+    # that no test pinned, free to drift from the contract.
+    import tools.parity_sweep as psw
+
+    assert "evidence_line(" in inspect.getsource(psw.main)
+    from tools.evidence import evidence_line
+
+    hdr2 = _json.loads(evidence_line("x", a=1))
+    assert hdr2["tool"] == "x" and hdr2["a"] == 1 and "date_utc" in hdr2
 
 
 def test_release_blocks_reclaims_checkpoints(spark):

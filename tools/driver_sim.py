@@ -25,22 +25,32 @@ from pyspark.sql import SparkSession
 
 
 def evidence_header(
-    tz: str, sf_dir: str, window_only: bool, n_keys: int, wall_sec: float
+    tz: str,
+    sf_dir: str,
+    window_only: bool,
+    n_keys: int,
+    wall_sec: float,
+    extra_conf: str = "",
 ) -> str:
     """One JSON line embedding the run's own configuration — the first
     stdout line of every sweep, so archived evidence logs are unique and
     self-describing (VERDICT r11 task #2: two r11 robustness logs were
-    byte-identical to r8/r9 logs and git recorded them as renames)."""
-    return json.dumps({
-        "tool": "driver_sim",
-        "tz": tz,
-        "extra_conf": os.environ.get("DRIVER_SIM_EXTRA_CONF", ""),
-        "sf_dir": sf_dir,
-        "window_only": window_only,
-        "n_keys": n_keys,
-        "wall_sec": round(wall_sec, 1),
-        "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-    }, sort_keys=True)
+    byte-identical to r8/r9 logs and git recorded them as renames).
+    ``extra_conf`` is the string main() PARSED AND APPLIED, passed in
+    rather than re-read from the environment at print time — the header
+    must report the configuration that actually ran (round-12
+    self-review)."""
+    from tools.evidence import evidence_line
+
+    return evidence_line(
+        "driver_sim",
+        tz=tz,
+        extra_conf=extra_conf,
+        sf_dir=sf_dir,
+        window_only=window_only,
+        n_keys=n_keys,
+        wall_sec=round(wall_sec, 1),
+    )
 
 
 def main() -> int:
@@ -65,7 +75,8 @@ def main() -> int:
     # (values must not contain commas).  A malformed pair ABORTS: a
     # typo that silently ran the default config would commit a
     # robustness log evidencing a property that was never tested.
-    for kv in filter(None, os.environ.get("DRIVER_SIM_EXTRA_CONF", "").split(",")):
+    extra_conf = os.environ.get("DRIVER_SIM_EXTRA_CONF", "")
+    for kv in filter(None, extra_conf.split(",")):
         k, eq, v = kv.partition("=")
         if not eq or not k.strip() or not v.strip():
             sys.exit(f"DRIVER_SIM_EXTRA_CONF: malformed pair {kv!r} "
@@ -110,7 +121,16 @@ def main() -> int:
             # localCheckpoint relations they return; without this the
             # blocks accumulate for the session lifetime and per-key
             # timing becomes order-dependent (session.release_blocks).
-            release_blocks(spark)
+            # Best-effort: if the JVM just died (a key OOMed), the
+            # reclaim raises too — swallow it so the sweep still
+            # reaches its header/FAILURES report (round-12 self-review:
+            # an uncaught finally would lose the evidence the except
+            # clause exists to preserve).
+            try:
+                release_blocks(spark)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# release_blocks failed after {key}: {exc}",
+                      file=sys.stderr)
         if key not in oracles:
             print(f"# {key}: rows-only ({len(pdf)} rows)", file=sys.stderr)
             continue
@@ -143,7 +163,7 @@ def main() -> int:
     # artifact.  The first stdout line now embeds the run's own config,
     # so every archived .out is unique and auditable on its face.
     print(evidence_header(tz, sf_dir, window_only, len(qs),
-                          time.monotonic() - t0))
+                          time.monotonic() - t0, extra_conf=extra_conf))
     print("FAILURES:" if bad else f"ALL {len(qs)} KEYS OK")
     for b in bad:
         print(b)

@@ -149,22 +149,27 @@ def main() -> int:
             # consumes the result; without harness-side reclaim the
             # blocks accumulate and sweep timings become
             # ORDER-DEPENDENT (see session.release_blocks docstring
-            # for the measured incident).
-            release_blocks(spark)
-    # Self-describing evidence footer (VERDICT r11 task #2, same rule
-    # as driver_sim.evidence_header): the archived log must identify
-    # its own sf_dir/mode without consulting the commit message.
-    import json
+            # for the measured incident).  Best-effort: a dead JVM
+            # must not abort the sweep before its footer/summary.
+            try:
+                release_blocks(spark)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# release_blocks failed after {key}: {exc}",
+                      flush=True)
+    # Self-describing evidence footer (VERDICT r11 task #2): the
+    # archived log must identify its own sf_dir/mode without consulting
+    # the commit message.  Shared line shape with driver_sim's header
+    # (tools/evidence.py) so the contract cannot drift between tools.
+    from tools.evidence import evidence_line
 
-    print(json.dumps({
-        "tool": "parity_sweep",
-        "sf_dir": sf_dir,
-        "fast": fast,
-        "n_keys": len(queries),
-        "built_oracles": built,
-        "wall_sec": round(time.perf_counter() - t_all, 1),
-        "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-    }, sort_keys=True), flush=True)
+    print(evidence_line(
+        "parity_sweep",
+        sf_dir=sf_dir,
+        fast=fast,
+        n_keys=len(queries),
+        built_oracles=built,
+        wall_sec=round(time.perf_counter() - t_all, 1),
+    ), flush=True)
     print(
         f"TOTAL {time.perf_counter() - t_all:.0f}s;"
         f" unexpected mismatches={len(bad)}; built oracles={built};"
