@@ -12,9 +12,7 @@ audited against the source-of-truth table without ever decoding.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,8 +52,12 @@ def mm_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, path globs) prune before bytes are touched — pushed into
     the binaryFile source via pathGlobFilter at 10^9-file scale, where
     a manifest table replaces raw listings."""
-    out = tempfile.mkdtemp(prefix="cps_binfiles")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    # Registered for post-consumption reclaim (release_blocks purges it
+    # once the harness has consumed the read-back result; the session
+    # atexit hook covers non-reclaiming processes).
+    from climateiq_pipelines_spark.session import register_temp_dir
+
+    out = register_temp_dir(tempfile.mkdtemp(prefix="cps_binfiles"))
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")

@@ -621,9 +621,7 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin is this exact aggregate under a tumbling window
     (stream_tumbling_window) with the rank applied per emitted
     window. At 100 TB: per-day state is |event_type| rows."""
-    from climateiq_pipelines_spark.registry import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events").select("ts", "event_type")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
     daily = ev.select(
         F.date_format(
             F.to_date(F.date_trunc("day", F.col("ts"))), "yyyy-MM-dd"

@@ -73,6 +73,47 @@ def register_frame_cache(cache: dict) -> dict:
     return cache
 
 
+# Temp-dir registry (round-12 code review): scan/sink/txn operators
+# materialize fixture slices under tempfile.mkdtemp and RETURN a lazy
+# DataFrame that reads those files, so the operator itself can never
+# delete its directory — the caller consumes the result after the call
+# returns.  Without reclaim, every run of the 12 mkdtemp-using keys
+# leaks full parquet copies into /tmp for the life of the host (the
+# txn keys alone write ~6 file groups per call).  Operators register
+# their roots here; release_blocks purges them AFTER the harness has
+# consumed the key's result (the same lifecycle as checkpoint blocks),
+# and an atexit hook covers sessions that never reclaim (bench.py's
+# warm-session protocol, the external driver).
+SESSION_TEMP_DIRS: list[str] = []
+
+
+def register_temp_dir(path: str) -> str:
+    """Register a mkdtemp root for deterministic post-consumption
+    cleanup; returns the path unchanged so call sites stay one line."""
+    SESSION_TEMP_DIRS.append(path)
+    return path
+
+
+def purge_temp_dirs() -> int:
+    """Remove every registered temp root; returns how many were
+    purged.  Safe to call at any point where no live DataFrame still
+    reads from the registered dirs — i.e. after the current unit's
+    result is fully consumed (toPandas/collect), never between
+    building a frame and acting on it."""
+    import shutil
+
+    n = 0
+    while SESSION_TEMP_DIRS:
+        shutil.rmtree(SESSION_TEMP_DIRS.pop(), ignore_errors=True)
+        n += 1
+    return n
+
+
+import atexit as _atexit  # noqa: E402  (registry must exist first)
+
+_atexit.register(purge_temp_dirs)
+
+
 def release_blocks(spark: SparkSession) -> int:
     """Unpersist every persistent RDD and cached relation; returns how
     many RDDs were released.
@@ -109,4 +150,8 @@ def release_blocks(spark: SparkSession) -> int:
         jrdd.unpersist(False)
         released += 1
     spark.catalog.clearCache()
+    # Temp roots follow the same lifecycle as checkpoint blocks: the
+    # harness calls release_blocks only after the key's result is fully
+    # consumed, at which point no live plan reads the registered dirs.
+    purge_temp_dirs()
     return released

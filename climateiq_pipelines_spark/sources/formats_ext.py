@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import sql_dsum
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.session import register_temp_dir
 
 # Deterministic corruption classes injected by key (disjoint by CASE
 # precedence): bad numeric field, missing field, extra field.
@@ -80,7 +81,9 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 83 == 0, F.concat(base, F.lit(",extra")))
         .otherwise(base)
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="cps_csv_"), "orders_csv")
+    path = os.path.join(
+        register_temp_dir(tempfile.mkdtemp(prefix="cps_csv_")), "orders_csv"
+    )
     o.select(line.alias("value")).write.mode("overwrite").text(path)
 
     back = (
@@ -142,7 +145,9 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="cps_evo_"), "part_evolved")
+    path = os.path.join(
+        register_temp_dir(tempfile.mkdtemp(prefix="cps_evo_")), "part_evolved"
+    )
     v1 = part.filter(F.col("p_partkey") % 2 == 0).select(
         "p_partkey", "p_retailprice"
     )
@@ -199,7 +204,8 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     the dim is too large — the fallback is correctness-neutral."""
     orders = load_table(spark, sf_dir, "orders")
     path = os.path.join(
-        tempfile.mkdtemp(prefix="cps_dpp_"), "orders_by_year"
+        register_temp_dir(tempfile.mkdtemp(prefix="cps_dpp_")),
+        "orders_by_year",
     )
     orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
         "overwrite"
@@ -255,7 +261,7 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    base = tempfile.mkdtemp(prefix="cps_codec_")
+    base = register_temp_dir(tempfile.mkdtemp(prefix="cps_codec_"))
 
     def digest(df):
         # order-insensitive relation digest: exact int64 sum of each

@@ -51,7 +51,13 @@ from climateiq_pipelines_spark.registry import load_table
 
 
 def _mk_table(tag: str) -> str:
-    root = tempfile.mkdtemp(prefix=f"cps_txn_{tag}_")
+    # Registered for post-consumption reclaim (session.purge_temp_dirs
+    # via release_blocks, atexit fallback): each txn key writes ~6 file
+    # groups of orders slices per call — the heaviest /tmp leakers in
+    # the engine before round 12's registry.
+    from climateiq_pipelines_spark.session import register_temp_dir
+
+    root = register_temp_dir(tempfile.mkdtemp(prefix=f"cps_txn_{tag}_"))
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     os.makedirs(os.path.join(root, "_log"), exist_ok=True)
     return root
@@ -61,22 +67,63 @@ def _log_path(root: str, version: int) -> str:
     return os.path.join(root, "_log", f"{version:08d}.json")
 
 
-def _try_commit(root: str, version: int, record: dict) -> bool:
-    """Atomically claim ``version`` with ``record``. Returns False if a
-    concurrent writer already claimed it (the POSIX hard link publishes
-    exclusively — EEXIST is the loss signal, and a crashed writer's tmp
-    file is garbage, never a half-visible commit)."""
-    fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_log"), suffix=".tmp")
+def _publish_atomic(logdir: str, name: str, record: dict) -> bool:
+    """Write ``record`` to a tmp file and atomically claim ``name`` in
+    ``logdir`` via POSIX hard link.  Returns False on EEXIST (a
+    concurrent publisher won; the tmp file is garbage, never a
+    half-visible record).  ONE recipe for commits AND checkpoints —
+    round-12 review found _write_checkpoint carrying a hand-rolled twin
+    of this sequence, so a durability fix (e.g. fsync-before-link)
+    would have had to land twice or the two publish paths diverge."""
+    fd, tmp = tempfile.mkstemp(dir=logdir, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(record, f, sort_keys=True)
         try:
-            os.link(tmp, _log_path(root, version))
+            os.link(tmp, os.path.join(logdir, name))
             return True
         except FileExistsError:
             return False
     finally:
         os.unlink(tmp)
+
+
+def _try_commit(root: str, version: int, record: dict) -> bool:
+    """Atomically claim ``version`` with ``record``. Returns False if a
+    concurrent writer already claimed it (the POSIX hard link publishes
+    exclusively — EEXIST is the loss signal, and a crashed writer's tmp
+    file is garbage, never a half-visible commit)."""
+    return _publish_atomic(
+        os.path.join(root, "_log"),
+        os.path.basename(_log_path(root, version)),
+        record,
+    )
+
+
+def _commit_must_win(root: str, version: int, record: dict) -> None:
+    """Publish a commit the protocol script REQUIRES to succeed.  A
+    plain call plus raise, deliberately NOT an ``assert``: python -O
+    strips asserts, and a stripped publish would silently skip linking
+    the record — under PYTHONOPTIMIZE the entire transaction history
+    would vanish and the snapshot read would crash on an empty active
+    set (round-12 review)."""
+    if not _try_commit(root, version, record):
+        raise RuntimeError(
+            f"txn protocol: commit v{version} unexpectedly lost its race "
+            f"at {root}"
+        )
+
+
+def _commit_must_lose(root: str, version: int, record: dict) -> None:
+    """Attempt a commit the deterministic simulated race REQUIRES to
+    lose.  NOT an ``assert`` for the same reason as _commit_must_win —
+    a stripped attempt would silently skip the race the key's audit
+    columns claim happened."""
+    if _try_commit(root, version, record):
+        raise RuntimeError(
+            f"txn protocol: stale commit v{version} unexpectedly WON "
+            f"at {root} (simulated race broken)"
+        )
 
 
 def _read_log(root: str) -> list[dict]:
@@ -128,6 +175,45 @@ def _write_data(df: DataFrame, root: str, tag: str) -> list[str]:
         for n in sorted(os.listdir(out))
         if n.endswith(".parquet")
     ]
+
+
+def _build_three_commit_history(
+    spark: SparkSession, orders: DataFrame, root: str
+) -> tuple[list[str], list[str], list[str]]:
+    """The serial history both checked keys replay — v1 append the base
+    slice (o_orderkey ≡ 0 mod 3); v2 blind append (≡ 1 mod 3); v3
+    copy-on-write DELETE (rewrite without keys ≡ 0 mod 5, removing both
+    prior file groups).  Shared by sink_txn_commit_protocol and
+    sink_txn_checkpoint (round-12 review: the two carried line-for-line
+    copies including the %3/%5 slice constants, so a history fix would
+    have to land twice or the keys silently diverge from _TXN_SQL).
+    Returns the three committed file groups."""
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    files1 = _write_data(base, root, "c1")
+    _commit_must_win(
+        root, 1, {"version": 1, "add": files1, "read_version": 0, "domain": "*"}
+    )
+
+    appended = orders.filter(F.col("o_orderkey") % 3 == 1)
+    files2 = _write_data(appended, root, "c2")
+    _commit_must_win(
+        root, 2, {"version": 2, "add": files2, "read_version": 1, "domain": "*"}
+    )
+
+    rewritten = _snapshot(spark, root, 2).filter(F.col("o_orderkey") % 5 != 0)
+    files3 = _write_data(rewritten, root, "c3")
+    _commit_must_win(
+        root,
+        3,
+        {
+            "version": 3,
+            "add": files3,
+            "remove": files1 + files2,
+            "read_version": 2,
+            "domain": "*",
+        },
+    )
+    return files1, files2, files3
 
 
 _TXN_SQL = """
@@ -186,32 +272,7 @@ def sink_txn_commit_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-
-    base = orders.filter(F.col("o_orderkey") % 3 == 0)
-    files1 = _write_data(base, root, "c1")
-    assert _try_commit(
-        root, 1, {"version": 1, "add": files1, "read_version": 0, "domain": "*"}
-    )
-
-    appended = orders.filter(F.col("o_orderkey") % 3 == 1)
-    files2 = _write_data(appended, root, "c2")
-    assert _try_commit(
-        root, 2, {"version": 2, "add": files2, "read_version": 1, "domain": "*"}
-    )
-
-    rewritten = _snapshot(spark, root, 2).filter(F.col("o_orderkey") % 5 != 0)
-    files3 = _write_data(rewritten, root, "c3")
-    assert _try_commit(
-        root,
-        3,
-        {
-            "version": 3,
-            "add": files3,
-            "remove": files1 + files2,
-            "read_version": 2,
-            "domain": "*",
-        },
-    )
+    _build_three_commit_history(spark, orders, root)
 
     rows_at_v2 = _snapshot(spark, root, 2).count()  # time travel
     latest = _snapshot(spark, root)  # replays to v3
@@ -247,9 +308,14 @@ _RACE_SQL = """
     ),
     -- writer C: +100 every URGENT price computed against version 1;
     -- loses its race, detects OVERLAP with A's committed domain, must
-    -- RECOMPUTE on the post-A snapshot (so +10 then +100), lands at v4
+    -- RECOMPUTE on the post-A snapshot (so +10 then +100), lands at v4.
+    -- TWO additions in the engine's order, NOT a folded +110.0: double
+    -- addition is non-associative, so (p+10)+100 can differ from p+110
+    -- by 1 ulp, and the fixed-point floor in dsum would expose it
+    -- (round-12 review — latent at larger SFs even though the fixture
+    -- dodges every boundary today).
     c_out AS (
-      SELECT o_orderkey, o_totalprice + 110.0 AS o_totalprice,
+      SELECT o_orderkey, (o_totalprice + 10.0) + 100.0 AS o_totalprice,
              o_orderpriority
       FROM p1
     )
@@ -312,7 +378,7 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = orders.filter(F.col("o_orderpriority") == "2-HIGH")
     f_p1 = _write_data(p1, root, "seed_urgent")
     f_p2 = _write_data(p2, root, "seed_high")
-    assert _try_commit(
+    _commit_must_win(
         root,
         1,
         {"version": 1, "add": f_p1 + f_p2, "read_version": 0, "domain": "*"},
@@ -344,7 +410,7 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # A wins version 2.
-    assert _try_commit(
+    _commit_must_win(
         root,
         2,
         {
@@ -358,7 +424,7 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # B loses the v2 race (deterministically simulated: its attempt hits
     # the version A claimed), validates, and REBASES.
-    assert not _try_commit(
+    _commit_must_lose(
         root,
         2,
         {
@@ -376,8 +442,12 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     conflict = any(
         r["domain"] in ("2-HIGH", "*") for r in intervening
     )
-    assert not conflict  # disjoint domains -> rebase, same files
-    assert _try_commit(
+    if conflict:  # disjoint domains -> rebase, same files (plain check,
+        # not an assert: python -O must not skip protocol validation)
+        raise RuntimeError(
+            "txn protocol: B found a conflicting domain; rebase path broken"
+        )
+    _commit_must_win(
         root,
         3,
         {
@@ -390,7 +460,7 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # C loses ITS race and finds an overlapping domain -> recompute.
-    assert not _try_commit(
+    _commit_must_lose(
         root,
         2,
         {
@@ -406,7 +476,11 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     conflict = any(
         r["domain"] in ("1-URGENT", "*") for r in intervening
     )
-    assert conflict  # A rewrote C's domain: C's prepared files are stale
+    if not conflict:  # A rewrote C's domain: C's prepared files ARE stale
+        raise RuntimeError(
+            "txn protocol: C expected an overlapping-domain conflict; "
+            "recompute path broken"
+        )
     recomputes += 1
     current = _latest_version(root)
     c_files2 = _write_data(
@@ -416,7 +490,7 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         "c_v4",
     )
-    assert _try_commit(
+    _commit_must_win(
         root,
         current + 1,
         {
@@ -451,19 +525,11 @@ def _write_checkpoint(root: str, version: int) -> None:
     valid, the property that lets every reader/writer checkpoint
     opportunistically without coordination)."""
     snap = {"version": version, "active": _active_files(root, version)}
-    fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_log"), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f, sort_keys=True)
-        try:
-            os.link(
-                tmp,
-                os.path.join(root, "_log", f"{version:08d}.checkpoint.json"),
-            )
-        except FileExistsError:
-            pass  # a concurrent checkpointer won; identical content
-    finally:
-        os.unlink(tmp)
+    # Shared publish recipe (_publish_atomic); a False return means a
+    # concurrent checkpointer won — harmless, identical derived content.
+    _publish_atomic(
+        os.path.join(root, "_log"), f"{version:08d}.checkpoint.json", snap
+    )
 
 
 def _read_via_checkpoint(root: str) -> tuple[list[str], int, int]:
@@ -527,25 +593,7 @@ def sink_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-
-    base = orders.filter(F.col("o_orderkey") % 3 == 0)
-    files1 = _write_data(base, root, "c1")
-    assert _try_commit(
-        root, 1, {"version": 1, "add": files1, "read_version": 0, "domain": "*"}
-    )
-    appended = orders.filter(F.col("o_orderkey") % 3 == 1)
-    files2 = _write_data(appended, root, "c2")
-    assert _try_commit(
-        root, 2, {"version": 2, "add": files2, "read_version": 1, "domain": "*"}
-    )
-    rewritten = _snapshot(spark, root, 2).filter(F.col("o_orderkey") % 5 != 0)
-    files3 = _write_data(rewritten, root, "c3")
-    assert _try_commit(
-        root,
-        3,
-        {"version": 3, "add": files3, "remove": files1 + files2,
-         "read_version": 2, "domain": "*"},
-    )
+    _, _, files3 = _build_three_commit_history(spark, orders, root)
 
     _write_checkpoint(root, 3)
     _write_checkpoint(root, 3)  # duplicate attempt: harmless no-op
@@ -554,7 +602,7 @@ def sink_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_totalprice") + 5.0
     )
     files4 = _write_data(repriced, root, "c4")
-    assert _try_commit(
+    _commit_must_win(
         root,
         4,
         {"version": 4, "add": files4, "remove": files3,

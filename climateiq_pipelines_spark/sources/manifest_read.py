@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.session import register_temp_dir
 
 _PARTS = 8
 _LO, _HI = 100_000.0, 150_000.0  # the scan predicate (≈10% of rows)
@@ -71,7 +72,8 @@ def scan_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     path = os.path.join(
-        tempfile.mkdtemp(prefix="cps_manifest_"), "orders_by_price"
+        register_temp_dir(tempfile.mkdtemp(prefix="cps_manifest_")),
+        "orders_by_price",
     )
     (
         orders.repartitionByRange(_PARTS, "o_totalprice")

@@ -28,7 +28,12 @@ from climateiq_pipelines_spark.registry import TABLES, load_table
 
 
 def _tmpdir(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"cps_{tag}_")
+    # Registered for post-consumption reclaim (session.purge_temp_dirs
+    # via release_blocks, atexit fallback): the returned frame reads
+    # these files lazily, so the operator itself can never delete them.
+    from climateiq_pipelines_spark.session import register_temp_dir
+
+    return register_temp_dir(tempfile.mkdtemp(prefix=f"cps_{tag}_"))
 
 
 @register(

@@ -44,7 +44,11 @@ def _two_batch_dir(spark: SparkSession, sf_dir: str) -> str:
     cached = _SPLIT_CACHE.get(cache_key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    base = tempfile.mkdtemp(prefix="cps_state_timeout_")
+    # Registered for post-consumption reclaim; _SPLIT_CACHE re-checks
+    # os.path.isdir before reuse, so a purged dir rebuilds gracefully.
+    from climateiq_pipelines_spark.session import register_temp_dir
+
+    base = register_temp_dir(tempfile.mkdtemp(prefix="cps_state_timeout_"))
     ev = read_events_micros(spark, sf_dir).select("user_id", "ts_us")
     for i, pred in enumerate(
         (F.col("user_id") < _SPLIT_UID, F.col("user_id") >= _SPLIT_UID)

@@ -96,9 +96,16 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit["commits"] += 1
         else:
             # Lost a concurrent race for our own version: only a replay
-            # of this very batch can hold it (checked), so skip.
+            # of this very batch can hold it (checked), so skip.  Plain
+            # raise, not assert — python -O must not skip the
+            # exactly-once validation this sink exists to demonstrate.
             rec = {r["version"]: r for r in _read_log(root)}[version]
-            assert rec.get("batch_id") == batch_id
+            if rec.get("batch_id") != batch_id:
+                raise RuntimeError(
+                    f"txn sink: version {version} held by foreign batch "
+                    f"{rec.get('batch_id')!r}, expected {batch_id!r} — "
+                    "exactly-once invariant broken"
+                )
             audit["replays_skipped"] += 1
 
     agg = (

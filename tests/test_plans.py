@@ -423,9 +423,12 @@ def test_driver_sim_evidence_header_is_parseable_and_first():
     assert "\n" not in line
     hdr = _json.loads(line)
     for field in ("tool", "tz", "extra_conf", "sf_dir", "window_only",
-                  "n_keys", "wall_sec", "date_utc"):
+                  "n_keys", "wall_sec", "date_utc", "master"):
         assert field in hdr, field
     assert hdr["tz"] == "Pacific/Chatham"
+    # Round-12 cluster-size-independence axis: the parallelism level the
+    # run actually used must be on the artifact's face too.
+    assert hdr["master"] == "local[8]"
     assert hdr["n_keys"] == 232
     assert hdr["wall_sec"] == 1234.6
     src = inspect.getsource(ds.main)
@@ -490,6 +493,63 @@ def test_release_blocks_clears_registered_frame_caches(spark):
         assert spark.range(100).count() == 100
     finally:
         S.SESSION_FRAME_CACHES.remove(probe)
+
+
+def test_release_blocks_purges_registered_temp_dirs(spark):
+    """Round-12 code review: scan/sink/txn operators mkdtemp fixture
+    slices their returned frame reads lazily, so the operator can never
+    delete its own directory — without reclaim every sweep leaks full
+    parquet copies into /tmp for the life of the host.  Registered
+    roots must be purged by release_blocks (post-consumption, same
+    lifecycle as checkpoint blocks) and the registry must drain."""
+    import os
+    import tempfile
+
+    from climateiq_pipelines_spark import session as S
+
+    d = S.register_temp_dir(tempfile.mkdtemp(prefix="cps_purge_probe_"))
+    open(os.path.join(d, "f.bin"), "wb").write(b"x")
+    assert d in S.SESSION_TEMP_DIRS
+    S.release_blocks(spark)
+    assert not os.path.exists(d)
+    assert d not in S.SESSION_TEMP_DIRS
+    # idempotent on an empty registry
+    assert S.purge_temp_dirs() == 0
+
+
+def test_every_module_level_frame_cache_is_registered():
+    """Static sweep of the WHOLE package: any module-level annotated
+    assignment whose type holds DataFrame values (the checkpointed-frame
+    cache pattern) must be wrapped in session.register_frame_cache at
+    the assignment site.  The hand-pinned list in the test above covers
+    today's three caches; this guard covers the NEXT one — a future
+    cache that skips registration would reintroduce the round-12 poison
+    handle (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND after the harness
+    reclaim), and nothing else would catch it until a sweep died."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "climateiq_pipelines_spark")
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for node in tree.body:  # module level only
+            if not isinstance(node, ast.AnnAssign) or node.value is None:
+                continue
+            ann = ast.unparse(node.annotation)
+            if "DataFrame" not in ann:
+                continue
+            call_ok = (
+                isinstance(node.value, ast.Call)
+                and ast.unparse(node.value.func).endswith(
+                    "register_frame_cache")
+            )
+            if not call_ok:
+                offenders.append(f"{path.name}: {ast.unparse(node.target)}")
+    assert not offenders, (
+        "module-level DataFrame caches missing register_frame_cache: "
+        f"{offenders}")
 
 
 def test_gen_rotation_derive_window_rules():
