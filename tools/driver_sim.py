@@ -31,6 +31,7 @@ def evidence_header(
     n_keys: int,
     wall_sec: float,
     extra_conf: str = "",
+    master: str = "local[8]",
 ) -> str:
     """One JSON line embedding the run's own configuration — the first
     stdout line of every sweep, so archived evidence logs are unique and
@@ -46,6 +47,7 @@ def evidence_header(
         "driver_sim",
         tz=tz,
         extra_conf=extra_conf,
+        master=master,
         sf_dir=sf_dir,
         window_only=window_only,
         n_keys=n_keys,
@@ -63,8 +65,15 @@ def main() -> int:
     # Asia/Kolkata, +05:30 — a half-hour offset catches a class of
     # rounding bugs whole-hour zones cannot).
     tz = os.environ.get("DRIVER_SIM_TZ", "America/New_York")
+    # Cluster-size-independence axis (round 12): DRIVER_SIM_MASTER
+    # varies the local parallelism level (e.g. local[2] / local[32]).
+    # Core count changes spark.range/parallelize partition counts and
+    # hence per-partition accumulation order — the local-mode proxy for
+    # "a 1000-executor cluster computes the same answers".  Embedded in
+    # the evidence header like every other applied knob.
+    master = os.environ.get("DRIVER_SIM_MASTER", "local[8]")
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(master)
         .config("spark.sql.session.timeZone", tz)
         .config("spark.ui.enabled", "false")
     )
@@ -163,7 +172,8 @@ def main() -> int:
     # artifact.  The first stdout line now embeds the run's own config,
     # so every archived .out is unique and auditable on its face.
     print(evidence_header(tz, sf_dir, window_only, len(qs),
-                          time.monotonic() - t0, extra_conf=extra_conf))
+                          time.monotonic() - t0, extra_conf=extra_conf,
+                          master=master))
     print("FAILURES:" if bad else f"ALL {len(qs)} KEYS OK")
     for b in bad:
         print(b)
