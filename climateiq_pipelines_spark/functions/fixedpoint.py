@@ -45,6 +45,67 @@ def _sql_int_dot(a: str, b: str) -> str:
     )
 
 
+def fixed_mean_1e9(x: Column) -> Column:
+    """Exact 1e9 fixed-point component mean (an AGGREGATE expression):
+    floor each value to 1e-9 resolution, integer-sum (exact below 2^53),
+    divide the scale back out, divide by count.  The centroid-mean
+    contract every k-means/PQ key's cross-engine hash depends on —
+    round-12 review found the expression copy-pasted four times in
+    ml_iter.py alone."""
+    return (
+        F.sum(F.floor(x.cast("double") * F.lit(float(_S9)))).cast("double")
+        / F.lit(float(_S9))
+        / F.count(F.lit(1))
+    )
+
+
+def assign_nearest_centroid(emb, keep_label: bool = False):
+    """One k-means E-step as a DataFrame plan — per-label centroids
+    (exact 1e9 fixed-point component means), every vector re-assigned
+    to its nearest centroid by exact 1e12 fixed-point squared L2,
+    argmin by integer with c_label tie-break.  Returns
+    (vec_id[, label], c_label).  The engine twin of _CENTROID_SQL,
+    shared by llm_centroid_assign and llm_semdedup_pipeline — round-12
+    review found the ~25-line plan copy-pasted in both, so a fix to
+    the exactness contract their hashes depend on would not have
+    propagated.
+
+    ``exploded`` is localCheckpointed: it feeds BOTH the centroid
+    aggregate (behind a broadcast boundary AQE will not reuse a
+    shuffle across) and the distance join — without the barrier the
+    64x posexplode scan executes twice per consumer.  Trade-off note
+    (round-12 review): localCheckpoint truncates lineage to
+    executor-local blocks, so on a real cluster an executor loss after
+    materialization fails the job instead of recomputing — the
+    engine-wide policy for these barrier sites (same as
+    llm_dsir_weights / llm_winnow_neardup); a deployment that needs
+    fault tolerance through the barrier swaps in reliable
+    ``checkpoint()`` against a checkpoint dir, same plan shape."""
+    from pyspark.sql import Window as W
+
+    exploded = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).localCheckpoint(eager=False)
+    centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        fixed_mean_1e9(F.col("x")).alias("c")
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    keys = ["vec_id", "label", "c_label"] if keep_label else ["vec_id", "c_label"]
+    dists = (
+        exploded.join(F.broadcast(centroids), "pos")
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.floor(diff * diff * F.lit(float(_S12)))).alias("dist_fp")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_label"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keys)
+    )
+
+
 # DuckDB CTE block computing per-label centroids (1e9-scaled component
 # means) and nearest-centroid assignment by 1e12-scaled L2 — the oracle
 # twin of the k-means E-step shared by llm_centroid_assign and the

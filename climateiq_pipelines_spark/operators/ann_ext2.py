@@ -71,18 +71,17 @@ def _mrl_rerank_bucketed(emb: DataFrame) -> DataFrame:
         plane = F.array(*[F.lit(v) for v in row[:_MRL_PREFIX_DIM]])
         bit = F.when(_int_dot(pre, plane) >= 0, 1 << j).otherwise(0)
         sig = sig + bit
-    sigs = emb.select(
-        "vec_id", F.col("embedding"), pre.alias("pre"), sig.alias("signature")
-    )
-    a = sigs.select(
-        "vec_id",
-        F.col("embedding").alias("q_emb"),
-        F.col("pre").alias("q_pre"),
-        "signature",
-    )
+    # Stage 1 carries ONLY (ids, prefix dot) through the
+    # bucket-quadratic join and the trunc-rank window shuffle — the
+    # 16/64 truncated-payload saving is the whole point of MRL, and the
+    # old form hauled both FULL 64-d vectors on every candidate pair
+    # (~5x the shuffle bytes) even though full width is needed for just
+    # <=_MRL_SHORTLIST survivors per query (round-12 review).  The
+    # survivors re-join the embeddings relation for the exact rerank.
+    sigs = emb.select("vec_id", pre.alias("pre"), sig.alias("signature"))
+    a = sigs.select("vec_id", F.col("pre").alias("q_pre"), "signature")
     b = sigs.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
         F.col("pre").alias("n_pre"),
         "signature",
     )
@@ -92,15 +91,23 @@ def _mrl_rerank_bucketed(emb: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "neighbor_id",
-            "q_emb",
-            "n_emb",
             _int_dot(F.col("q_pre"), F.col("n_pre")).alias("trunc_fp"),
         )
     )
     w1 = W.partitionBy("vec_id").orderBy(F.desc("trunc_fp"), F.asc("neighbor_id"))
-    shortlist = (
+    short_ids = (
         pairs.withColumn("trunc_rnk", F.row_number().over(w1))
         .filter(F.col("trunc_rnk") <= _MRL_SHORTLIST)
+        .select("vec_id", "neighbor_id")
+    )
+    qe = emb.select("vec_id", F.col("embedding").alias("q_emb"))
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+    )
+    shortlist = (
+        short_ids.join(qe, "vec_id")
+        .join(ne, "neighbor_id")
         .select(
             "vec_id",
             "neighbor_id",
@@ -157,19 +164,17 @@ def llm_mrl_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from climateiq_pipelines_spark.operators.llm import _blocknl_max_vectors
+    from climateiq_pipelines_spark.operators.llm import _blocknl_broadcast
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    head = emb.take(1)
-    dim = len(head[0]["embedding"]) if head else 1
-    max_vectors = _blocknl_max_vectors(dim)
-    rows = emb.take(max_vectors + 1)
-    if len(rows) > max_vectors:
+    # Shared driver prelude (round-12 review: was a verbatim copy of
+    # llm_cosine_topk's 40 lines, which had already diverged — this
+    # copy crashed on an empty corpus because the prefix slice ran on
+    # a 1-D np.array([]); the helper guards that once for both twins).
+    prelude = _blocknl_broadcast(spark, emb)
+    if prelude is None:
         return _mrl_rerank_bucketed(emb)
-    corpus_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    order = np.argsort(corpus_ids)
-    bc = spark.sparkContext.broadcast((corpus_ids[order], corpus[order]))
+    bc, _dim = prelude
 
     schema = T.StructType(
         [
@@ -465,11 +470,34 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe side — the same harness shape as
     llm_minhash_jaccard_estimate's 8x8 sample) while this fixture
     evaluates every query exactly."""
-    from climateiq_pipelines_spark.operators.llm import llm_cosine_topk
+    from climateiq_pipelines_spark.operators.llm import (
+        _blocknl_max_vectors,
+        llm_cosine_topk,
+    )
     from climateiq_pipelines_spark.operators.vector_ext import (
         llm_cosine_topk_lsh,
     )
 
+    # Ground truth must be EXACT: llm_cosine_topk auto-dispatches to
+    # its bucketed ANN twin above the block-NL bound, and recall
+    # measured against an approximate baseline is not recall — above
+    # the bound this key previously reported LSH-vs-bucketed overlap
+    # as recall@5 with no marker (round-12 review).  Probe the same
+    # bound and refuse loudly; production samples the query set or
+    # evaluates on a corpus slice instead.
+    emb_probe = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    head = emb_probe.take(1)
+    dim = len(head[0]["embedding"]) if head else 1
+    bound = _blocknl_max_vectors(dim)
+    if len(emb_probe.take(bound + 1)) > bound:
+        raise ValueError(
+            "llm_ann_recall_eval: corpus exceeds the block-NL bound, so "
+            "the exact ground-truth side would silently dispatch to an "
+            "approximate plan — sample the query set or evaluate on a "
+            "corpus slice"
+        )
     exact = llm_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     approx = llm_cosine_topk_lsh(spark, sf_dir).select(
         "vec_id", "neighbor_id"

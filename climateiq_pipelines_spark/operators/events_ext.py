@@ -45,7 +45,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP EVENT PATHS — the sequence-mining staple of product
     analytics: every consecutive 3-step path a user walks (ordered by
     event time with event_id as the deterministic tie-break), counted
-    corpus-wide, top-{K} reported with a total order (count desc, path
+    corpus-wide, top-10 (_TOP_PATHS_K) reported with a total order (count desc, path
     asc — a row_number, not rank, so the result set is identical even
     when counts tie at the cutoff).
 
@@ -59,9 +59,11 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_type|^3 is bounded, never the event stream itself).
 
     At 100 TB: per-user state is the 3-event lookahead buffer; the
-    only data-sized shuffle is the user_id partitioning.""".replace(
-        "{K}", str(_TOP_PATHS_K)
-    )
+    only data-sized shuffle is the user_id partitioning.
+
+    (Round-12 review: this docstring previously ended in a
+    ``.replace("{K}", ...)`` call — a bare string EXPRESSION is only a
+    docstring without trailing operations, so __doc__ was None.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )

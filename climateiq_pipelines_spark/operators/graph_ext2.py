@@ -145,13 +145,15 @@ def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    # The degree relation is |V|-sized — broadcast both joins.
-    du = F.broadcast(
-        deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    )
-    dv = F.broadcast(
-        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    )
+    # The degree relation is |V| x 16B — broadcast both joins only while
+    # that fits (round-12 review: the hint bypasses
+    # autoBroadcastJoinThreshold, so an ungated broadcast pins the
+    # relation on every executor at ANY |V|); beyond the bound the
+    # joins fall back to shuffles, the correct 10^9-node answer.
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    if deg.count() <= 4_000_000:  # ~64 MB of (long, long) rows
+        du, dv = F.broadcast(du), F.broadcast(dv)
     oriented = (
         ed.join(du, "u")
         .join(dv, "v")
@@ -228,15 +230,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = oriented.groupBy(F.col("s").alias("node")).agg(
         F.sort_array(F.collect_list("t")).alias("nbrs")
     )
-    # The adjacency relation is |V| rows x O(sqrt m) longs. Broadcast
-    # it onto both endpoint joins when |V| is broadcast-sized (the
-    # part-table count is a parquet-metadata read, not a scan) —
-    # removes the only two edge-list shuffles in the scoring stage
-    # (measured 11.3 s -> see bench). Beyond the bound the plan falls
-    # back to plain shuffle joins, which is the correct 10^9-node
-    # answer.
-    n_nodes = load_table(spark, sf_dir, "part").count()
-    if n_nodes <= 200_000:  # ~|V| * 8B * O(sqrt m) well under 64 MiB here
+    # The adjacency broadcast's TRUE payload is sum-of-out-degrees
+    # longs = |oriented edges| x 8B, NOT |V| (round-12 review: the old
+    # part-count gate admitted multi-hundred-MB broadcasts — at sf1,
+    # |V|=200k passes while the co-purchase graph holds millions of
+    # edges, and the F.broadcast hint BYPASSES
+    # autoBroadcastJoinThreshold, so both endpoint joins would pin the
+    # oversized relation on every executor). Gate on the oriented edge
+    # count itself — `oriented` is checkpointed, so the count is a
+    # cheap aggregate over materialized blocks. Broadcasting removes
+    # the only two edge-list shuffles in the scoring stage (measured
+    # 11.3 s -> see bench); beyond the bound the plan falls back to
+    # plain shuffle joins, which is the correct 10^9-edge answer.
+    n_directed = oriented.count()
+    if n_directed <= 4_000_000:  # ~32 MB of longs before hash overhead
         adj = F.broadcast(adj)
     scored = (
         oriented.join(
@@ -376,14 +383,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    # Per-round label relation is |V| x 16B — broadcast only while that
+    # fits (round-12 review: the hint bypasses
+    # autoBroadcastJoinThreshold); at larger |V| each round shuffles on
+    # node, the standard distributed-LPA plan.
+    bcast_labels = labels.count() <= 4_000_000  # ~64 MB of rows
     for _ in range(_LPA_ROUNDS):
+        lab_u = labels.select(F.col("node").alias("u"), "label")
+        if bcast_labels:
+            lab_u = F.broadcast(lab_u)
         counts = (
-            sym.join(
-                F.broadcast(
-                    labels.select(F.col("node").alias("u"), "label")
-                ),
-                "u",
-            )
+            sym.join(lab_u, "u")
             .groupBy(F.col("v").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )

@@ -42,6 +42,8 @@ from climateiq_pipelines_spark.functions.fixedpoint import (  # noqa: E402
     _S12,
     _int_dot,
     _sql_int_dot,
+    assign_nearest_centroid,
+    fixed_mean_1e9,
 )
 
 
@@ -497,6 +499,37 @@ def _blocknl_max_vectors(dim: int) -> int:
     return min(BLOCKNL_MAX_VECTORS, BLOCKNL_MAX_BYTES // max(dim, 1) // 8)
 
 
+def _blocknl_broadcast(spark, emb: DataFrame):
+    """The block-NL driver prelude — probe the embedding dim, bound the
+    corpus by BYTES (take(max+1), never an unbounded collect), sort by
+    vec_id, ship ONE sparkContext.broadcast.  Returns (bc, dim), or
+    None when the corpus exceeds the bound and the caller must
+    dispatch to its bucketed DataFrame twin.  ONE implementation for
+    llm_cosine_topk and llm_mrl_truncated_rerank (round-12 review: the
+    ~40-line prelude was copy-pasted, so the r6 fixes recorded here —
+    byte-derived bound, torrent broadcast instead of per-task closure
+    capture — had to be maintained twice; ann_ext2's copy also crashed
+    on an EMPTY corpus because np.array([]) is 1-D and prefix slicing
+    needs 2-D, guarded here once)."""
+    import numpy as np
+
+    head = emb.take(1)
+    dim = len(head[0]["embedding"]) if head else 1
+    max_vectors = _blocknl_max_vectors(dim)
+    rows = emb.take(max_vectors + 1)
+    if len(rows) > max_vectors:
+        return None
+    corpus_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if corpus.size == 0:  # keep 2-D so column slicing works on empty
+        corpus = np.zeros((0, dim), dtype=np.float64)
+    order = np.argsort(corpus_ids)
+    return (
+        spark.sparkContext.broadcast((corpus_ids[order], corpus[order])),
+        dim,
+    )
+
+
 def _cosine_topk_bucketed(
     emb: DataFrame, k: int, method: str = "simhash_bucketed"
 ) -> DataFrame:
@@ -585,16 +618,10 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    head = emb.take(1)
-    dim = len(head[0]["embedding"]) if head else 1
-    max_vectors = _blocknl_max_vectors(dim)
-    rows = emb.take(max_vectors + 1)
-    if len(rows) > max_vectors:
+    prelude = _blocknl_broadcast(spark, emb)
+    if prelude is None:
         return _cosine_topk_bucketed(emb, k=5)
-    corpus_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    order = np.argsort(corpus_ids)
-    bc = spark.sparkContext.broadcast((corpus_ids[order], corpus[order]))
+    bc, _dim = prelude
 
     schema = T.StructType(
         [
@@ -727,29 +754,8 @@ def llm_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus, constant in centroids. The k-means loop at 100 TB
     is this plan iterated."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
-    )
-    centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        (
-            F.sum(F.floor(F.col("x").cast("double") * _S9)).cast("double")
-            / F.lit(float(_S9))
-            / F.count(F.lit(1))
-        ).alias("c")
-    )
-    diff = F.col("x").cast("double") - F.col("c")
-    dists = (
-        exploded.join(F.broadcast(centroids), "pos")
-        .groupBy("vec_id", "label", "c_label")
-        .agg(
-            F.sum(F.floor(diff * diff * F.lit(float(_S12)))).alias("dist_fp")
-        )
-    )
-    w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_label"))
-    assigned = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", F.col("c_label").alias("assigned_label"))
+    assigned = assign_nearest_centroid(emb, keep_label=True).select(
+        "vec_id", "label", F.col("c_label").alias("assigned_label")
     )
     correct = F.when(F.col("assigned_label") == F.col("label"), 1)
     return assigned.groupBy("label").agg(
@@ -809,11 +815,7 @@ def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.posexplode("embedding").alias("pos", "x")
     )
     centroids = exploded.groupBy(F.col("lang").alias("c_lang"), "pos").agg(
-        (
-            F.sum(F.floor(F.col("x").cast("double") * _S9)).cast("double")
-            / F.lit(float(_S9))
-            / F.count(F.lit(1))
-        ).alias("c")
+        fixed_mean_1e9(F.col("x")).alias("c")
     )
     diff = F.col("x").cast("double") - F.col("c")
     dists = (
@@ -849,7 +851,14 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def _simhash_oracle() -> str:
+def _simhash_sig_sql() -> str:
+    """Bare SQL expression for the 8-bit hyperplane signature — the
+    single source every simhash oracle builds from.  Round-12 review:
+    vector_ext's multiprobe/topk-LSH oracles (and llm_cosine_neardup
+    below) previously extracted this by string-splitting
+    _simhash_oracle()'s rendered text on 'FROM (SELECT ' — any harmless
+    reformatting of that oracle would have broken two keys that never
+    touched the edited code."""
     bits = []
     for j, row in enumerate(_hyperplanes()):
         arr = "[" + ", ".join(repr(v) for v in row) + "]::DOUBLE[]"
@@ -859,11 +868,14 @@ def _simhash_oracle() -> str:
             f"* 1000000000000) AS BIGINT)), 'sum')"
         )
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
-    sig = " + ".join(bits)
+    return " + ".join(bits)
+
+
+def _simhash_oracle() -> str:
     return f"""
     SELECT signature, COUNT(*) AS n_vecs,
            COUNT(DISTINCT label) AS n_labels
-    FROM (SELECT {sig} AS signature, label FROM embeddings)
+    FROM (SELECT {_simhash_sig_sql()} AS signature, label FROM embeddings)
     GROUP BY signature
     """
 
@@ -895,7 +907,7 @@ def llm_simhash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_neardup_oracle() -> str:
-    sig_expr = _simhash_oracle().split("FROM (SELECT ")[1].split(" AS signature")[0]
+    sig_expr = _simhash_sig_sql()
     dot = _sql_int_dot("a.embedding", "b.embedding")
     return f"""
     WITH sigs AS (

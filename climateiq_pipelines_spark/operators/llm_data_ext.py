@@ -117,6 +117,14 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_SHARDS = 8
 
+# Portable hex digit -> 0..15 arithmetic (ascii + CASE only, identical
+# on Java and DuckDB sides; no conv()/unhex() needed).  Defined before
+# its first oracle use (llm_shuffle_shard).
+
+
+def _sql_hexval(c: str) -> str:
+    return f"(ascii({c}) - CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END)"
+
 
 @register(
     "llm_shuffle_shard",
@@ -128,7 +136,7 @@ _N_SHARDS = 8
     ),
     sharded AS (
       SELECT doc_id, n_chars, k,
-             ascii(substr(k, 32, 1)) % {_N_SHARDS} AS shard_id
+             {_sql_hexval("substr(k, 32, 1)")} % {_N_SHARDS} AS shard_id
       FROM keyed
     )
     SELECT doc_id, CAST(shard_id AS INTEGER) AS shard_id,
@@ -147,9 +155,14 @@ def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical byte order — the reproducibility property training infra
     actually needs from "shuffle the data".
 
-    The shard hash (last hex nibble mod 8) is the cross-engine-portable
-    DEMO spread — 16 hex values fold uniformly onto 8 shards; a
-    production run would widen to 1024+ shards with any keyed hash.
+    The shard hash (last hex nibble's VALUE mod 8) is the
+    cross-engine-portable DEMO spread — 16 hex values fold uniformly
+    onto 8 shards, 2 apiece.  (Round-12 review: the original
+    ascii(nibble) % 8 folded the ASCII CODES 48-57/97-102, giving
+    shard 1 three source values and shard 7 one — a 3x loader-shard
+    skew that contradicted this very sentence; hexval() % 8 is exactly
+    uniform.)  A production run would widen to 1024+ shards with any
+    keyed hash.
     Plan: one md5 projection, one shuffle on shard_id, and a
     shard-PARTITIONED row_number — per-shard linear state, parallel
     across shards, never a global single-partition sort (the same
@@ -162,9 +175,9 @@ def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k"
         ),
     )
-    sharded = keyed.withColumn(
-        "shard_id", (F.ascii(F.substring("k", 32, 1)) % _N_SHARDS)
-    )
+    nib = F.ascii(F.substring("k", 32, 1))
+    hexval = nib - F.when(nib >= 97, F.lit(87)).otherwise(F.lit(48))
+    sharded = keyed.withColumn("shard_id", hexval % _N_SHARDS)
     w = W.partitionBy("shard_id").orderBy("k")
     return sharded.select(
         "doc_id",
@@ -307,13 +320,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_TARGET = ("src0", "src1")
 _DSIR_B = 64
 
-# Portable hex-pair -> 0..255 -> bucket arithmetic (ascii + CASE only,
-# identical on Java and RE2/DuckDB sides; no conv()/unhex() needed).
 _HEXDIGITS = "0123456789abcdef"
-
-
-def _sql_hexval(c: str) -> str:
-    return f"(ascii({c}) - CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END)"
 
 
 def _dsir_oracle() -> str:
@@ -379,7 +386,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     2023): score every RAW document by how target-like its hashed
     n-gram feature distribution is, the step that picks pretraining
     data matching a small curated corpus. Features are word unigrams +
-    bigrams hashed into {B} buckets; per-bucket importance is the
+    bigrams hashed into B=64 (_DSIR_B) buckets; per-bucket importance is the
     add-one-smoothed probability ratio p_target(b)/p_raw(b); a doc's
     score is the mean bucket-ratio over its grams, and `selected` is
     the score > 1 cut (doc looks more target- than raw-like). The
@@ -390,7 +397,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism chain: the bucket hash is md5's last hex pair via
     ascii arithmetic (identical on both engines); bucket ratios are
     ONE fixed IEEE expression tree over exact int->double casts
-    ((t+1)·(R+B)) / ((r+1)·(T+B)) — two products, one division, one
+    ((t+1)*(R+B)) / ((r+1)*(T+B)) — two products, one division, one
     floor-to-micros — so every per-bucket int64 `micro` matches
     bit-for-bit; per-doc sums are pure int64 arithmetic. Cast budget:
     counts stay below 2^53 through ~10^15 grams, far past this
@@ -399,15 +406,18 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: gram generation is a ZERO-SHUFFLE map stage (bigrams by
     index over the filtered word array — no lead() window sort), and
     the multi-million-row gram stream is scanned ONCE: it collapses
-    map-side into (doc, bucket, side) counts (<= |docs| x {B} x 2
+    map-side into (doc, bucket, side) counts (<= |docs| x 64 x 2
     rows, materialized via localCheckpoint because the bucket-stats
     consumer sits behind a broadcast boundary AQE will not reuse a
     shuffle across); bucket stats and per-doc counts both derive from
-    that small relation; the ratio table (<= {B} rows, bounded by
+    that small relation; the ratio table (<= 64 rows, bounded by
     construction) broadcasts back; the final per-doc sum shuffles on
-    doc_id once. No all-pairs, no Python, no driver collect.""".replace(
-        "{B}", str(_DSIR_B)
-    )
+    doc_id once. No all-pairs, no Python, no driver collect.
+
+    (Round-12 review: this docstring previously ended in a
+    ``.replace("{B}", ...)`` call — a bare string EXPRESSION is only a
+    docstring without trailing operations, so __doc__ was None and the
+    formatted text was computed and discarded at import.)"""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -552,32 +562,22 @@ def llm_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the assigned cluster and is quadratic in cluster size only —
     at 100 TB, k grows with n so clusters stay task-sized (the paper's
     own scaling argument)."""
-    from climateiq_pipelines_spark.functions.fixedpoint import _S9, _S12
+    from climateiq_pipelines_spark.functions.fixedpoint import (
+        _S12,
+        assign_nearest_centroid,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
-    )
-    centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        (
-            F.sum(F.floor(F.col("x").cast("double") * _S9)).cast("double")
-            / F.lit(float(_S9))
-            / F.count(F.lit(1))
-        ).alias("c")
-    )
-    diff = F.col("x").cast("double") - F.col("c")
-    dists = (
-        exploded.join(F.broadcast(centroids), "pos")
-        .groupBy("vec_id", "c_label")
-        .agg(
-            F.sum(F.floor(diff * diff * F.lit(float(_S12)))).alias("dist_fp")
-        )
-    )
-    aw = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_label"))
+    # E-step shared with llm_centroid_assign (round-12 review: was a
+    # ~25-line copy of its plan; the exactness contract both keys'
+    # hashes depend on now lives once, next to its _CENTROID_SQL twin).
+    # Second diamond: emb2 feeds the Arrow scorer AND the final join —
+    # checkpoint the small per-vector assignment so the whole distance/
+    # argmin subtree runs once, not once per consumer.
     assigned = (
-        dists.withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
+        assign_nearest_centroid(emb)
         .select("vec_id", F.col("c_label").alias("cluster"))
+        .localCheckpoint(eager=False)
     )
     emb2 = emb.select("vec_id", "embedding").join(assigned, "vec_id")
     dup_counts = emb2.groupBy("cluster").applyInPandas(
@@ -771,9 +771,16 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     vocab = dw.groupBy("w").agg(F.sum("n").alias("cnt"))
+    # Vocabulary grows with the corpus (Heaps ~n^0.5), so the broadcast
+    # is gated on the measured vocab size (round-12 review: the hint
+    # bypasses autoBroadcastJoinThreshold, and an ungated broadcast of
+    # a 100 TB corpus's vocab pins hundreds of MB per executor); above
+    # the bound the join shuffles on w — the standard plan.
+    if vocab.count() <= 2_000_000:  # ~tens of MB of (word, long) rows
+        vocab = F.broadcast(vocab)
     bits = F.length(F.bin(F.col("cnt")))
     return (
-        dw.join(F.broadcast(vocab), "w")
+        dw.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_tokens"),

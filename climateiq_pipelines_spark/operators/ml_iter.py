@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from climateiq_pipelines_spark.functions.fixedpoint import fixed_mean_1e9
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
@@ -75,8 +76,12 @@ _KMEANS_ORACLE = f"""
 """
 
 
-_PQ_ORACLE = """
-    WITH exploded AS (
+# The exploded -> sub -> codebook chain and the per-(vec, subspace,
+# code) distance body — ONE source for _PQ_ORACLE and _IVFPQ_ORACLE
+# (round-12 review: the blocks were duplicated verbatim, so a fix to
+# the 1e9 floor-mean or 1e12 distance contract had to land twice or
+# the two keys silently diverge).
+_PQ_CODEBOOK_SQL = """exploded AS (
       SELECT vec_id, label,
              generate_subscripts(embedding, 1) AS pos,
              unnest(embedding) AS x
@@ -92,8 +97,11 @@ _PQ_ORACLE = """
              CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
                   AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
       FROM sub GROUP BY label, subspace, pos
-    ),
-    sub_dists AS (
+    )"""
+
+
+def _pq_subdists_sql(name: str) -> str:
+    return f"""{name} AS (
       SELECT s.vec_id, s.subspace, cb.code,
              SUM(CAST(floor((CAST(s.x AS DOUBLE) - cb.c)
                             * (CAST(s.x AS DOUBLE) - cb.c)
@@ -101,7 +109,12 @@ _PQ_ORACLE = """
       FROM sub s JOIN codebook cb
         ON cb.pos = s.pos AND cb.subspace = s.subspace
       GROUP BY s.vec_id, s.subspace, cb.code
-    ),
+    )"""
+
+
+_PQ_ORACLE = f"""
+    WITH {_PQ_CODEBOOK_SQL},
+    {_pq_subdists_sql("sub_dists")},
     best AS (
       SELECT vec_id, subspace, code, dist_fp
       FROM (
@@ -146,12 +159,7 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = sub.groupBy(
         F.col("label").alias("code"), "subspace", "pos"
     ).agg(
-        (
-            F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
-            .cast("double")
-            / F.lit(1e9)
-            / F.count(F.lit(1))
-        ).alias("c")
+        fixed_mean_1e9(F.col("x")).alias("c")
     )
     diff = F.col("x").cast("double") - F.col("c")
     sub_dists = (
@@ -185,32 +193,8 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SHORTLIST = 50
 
 _IVFPQ_ORACLE = f"""
-    WITH exploded AS (
-      SELECT vec_id, label,
-             generate_subscripts(embedding, 1) AS pos,
-             unnest(embedding) AS x
-      FROM embeddings
-    ),
-    sub AS (
-      SELECT vec_id, label, pos, x,
-             CAST((pos - 1) // 8 AS INTEGER) AS subspace
-      FROM exploded
-    ),
-    codebook AS (
-      SELECT label AS code, subspace, pos,
-             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
-                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
-      FROM sub GROUP BY label, subspace, pos
-    ),
-    lut AS (
-      SELECT s.vec_id, s.subspace, cb.code,
-             SUM(CAST(floor((CAST(s.x AS DOUBLE) - cb.c)
-                            * (CAST(s.x AS DOUBLE) - cb.c)
-                            * 1000000000000) AS BIGINT)) AS dist_fp
-      FROM sub s JOIN codebook cb
-        ON cb.pos = s.pos AND cb.subspace = s.subspace
-      GROUP BY s.vec_id, s.subspace, cb.code
-    ),
+    WITH {_PQ_CODEBOOK_SQL},
+    {_pq_subdists_sql("lut")},
     db_codes AS (
       SELECT vec_id, subspace, code
       FROM (
@@ -310,19 +294,18 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist width is the RECALL dial (see the constant's comment),
     deliberately independent of cluster topology."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Four aggregate consumers (codebook, lut, centroids, cell_dists)
+    # read this 64x explode, each behind a broadcast boundary AQE will
+    # not reuse a shuffle across — without the barrier the scan ran ~4
+    # times (round-12 review; the assign_nearest_centroid rule).
     exploded = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    )
+    ).localCheckpoint(eager=False)
     sub = exploded.withColumn("subspace", (F.col("pos") / 8).cast("int"))
     codebook = sub.groupBy(
         F.col("label").alias("code"), "subspace", "pos"
     ).agg(
-        (
-            F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
-            .cast("double")
-            / F.lit(1e9)
-            / F.count(F.lit(1))
-        ).alias("c")
+        fixed_mean_1e9(F.col("x")).alias("c")
     )
     diff = F.col("x").cast("double") - F.col("c")
     lut = (
@@ -340,12 +323,7 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        (
-            F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
-            .cast("double")
-            / F.lit(1e9)
-            / F.count(F.lit(1))
-        ).alias("c")
+        fixed_mean_1e9(F.col("x")).alias("c")
     )
     cdiff = F.col("x").cast("double") - F.col("c")
     cell_dists = (
@@ -385,7 +363,14 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = emb.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    from climateiq_pipelines_spark.operators.llm import _S12, _int_dot
+    # Canonical home, NOT operators.llm: importing llm for these
+    # helpers registers its 19 keys as an import side effect — the
+    # round-7 registration-order incident fixedpoint.py exists to
+    # prevent (round-12 review).
+    from climateiq_pipelines_spark.functions.fixedpoint import (
+        _S12,
+        _int_dot,
+    )
 
     scored = (
         shortlist.join(qv, "q_id")
@@ -436,12 +421,7 @@ def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             exploded.join(assign, "vec_id")
             .groupBy(F.col("cluster").alias("c_id"), "pos")
             .agg(
-                (
-                    F.sum(F.floor(F.col("x").cast("double") * 1_000_000_000))
-                    .cast("double")
-                    / F.lit(1e9)
-                    / F.count(F.lit(1))
-                ).alias("c")
+                fixed_mean_1e9(F.col("x")).alias("c")
             )
         )
         diff = F.col("x").cast("double") - F.col("c")

@@ -177,26 +177,41 @@ _BM25_B = "0.75"
 # bit-identical — with the inner ln knife-edge (ulp-of-libm vs the
 # micro floor, ~1e-9 per distinct (n_docs, df)) the only residual,
 # pinned by test_properties_r9's cross-engine identity sweep.
-_BM25_CONTRIB_SQL = f"""
+# Named {tf}/{df} placeholders, formatted per use — round-12 review:
+# the Spark side previously rewrote the rendered text via blind
+# substring .replace("df", ...)/.replace("tf", ...) (plus a dead
+# .replace("tf.doc_id", ...) that matched nothing), so any future
+# token containing "tf"/"df" as a substring (a dist_fp intermediate, a
+# renamed operand) would corrupt the engine expression while the
+# oracle kept the original — a silent cross-engine fork the shared-text
+# identity test cannot catch.
+_BM25_CONTRIB_TEMPLATE = f"""
   CAST(floor(
-    CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+    CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST({{df}} AS DOUBLE)
                         + 5.0e-1)
-                       / (CAST(df AS DOUBLE) + 5.0e-1) + 1.0e0) * 1.0e6)
+                       / (CAST({{df}} AS DOUBLE) + 5.0e-1) + 1.0e0) * 1.0e6)
               AS BIGINT) AS DOUBLE) / 1.0e6
-    * (CAST(tf AS DOUBLE) * ({_BM25_K1}e0 + 1.0e0))
-    / (CAST(tf AS DOUBLE) + {_BM25_K1}e0 * (1.0e0 - {_BM25_B}e0
+    * (CAST({{tf}} AS DOUBLE) * ({_BM25_K1}e0 + 1.0e0))
+    / (CAST({{tf}} AS DOUBLE) + {_BM25_K1}e0 * (1.0e0 - {_BM25_B}e0
          + {_BM25_B}e0 * CAST(dl AS DOUBLE)
            / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
     * 1.0e6) AS BIGINT)
 """
 
+_BM25_CONTRIB_SQL = _BM25_CONTRIB_TEMPLATE.format(tf="tf", df="df")
+
 _BM25_TOPK = 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_chain_sql() -> str:
+    """The words→dl→tot→tf→dfq→contrib CTE chain — ONE source for
+    _bm25_oracle and _rrf_oracle (round-12 review: two hand-maintained
+    verbatim copies; the round-9 decimal-literal incident shows this
+    text gets edited under pressure, and a fix applied to only one copy
+    would certify llm_rrf_fusion's lexical ranking against a stale
+    scoring definition)."""
     terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT doc_id, w FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
         FROM documents)
@@ -212,7 +227,12 @@ def _bm25_oracle() -> str:
     contrib AS (
       SELECT tf.doc_id, {_BM25_CONTRIB_SQL} AS c
       FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), tot
-    ),
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_chain_sql()},
     sc AS (
       SELECT doc_id, COUNT(*) AS n_matched, SUM(c) AS s
       FROM contrib GROUP BY doc_id
@@ -281,9 +301,7 @@ def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the relational form, summed in a fixed order (int addition is
     # associative, so the relational SUM and this 3-term chain agree).
     def term_c(i: int):
-        c = _BM25_CONTRIB_SQL.replace("df", f"df{i}").replace(
-            "tf.doc_id", "doc_id"
-        ).replace("tf", f"tf{i}")
+        c = _BM25_CONTRIB_TEMPLATE.format(tf=f"tf{i}", df=f"df{i}")
         return F.when(F.col(f"tf{i}") > 0, F.expr(c)).otherwise(F.lit(0))
 
     staged = perdoc.crossJoin(F.broadcast(tot))
@@ -313,26 +331,9 @@ _RRF_K = 60  # the standard RRF damping constant
 def _rrf_oracle() -> str:
     from climateiq_pipelines_spark.functions.fixedpoint import _sql_int_dot
 
-    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
     dot = _sql_int_dot("e.embedding", "q.q_emb")
     return f"""
-    WITH words AS (
-      SELECT doc_id, w FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents)
-      WHERE w <> ''
-    ),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
-    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
-    tf AS (
-      SELECT doc_id, w, COUNT(*) AS tf
-      FROM words WHERE w IN ({terms}) GROUP BY doc_id, w
-    ),
-    dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-    contrib AS (
-      SELECT tf.doc_id, {_BM25_CONTRIB_SQL} AS c
-      FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), tot
-    ),
+    WITH {_bm25_chain_sql()},
     sc AS (SELECT doc_id, SUM(c) AS s FROM contrib GROUP BY doc_id),
     lexr AS (
       SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk

@@ -20,7 +20,7 @@ from climateiq_pipelines_spark.operators.llm import (
     _cosine_topk_bucketed,
     _hyperplanes,
     _int_dot,
-    _simhash_oracle,
+    _simhash_sig_sql,
     _sql_int_dot,
 )
 from climateiq_pipelines_spark.plans import register
@@ -28,7 +28,7 @@ from climateiq_pipelines_spark.registry import load_table
 
 
 def _multiprobe_oracle() -> str:
-    sig_expr = _simhash_oracle().split("FROM (SELECT ")[1].split(" AS signature")[0]
+    sig_expr = _simhash_sig_sql()
     dot = _sql_int_dot("a.embedding", "b.embedding")
     return f"""
     WITH sigs AS (
@@ -119,7 +119,7 @@ def llm_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_topk_lsh_oracle() -> str:
-    sig_expr = _simhash_oracle().split("FROM (SELECT ")[1].split(" AS signature")[0]
+    sig_expr = _simhash_sig_sql()
     dot = _sql_int_dot("a.embedding", "b.embedding")
     return f"""
     WITH sigs AS (
@@ -155,89 +155,11 @@ def llm_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_topk_bucketed(emb, k=5)
 
 
-@register(
-    "llm_winnow_fingerprint",
-    oracle="""
-    WITH positions AS (
-      SELECT unnest(range(1, (SELECT max(length(text)) FROM documents) + 1))
-        AS i
-    ),
-    wins AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS i,
-             md5(substr(text, CAST(i AS INTEGER), 8)) AS win_hash,
-             length(text) AS n
-      FROM documents CROSS JOIN positions
-      WHERE i <= greatest(1, length(text) - 7)
-    ),
-    windowed AS (
-      SELECT doc_id, i, n,
-             min(win_hash) OVER (PARTITION BY doc_id ORDER BY i
-                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-               AS sel
-      FROM wins
-    ),
-    selected AS (
-      SELECT DISTINCT doc_id, sel
-      FROM windowed
-      WHERE i <= greatest(1, n - 7 - 3)
-    )
-    SELECT doc_id,
-           COUNT(*) AS n_fingerprints,
-           min(sel) AS min_fingerprint,
-           max(sel) AS max_fingerprint
-    FROM selected
-    GROUP BY doc_id
-    """,
-)
-def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE WINNOWING (the MOSS algorithm) — llm_fingerprint keeps two
-    global extremes; this key keeps the MINIMUM k-gram hash of every
-    sliding window of w=4 consecutive hashes (k=8 chars), deduplicated
-    per document. The guarantee that makes winnowing the standard
-    near-copy sketch: any shared substring of length ≥ w+k−1 = 11
-    forces a shared selected fingerprint, while the sketch size drops
-    to ~2/(w+1) of the k-gram count.
-
-    Plan: position explode → md5 per window (all codegen) → one
-    per-doc ordered window (rows between current and w−1 following,
-    min) → distinct → per-doc stats. One shuffle on doc_id; the window
-    is partitioned (never global). Ties on equal hashes resolve to the
-    VALUE min, so selection is engine-exact. At corpus scale the
-    selected (doc_id, fingerprint) relation feeds the same
-    posting-list self-join as llm_ngram_jaccard to produce copy
-    candidates."""
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
-    wins = docs.select(
-        "doc_id",
-        F.length("text").alias("n"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7))
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        "n",
-        F.col("i").cast("long").alias("i"),
-        F.md5(F.expr("substr(text, i, 8)")).alias("win_hash"),
-    )
-    ww = (
-        W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, 3)
-    )
-    selected = (
-        wins.withColumn("sel", F.min("win_hash").over(ww))
-        .filter(F.col("i") <= F.greatest(F.lit(1), F.col("n") - 7 - 3))
-        .select("doc_id", "sel")
-        .distinct()
-    )
-    return selected.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.min("sel").alias("min_fingerprint"),
-        F.max("sel").alias("max_fingerprint"),
-    )
-
-
+# The winnow SELECTION (k=8 char grams, w=4 windows, value-min, per-doc
+# distinct) — ONE source for both winnow oracles (round-12 review: the
+# fingerprint oracle carried a character-identical inline copy, so a
+# parameter change had to land in two SQL texts and two DataFrame plans
+# or the keys silently diverged).
 _WINNOW_SEL_SQL = """
     positions AS (
       SELECT unnest(range(1, (SELECT max(length(text)) FROM documents) + 1))
@@ -263,6 +185,72 @@ _WINNOW_SEL_SQL = """
       WHERE i <= greatest(1, n - 7 - 3)
     )
 """
+
+
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """Selected winnow fingerprints (doc_id, sel) — the DataFrame twin
+    of _WINNOW_SEL_SQL, shared by llm_winnow_fingerprint and
+    llm_winnow_neardup (round-12 review: this 20-line plan was
+    copy-pasted in both builders)."""
+    from pyspark.sql import Window as W
+
+    wins = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "n",
+        F.col("i").cast("long").alias("i"),
+        F.md5(F.expr("substr(text, i, 8)")).alias("win_hash"),
+    )
+    ww = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, 3)
+    return (
+        wins.withColumn("sel", F.min("win_hash").over(ww))
+        .filter(F.col("i") <= F.greatest(F.lit(1), F.col("n") - 7 - 3))
+        .select("doc_id", "sel")
+        .distinct()
+    )
+
+
+@register(
+    "llm_winnow_fingerprint",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL.lstrip()}    SELECT doc_id,
+           COUNT(*) AS n_fingerprints,
+           min(sel) AS min_fingerprint,
+           max(sel) AS max_fingerprint
+    FROM selected
+    GROUP BY doc_id
+    """,
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE WINNOWING (the MOSS algorithm) — llm_fingerprint keeps two
+    global extremes; this key keeps the MINIMUM k-gram hash of every
+    sliding window of w=4 consecutive hashes (k=8 chars), deduplicated
+    per document. The guarantee that makes winnowing the standard
+    near-copy sketch: any shared substring of length ≥ w+k−1 = 11
+    forces a shared selected fingerprint, while the sketch size drops
+    to ~2/(w+1) of the k-gram count.
+
+    Plan: position explode → md5 per window (all codegen) → one
+    per-doc ordered window (rows between current and w−1 following,
+    min) → distinct → per-doc stats. One shuffle on doc_id; the window
+    is partitioned (never global). Ties on equal hashes resolve to the
+    VALUE min, so selection is engine-exact. At corpus scale the
+    selected (doc_id, fingerprint) relation feeds the same
+    posting-list self-join as llm_ngram_jaccard to produce copy
+    candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    selected = _winnow_selected(docs)
+    return selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("sel").alias("min_fingerprint"),
+        F.max("sel").alias("max_fingerprint"),
+    )
 
 
 @register(
@@ -308,28 +296,7 @@ def llm_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: hash the digest to 8 bytes pre-shuffle and stoplist
     fingerprints shared by >10^4 docs (boilerplate runs)."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
-    wins = docs.select(
-        "doc_id",
-        F.length("text").alias("n"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7))
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        "n",
-        F.col("i").cast("long").alias("i"),
-        F.md5(F.expr("substr(text, i, 8)")).alias("win_hash"),
-    )
-    ww = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, 3)
-    selected = (
-        wins.withColumn("sel", F.min("win_hash").over(ww))
-        .filter(F.col("i") <= F.greatest(F.lit(1), F.col("n") - 7 - 3))
-        .select("doc_id", "sel")
-        .distinct()
-    )
+    selected = _winnow_selected(docs)
     sizes = selected.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sel"))
     # Same diamond as llm_ngram_jaccard (llm.py round-9 fix): the pair
     # self-join consumes `sized` on BOTH differently-aliased sides and

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.helpers import sql_davg
+from climateiq_pipelines_spark.functions.helpers import davg, sql_davg
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import (
     load_table,
@@ -36,6 +36,7 @@ from climateiq_pipelines_spark.registry import (
     read_events_stream,
     read_events_stream_micros,
 )
+from climateiq_pipelines_spark.streaming.await_util import await_or_raise
 
 
 @register(
@@ -57,14 +58,14 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_readstream_demo."""
     events = load_table(spark, sf_dir, "events")
     win = F.window("ts", "1 day")
-    micros = F.floor(F.col("value") * 1_000_000)
     return (
         events.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(micros).cast("double") / F.lit(1e6) / F.count("value")
-            ).alias("avg_value"),
+            # helpers.davg — the designated engine twin of sql_davg this
+            # key's oracle already uses (round-12 review: an inline copy
+            # here could drift from the shared fixed-point contract).
+            davg(F.col("value"), "avg_value"),
         )
         .select(
             F.col("window.start").alias("win_start"),
@@ -364,7 +365,7 @@ def stream_readstream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
     finally:
         query.stop()
     return spark.sql("SELECT * FROM cps_stream_demo").select(
@@ -495,7 +496,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
     finally:
         query.stop()
     return spark.sql("SELECT * FROM cps_stateful_sessions")

@@ -43,6 +43,7 @@ from climateiq_pipelines_spark.registry import (
     ntz_of_window_bound,
     read_events_stream,
 )
+from climateiq_pipelines_spark.streaming.await_util import await_or_raise
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +68,7 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
     finally:
         query.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
@@ -238,7 +239,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
     finally:
         query.stop()
 

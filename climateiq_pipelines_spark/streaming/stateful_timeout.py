@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import read_events_micros
+from climateiq_pipelines_spark.streaming.await_util import await_or_raise
 
 _GAP_US = 30 * 60 * 1_000_000  # session gap (same as the sessionizers)
 _GAP_MS = _GAP_US // 1000
@@ -252,7 +253,7 @@ def stream_state_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(180)
+        await_or_raise(query, 180)
     finally:
         query.stop()
     return spark.sql("SELECT * FROM cps_state_timeout_flush")

@@ -30,6 +30,7 @@ from climateiq_pipelines_spark.sources.lakehouse_txn import (
     _try_commit,
     _write_data,
 )
+from climateiq_pipelines_spark.streaming.await_util import await_or_raise
 
 
 @register(
@@ -126,7 +127,7 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
     finally:
         query.stop()
 

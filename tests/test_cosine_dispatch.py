@@ -124,3 +124,31 @@ def test_mrl_large_corpus_dispatches_to_bucketed(spark, monkeypatch):
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         assert (g["cos_sim"].diff().dropna() <= 1e-12).all()
         assert len(g) <= 5
+
+
+def test_recall_eval_refuses_approximate_ground_truth(spark, monkeypatch):
+    """Round-12 review: above the block-NL bound llm_ann_recall_eval's
+    'exact ground truth' side would silently dispatch to the bucketed
+    ANN plan and report LSH-vs-bucketed overlap as recall@5 against
+    exact truth.  The key must refuse loudly instead."""
+    monkeypatch.setattr(llm, "BLOCKNL_MAX_VECTORS", 10)
+    with pytest.raises(ValueError, match="exceeds the block-NL bound"):
+        QUERIES["llm_ann_recall_eval"](spark, SF_SMALL)
+
+
+def test_blocknl_broadcast_empty_corpus_is_2d(spark):
+    """Round-12 review: ann_ext2's copy of the prelude crashed on an
+    empty corpus (prefix slice on a 1-D np.array([])).  The shared
+    helper must return a 2-D matrix even for zero rows."""
+    from climateiq_pipelines_spark.registry import load_table
+
+    empty = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 0")
+    )
+    bc, dim = llm._blocknl_broadcast(spark, empty)
+    ids, corpus = bc.value
+    assert len(ids) == 0
+    assert corpus.ndim == 2 and corpus.shape == (0, dim)
+    assert corpus[:, :16].shape == (0, min(16, dim))

@@ -197,6 +197,12 @@ TAKE_OK = [
     # llm_mrl_truncated_rerank: same block-NL probe pair.
     ("ann_ext2.py", r"emb\.take\(1\)"),
     ("ann_ext2.py", r"emb\.take\(max_vectors \+ 1\)"),
+    # llm_ann_recall_eval (round 12): the same byte-bounded probe, used
+    # to REFUSE when the exact ground-truth side would auto-dispatch to
+    # an approximate plan (recall vs an approximate baseline is not
+    # recall) — bounded by _blocknl_max_vectors like the block-NL pair.
+    ("ann_ext2.py", r"emb_probe\.take\(1\)"),
+    ("ann_ext2.py", r"emb_probe\.take\(bound \+ 1\)"),
     # llm_bloom_decontam: .take(1) of a collect_set aggregate bounded
     # by FILTER GEOMETRY (≤ m = 65,536 bit positions regardless of
     # corpus size — the r8 verdict's audited exemption).  Anchored to
@@ -270,7 +276,7 @@ BROADCAST_OK = {
     ("llm_data_ext.py", "tot"): "1-row gram-total aggregate (DSIR)",
     ("llm_data_ext.py", "ratio"): "<=64-row hashed-bucket ratio table (DSIR)",
     ("llm_data_ext.py", "centroids"): "k x 64 centroid table (semdedup pipeline)",
-    ("llm_data_ext.py", "vocab"): "vocabulary-sized unigram count table (Zipf-bounded)",
+    ("llm_data_ext.py", "vocab"): "unigram vocab table, size-GUARDED (vocab.count() <= 2M; shuffle join beyond — Heaps growth outpaces any fixed bound)",
     ("llm_data_ext.py", "top1"): "1-row argmax merge pair (BPE iteration)",
     ("llm_data_ext.py", "span"): "1-row doc-id span aggregate (Heaps buckets)",
     ("retrieval_ext.py", "dfq"): "<=|query|-row (3) document-frequency table (BM25)",
@@ -279,7 +285,11 @@ BROADCAST_OK = {
     ("events_ext.py", "st"): "|event_type|-row moment-stats table (zscore)",
     ("lakehouse.py", "b"): "1-row compaction audit aggregate",
     ("lakehouse.py", "max_key"): "1-row max aggregate",
-    ("graph_ext2.py", "adj"): "|V|-row adjacency, size-GUARDED (<=200k nodes; plain shuffle join beyond)",
+    ("graph_ext2.py", "adj"): "sum-of-degrees adjacency, size-GUARDED on the MEASURED oriented-edge count (<=4M; plain shuffle join beyond — round-12 fix: the old |V| gate admitted |E|-sized payloads)",
+    ("graph_ext2.py", "du"): "|V| x 16B degree relation, size-GUARDED (deg.count() <= 4M; shuffle beyond)",
+    ("graph_ext2.py", "dv"): "|V| x 16B degree relation, size-GUARDED (deg.count() <= 4M; shuffle beyond)",
+    ("graph_ext2.py", "lab_u"): "|V| x 16B per-round LPA label relation, size-GUARDED (labels.count() <= 4M; shuffle beyond)",
+    ("fixedpoint.py", "centroids"): "k x 64 centroid table (shared E-step helper)",
     ("ml_train_ext.py", "w_prev"): "1-row weight vector (perceptron round)",
     ("ml_train_ext.py", "grad"): "1-row gradient aggregate (perceptron round)",
     ("corpus_quality_ext.py", "vocab"): "top-K (16) vocabulary table; real vocabs 32-256K rows, still broadcast-sized",
@@ -550,6 +560,30 @@ def test_every_module_level_frame_cache_is_registered():
     assert not offenders, (
         "module-level DataFrame caches missing register_frame_cache: "
         f"{offenders}")
+
+
+def test_registered_builders_carry_docstrings():
+    """Round-12 review: two builders (llm_dsir_weights,
+    events_top_paths) ended their docstring with ``.replace(...)`` — a
+    bare string EXPRESSION is only a docstring without trailing
+    operations, so __doc__ was None and the register() contract (the
+    docstring carries the key's rationale/citations) silently broke.
+    Pin: only the known simple early-§2 keys may lack a docstring; a
+    new docstring-less builder (e.g. a recurrence of the .replace
+    pattern) fails here."""
+    from climateiq_pipelines_spark.plans import QUERIES
+
+    allowed_bare = {
+        "agg_count_distinct", "agg_conditional_filter",
+        "agg_stats_moments", "agg_rollup", "agg_cube",
+        "agg_distinct_rows", "join_broadcast_dim", "join_left_outer",
+        "join_left_semi", "join_left_anti", "join_right_outer",
+        "set_union_distinct", "fn_conditional",
+        "filter_comparison_chain", "filter_in_like_null",
+    }
+    missing = {k for k, fn in QUERIES.items()
+               if not (fn.__doc__ or "").strip()}
+    assert missing <= allowed_bare, sorted(missing - allowed_bare)
 
 
 def test_gen_rotation_derive_window_rules():
