@@ -86,3 +86,21 @@ REVENUE = "l_extendedprice * (1 - l_discount)"
 
 def revenue_col() -> Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# Deterministic 3-way dataset-split contract, keyed on
+# md5(doc_id:SPLIT_SALT): first hex nibble < 13 -> train (~81%),
+# = 13 -> val (~6%), > 13 -> test (~13%).  Lives HERE — a module that
+# registers nothing — because llm_dataset_split (corpus_quality_ext)
+# AND the train/eval keys (ml_train_ext) share it, and an oracle
+# builder importing another OPERATOR module registers that module's
+# keys as an import side effect (the round-7 certification-window
+# incident; round-12 review found the contract parked in
+# corpus_quality_ext with the salt BAKED into the SQL literal, so
+# changing SPLIT_SALT would silently desync engine from oracle).
+SPLIT_SALT = "split"
+SQL_SPLIT_NIBBLE = (
+    f"(ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 1)) - "
+    f"CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 1))"
+    " >= 97 THEN 87 ELSE 48 END)"
+)

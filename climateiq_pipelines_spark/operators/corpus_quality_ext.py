@@ -132,10 +132,11 @@ _TEMP_MIXTURE_ORACLE = f"""
       FROM stats
     )
     SELECT lang, n_docs, n_tokens,
-           round(p, 6) AS token_share,
-           round(CAST(q_fp AS DOUBLE) / SUM(q_fp) OVER (), 6) AS temp_share,
-           round((CAST(q_fp AS DOUBLE) / SUM(q_fp) OVER ()) / p, 6)
-             AS upsample_factor
+           CAST(floor(p * 1000000) AS BIGINT) AS token_share_micros,
+           CAST(floor(CAST(q_fp AS DOUBLE) / SUM(q_fp) OVER () * 1000000)
+                AS BIGINT) AS temp_share_micros,
+           CAST(floor((CAST(q_fp AS DOUBLE) / SUM(q_fp) OVER ()) / p
+                      * 1000000) AS BIGINT) AS upsample_micros
     FROM shares
 """
 
@@ -152,8 +153,12 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: p divides exact int64 token sums; q is floored to 1e12
     fixed-point BEFORE the normalizing sum, so the denominator is an
-    exact integer sum (engine sum order cannot perturb it); round(…,6)
-    pins the textual repr of the final divisions.
+    exact integer sum (engine sum order cannot perturb it); the final
+    shares are FLOORED INTEGER MICROS like every other metric in this
+    module (round-12 review: this was the one key pinning parity on
+    round(double, 6) — Spark's BigDecimal HALF_UP vs DuckDB's
+    std::round can differ by 1e-6 at half-way ulps, a latent strict-
+    comparator break floored micros cannot hit).
 
     Scale: one hash aggregate over documents (map-side partial), then
     windows over the |langs|-row aggregate — bounded cardinality at any
@@ -182,9 +187,15 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        F.round("p", 6).alias("token_share"),
-        F.round(q_share, 6).alias("temp_share"),
-        F.round(q_share / F.col("p"), 6).alias("upsample_factor"),
+        F.floor(F.col("p") * F.lit(1000000)).cast("long").alias(
+            "token_share_micros"
+        ),
+        F.floor(q_share * F.lit(1000000)).cast("long").alias(
+            "temp_share_micros"
+        ),
+        F.floor(q_share / F.col("p") * F.lit(1000000)).cast("long").alias(
+            "upsample_micros"
+        ),
     )
 
 
@@ -374,13 +385,12 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- llm_dataset_split -------------------------------------------------
-# Deterministic 3-way split keyed on md5(doc_id:'split'): first hex
-# nibble < 13 -> train (~81%), = 13 -> val (~6%), > 13 -> test (~13%).
-_SPLIT_SALT = "split"
-_SQL_SPLIT_NIBBLE = (
-    "(ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)) - "
-    "CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1))"
-    " >= 97 THEN 87 ELSE 48 END)"
+# The split contract lives in functions/helpers.py (registers nothing)
+# with the salt interpolated into the SQL — see the note there.  Local
+# underscore aliases keep this module's call sites unchanged.
+from climateiq_pipelines_spark.functions.helpers import (  # noqa: E402
+    SPLIT_SALT as _SPLIT_SALT,
+    SQL_SPLIT_NIBBLE as _SQL_SPLIT_NIBBLE,
 )
 
 _SPLIT_ORACLE = f"""

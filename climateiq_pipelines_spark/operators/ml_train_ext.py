@@ -225,8 +225,11 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- llm_classifier_eval -----------------------------------------------
 def _classifier_eval_oracle() -> str:
-    from climateiq_pipelines_spark.operators.corpus_quality_ext import (
-        _SQL_SPLIT_NIBBLE,
+    # From helpers, NOT corpus_quality_ext: an oracle builder importing
+    # another OPERATOR module registers its keys as an import side
+    # effect (the round-7 incident; round-12 review).
+    from climateiq_pipelines_spark.functions.helpers import (
+        SQL_SPLIT_NIBBLE as _SQL_SPLIT_NIBBLE,
     )
 
     margin = " + ".join(f"w.w{i} * f.x{i}" for i in range(_N_FEATS))
@@ -296,8 +299,8 @@ def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     note the asymmetry with training's error rule (margin <= 0 counts
     as an error for BOTH classes), which is the perceptron's standard
     tie-to-negative classification convention."""
-    from climateiq_pipelines_spark.operators.corpus_quality_ext import (
-        _SPLIT_SALT,
+    from climateiq_pipelines_spark.functions.helpers import (
+        SPLIT_SALT as _SPLIT_SALT,
     )
 
     traj = llm_perceptron_quality(spark, sf_dir)

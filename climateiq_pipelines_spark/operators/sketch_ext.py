@@ -221,32 +221,43 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"count_min_sketch(event_type, {_CMS_EPS}d, {_CMS_CONF}d,"
         f" {_CMS_SEED})"
     )
+    # ONE scan builds all three sketches + the grand total: aggregate
+    # FILTER clauses replace three separate filtered passes (round-12
+    # review: the old shape ran five independent actions over the raw
+    # events source — five full scans per evaluation).
+    agg_row = ev.agg(
+        F.expr(agg_expr).alias("s_full"),
+        F.expr(
+            f"{agg_expr} FILTER (WHERE event_id % 2 = 0)"
+        ).alias("s_a"),
+        F.expr(
+            f"{agg_expr} FILTER (WHERE event_id % 2 = 1)"
+        ).alias("s_b"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
 
-    def sketch_of(df):
-        # 1-row sketch-sized materialization (the count_min_sketch
-        # aggregate builds map-side partials and merges them on the
-        # reduce side), deserialized through the engine's own codec.
-        row = df.agg(F.expr(agg_expr).alias("s")).first()
+    def sketch_from(blob):
+        # sketch-sized payloads, deserialized through the engine's own
+        # codec.
         jvm = spark._jvm
         return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            jvm.java.io.ByteArrayInputStream(bytes(row["s"]))
+            jvm.java.io.ByteArrayInputStream(bytes(blob))
         )
 
-    full = sketch_of(ev)
-    half_a = sketch_of(ev.filter(F.col("event_id") % 2 == 0))
-    half_b = sketch_of(ev.filter(F.col("event_id") % 2 == 1))
+    full = sketch_from(agg_row["s_full"])
+    half_a = sketch_from(agg_row["s_a"])
+    half_b = sketch_from(agg_row["s_b"])
     half_a.mergeInPlace(half_b)
     # Bounded driver materializations only: the heavy-hitter report is
     # top-{_CMS_TOPK} by construction (take of a TakeOrdered), and the
-    # grand total is a 1-row aggregate — both model/catalog-sized.
+    # grand total rode the sketch aggregate — both model/catalog-sized.
     exact = (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
         .orderBy(F.desc("exact_count"), F.asc("event_type"))
-        .limit(_CMS_TOPK)
         .take(_CMS_TOPK)
     )
-    n_total = int(ev.agg(F.count(F.lit(1)).alias("n")).first()["n"])
+    n_total = int(agg_row["n"])
     slack = int(_CMS_EPS * n_total) + 1
     rows = []
     for r in exact:
@@ -324,7 +335,11 @@ def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN o_custkey END)"
         ).alias("sb"),
     )
-    ests = sk.select(
+    # ONE action reads all five estimates off the 1-row sketch frame
+    # (round-12 review: the old shape cross-joined the UN-materialized
+    # sketch subtree once per measure and unioned — one evaluation
+    # scanned orders ~13 times).
+    est_row = sk.select(
         F.expr("theta_sketch_estimate(sa)").alias("est_a"),
         F.expr("theta_sketch_estimate(sb)").alias("est_b"),
         F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("est_u"),
@@ -334,43 +349,47 @@ def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("theta_sketch_estimate(theta_difference(sa, sb))").alias(
             "est_d"
         ),
+    ).first()
+    # All five EXACT set-op counts from ONE per-customer membership
+    # aggregate (A, B, A∪B, A∩B, A∖B are pure boolean algebra over the
+    # per-key flags) — one scan + one custkey shuffle, replacing five
+    # separate distinct/intersect/except plans.
+    flags = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == _THETA_A).cast("int")).alias(
+            "in_a"
+        ),
+        F.max((F.col("o_orderpriority") == _THETA_B).cast("int")).alias(
+            "in_b"
+        ),
     )
-    a = orders.filter(F.col("o_orderpriority") == _THETA_A).select(
-        "o_custkey"
-    )
-    b = orders.filter(F.col("o_orderpriority") == _THETA_B).select(
-        "o_custkey"
-    )
-    # exact counts via one 1-row aggregate each, assembled by 1-row
-    # broadcast crosses (the audited pattern)
-    xa = a.distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
-    xb = b.distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
-    xu = a.union(b).distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
-    xi = a.distinct().intersect(b.distinct()).agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    xd = a.distinct().exceptAll(b.distinct()).agg(
-        F.count(F.lit(1)).cast("long").alias("v")
-    )
-    within = lambda est, exact: F.abs(est - exact) <= F.lit(0.05) * exact
-    rows = []
-    for name, xdf, est_col in (
-        ("A", xa, "est_a"),
-        ("B", xb, "est_b"),
-        ("A_union_B", xu, "est_u"),
-        ("A_intersect_B", xi, "est_i"),
-        ("A_minus_B", xd, "est_d"),
-    ):
-        rows.append(
-            ests.crossJoin(F.broadcast(xdf)).select(
-                F.lit(name).alias("measure"),
-                F.col("v").alias("exact_distinct"),
-                within(F.col(est_col), F.col("v")).alias(
-                    "approx_within_5pct"
-                ),
+    ex_row = flags.agg(
+        F.sum("in_a").cast("long").alias("xa"),
+        F.sum("in_b").cast("long").alias("xb"),
+        F.sum(F.greatest("in_a", "in_b")).cast("long").alias("xu"),
+        F.sum(F.least("in_a", "in_b")).cast("long").alias("xi"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(
+                0
             )
         )
-    out = rows[0]
-    for df in rows[1:]:
-        out = out.unionAll(df)
-    return out
+        .cast("long")
+        .alias("xd"),
+    ).first()
+    # Model-sized assembly (the agg_cms_heavy_hitters pattern): both
+    # sides are 1-row; IEEE double arithmetic on the driver matches the
+    # old in-plan expressions bit-for-bit.
+    measures = [
+        ("A", int(ex_row["xa"]), float(est_row["est_a"])),
+        ("B", int(ex_row["xb"]), float(est_row["est_b"])),
+        ("A_union_B", int(ex_row["xu"]), float(est_row["est_u"])),
+        ("A_intersect_B", int(ex_row["xi"]), float(est_row["est_i"])),
+        ("A_minus_B", int(ex_row["xd"]), float(est_row["est_d"])),
+    ]
+    rows = [
+        (name, exact, abs(est - exact) <= 0.05 * exact)
+        for name, exact, est in measures
+    ]
+    return spark.createDataFrame(
+        rows,
+        "measure string, exact_distinct long, approx_within_5pct boolean",
+    )

@@ -59,18 +59,27 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
     downsampled (factor < 1), low-resource upsampled (factor > 1),
     and both share vectors sum to 1."""
     pdf = QUERIES["llm_temperature_mixture"](spark, SF_SMALL).toPandas()
-    assert abs(pdf["token_share"].sum() - 1.0) < 1e-4
-    assert abs(pdf["temp_share"].sum() - 1.0) < 1e-4
+    # Shares are FLOORED INTEGER MICROS as of round 12 (the round(,6)
+    # double form was the module's one strict-comparator half-up
+    # hazard); flooring loses < 1e-6 per language.
+    p_s = pdf["token_share_micros"] / 1e6
+    q_s = pdf["temp_share_micros"] / 1e6
+    assert abs(p_s.sum() - 1.0) < 1e-4
+    assert abs(q_s.sum() - 1.0) < 1e-4
     uniform = 1.0 / len(pdf)
-    by_p = pdf.sort_values("token_share")
+    by_p = pdf.sort_values("token_share_micros")
     # monotone: ordering by p equals ordering by q (temperature never
     # swaps ranks), and q is strictly between p and uniform
-    assert list(by_p["temp_share"]) == sorted(pdf["temp_share"])
+    assert list(by_p["temp_share_micros"]) == sorted(
+        pdf["temp_share_micros"]
+    )
     for _, r in pdf.iterrows():
-        p, q = r["token_share"], r["temp_share"]
+        p, q = r["token_share_micros"] / 1e6, r["temp_share_micros"] / 1e6
         lo, hi = min(p, uniform), max(p, uniform)
-        assert lo - 1e-6 <= q <= hi + 1e-6, (p, q, uniform)
-        assert (r["upsample_factor"] > 1.0) == (p < q) or abs(p - q) < 1e-6
+        assert lo - 2e-6 <= q <= hi + 2e-6, (p, q, uniform)
+        assert (r["upsample_micros"] > 1_000_000) == (p < q) or abs(
+            p - q
+        ) < 2e-6
 
 
 def test_substring_spans_are_verbatim_and_maximal(spark):
