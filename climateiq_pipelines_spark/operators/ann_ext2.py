@@ -491,7 +491,11 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = emb_probe.take(1)
     dim = len(head[0]["embedding"]) if head else 1
     bound = _blocknl_max_vectors(dim)
-    if len(emb_probe.take(bound + 1)) > bound:
+    # Count-only probe: the bound is byte-derived (~128 MiB of
+    # embeddings), so a take(bound+1) would ship the whole payload to
+    # the driver just for a len() — and llm_cosine_topk re-collects it
+    # one line later (round-12 self-review).
+    if emb_probe.select("vec_id").limit(bound + 1).count() > bound:
         raise ValueError(
             "llm_ann_recall_eval: corpus exceeds the block-NL bound, so "
             "the exact ground-truth side would silently dispatch to an "

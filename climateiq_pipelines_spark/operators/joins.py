@@ -490,19 +490,24 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrent sessions sharing a metastore never collide, and the temp
     dir is removed at interpreter exit (repeated bench runs don't
     accumulate disk)."""
-    import atexit
     import os
-    import shutil
     import tempfile
     import uuid
+
+    from climateiq_pipelines_spark.session import register_temp_dir
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     token = uuid.uuid4().hex[:12]
-    d = tempfile.mkdtemp(prefix="cps_bucketed_join")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    # Registered for post-consumption reclaim like every other mkdtemp
+    # site (round-12 registry; this was the one key left on the
+    # process-exit-only atexit path, so a warm session accumulated full
+    # bucketed copies of orders AND customer per evaluation).  The
+    # per-invocation catalog entries are metadata-only and unique-named
+    # — they never resolve again after the files are reclaimed.
+    d = register_temp_dir(tempfile.mkdtemp(prefix="cps_bucketed_join"))
     t_orders, t_cust = f"cps_bkt_orders_{token}", f"cps_bkt_customer_{token}"
     (
         orders.write.bucketBy(8, "o_custkey")

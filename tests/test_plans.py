@@ -197,12 +197,10 @@ TAKE_OK = [
     # llm_mrl_truncated_rerank: same block-NL probe pair.
     ("ann_ext2.py", r"emb\.take\(1\)"),
     ("ann_ext2.py", r"emb\.take\(max_vectors \+ 1\)"),
-    # llm_ann_recall_eval (round 12): the same byte-bounded probe, used
-    # to REFUSE when the exact ground-truth side would auto-dispatch to
-    # an approximate plan (recall vs an approximate baseline is not
-    # recall) — bounded by _blocknl_max_vectors like the block-NL pair.
+    # llm_ann_recall_eval (round 12): dim sniff for the refuse-loudly
+    # ground-truth guard; the bound probe itself is a count-only
+    # limit().count() (no payload collected — round-12 self-review).
     ("ann_ext2.py", r"emb_probe\.take\(1\)"),
-    ("ann_ext2.py", r"emb_probe\.take\(bound \+ 1\)"),
     # llm_bloom_decontam: .take(1) of a collect_set aggregate bounded
     # by FILTER GEOMETRY (≤ m = 65,536 bit positions regardless of
     # corpus size — the r8 verdict's audited exemption).  Anchored to
