@@ -45,6 +45,31 @@ def _sql_int_dot(a: str, b: str) -> str:
     )
 
 
+def cos_micros(dot_fp: Column) -> Column:
+    """Reported cosine similarity as FLOORED INTEGER MICROS:
+    floor(dot_fp / 1e6) with dot_fp the exact 1e12 fixed-point dot.
+
+    Replaces the family's former round(dot_fp/1e12, 6) DOUBLE column
+    (round-12 self-review): three rounding implementations (np.round
+    half-even, Spark F.round HALF_UP, DuckDB std::round) pinned parity
+    on agreeing at half-way ulps.  floor is exact on every path:
+    dot_fp is integral with |dot_fp| ≤ 64·2.5e11 < 2^53 (exact as
+    double), 1e6 is exact, and a nearest-double quotient cannot cross
+    an integer boundary — the gap from any non-multiple quotient to
+    the nearest integer is ≥ 1e-6, while the half-ulp at the maximal
+    |quotient| ≈ 1.6e7 < 2^24 is ≈ 1.9e-9.  Negative dots floor toward
+    -inf on all three paths (np.floor / F.floor / DuckDB floor), so
+    the integer column is bit-identical cross-engine with no rounding
+    seam.  SQL twin: :func:`sql_cos_micros`; numpy twin:
+    np.floor(d / 1e6).astype(np.int64)."""
+    return F.floor(dot_fp.cast("double") / F.lit(1_000_000.0)).cast("long")
+
+
+def sql_cos_micros(dot: str) -> str:
+    """DuckDB twin of :func:`cos_micros`."""
+    return f"CAST(floor(({dot}) / 1000000.0) AS BIGINT)"
+
+
 def fixed_mean_1e9(x: Column) -> Column:
     """Exact 1e9 fixed-point component mean (an AGGREGATE expression):
     floor each value to 1e-9 resolution, integer-sum (exact below 2^53),

@@ -20,6 +20,8 @@ from climateiq_pipelines_spark.functions.fixedpoint import (
     _S12,
     _int_dot,
     _sql_int_dot,
+    cos_micros,
+    sql_cos_micros,
 )
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
@@ -45,7 +47,7 @@ _MRL_ORACLE = f"""
       FROM pairs
     )
     SELECT vec_id, neighbor_id,
-           round(full_fp / 1000000000000.0, 6) AS cos_sim,
+           {sql_cos_micros('full_fp')} AS cos_micros,
            CAST(rnk AS INTEGER) AS rnk,
            'mrl_prefix{_MRL_PREFIX_DIM}_rerank' AS method
     FROM (
@@ -121,7 +123,7 @@ def _mrl_rerank_bucketed(emb: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(F.col("full_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            cos_micros(F.col("full_fp")).alias("cos_micros"),
             F.col("rnk").cast("int").alias("rnk"),
             F.lit(f"mrl_prefix{_MRL_PREFIX_DIM}_rerank_bucketed").alias(
                 "method"
@@ -180,7 +182,7 @@ def llm_mrl_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("cos_micros", T.LongType()),
             T.StructField("rnk", T.IntegerType()),
             T.StructField("method", T.StringType()),
         ]
@@ -213,13 +215,13 @@ def llm_mrl_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     top = np.lexsort((cand_ids, -fd))[:_MRL_K]
                     out_q.extend([qi[i]] * len(top))
                     out_n.extend(cand_ids[top])
-                    out_d.extend(np.round(fd[top] / 1e12, 6))
+                    out_d.extend(np.floor(fd[top] / 1e6).astype(np.int64))
                     out_r.extend(range(1, len(top) + 1))
             yield pd.DataFrame(
                 {
                     "vec_id": out_q,
                     "neighbor_id": out_n,
-                    "cos_sim": out_d,
+                    "cos_micros": np.array(out_d, dtype=np.int64),
                     "rnk": np.array(out_r, dtype=np.int32),
                     "method": method,
                 }
@@ -469,7 +471,17 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive half; production samples the query set (a LIMIT on
     the probe side — the same harness shape as
     llm_minhash_jaccard_estimate's 8x8 sample) while this fixture
-    evaluates every query exactly."""
+    evaluates every query exactly.
+
+    DECLARED BOUND (ADVICE r12): this key REFUSES (ValueError) on any
+    corpus above the block-NL bound — min(BLOCKNL_MAX_VECTORS, 128 MiB
+    / dim / 8 rows; ~262k rows at the fixture's 64 dims — so every
+    driver-generated SF is far inside it).  That refusal is metric
+    integrity, not a failure: exact ground truth cannot exist above
+    the bound, and recall measured against an approximate baseline
+    would be reported as recall@5 with no marker.  Harnesses that
+    schedule this key at larger scales should expect the refusal and
+    sample the query set or evaluate a corpus slice instead."""
     from climateiq_pipelines_spark.operators.llm import (
         _blocknl_max_vectors,
         llm_cosine_topk,

@@ -494,7 +494,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from climateiq_pipelines_spark.session import register_temp_dir
+    from climateiq_pipelines_spark.session import (
+        register_temp_dir,
+        register_temp_table,
+    )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
@@ -505,10 +508,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # site (round-12 registry; this was the one key left on the
     # process-exit-only atexit path, so a warm session accumulated full
     # bucketed copies of orders AND customer per evaluation).  The
-    # per-invocation catalog entries are metadata-only and unique-named
-    # — they never resolve again after the files are reclaimed.
+    # per-invocation catalog tables ride the same lifecycle: dropped by
+    # release_blocks after consumption, so a warm session's catalog
+    # stays bounded instead of accumulating dead unique-named entries
+    # (ADVICE r12).
     d = register_temp_dir(tempfile.mkdtemp(prefix="cps_bucketed_join"))
-    t_orders, t_cust = f"cps_bkt_orders_{token}", f"cps_bkt_customer_{token}"
+    t_orders = register_temp_table(f"cps_bkt_orders_{token}")
+    t_cust = register_temp_table(f"cps_bkt_customer_{token}")
     (
         orders.write.bucketBy(8, "o_custkey")
         .sortBy("o_custkey")

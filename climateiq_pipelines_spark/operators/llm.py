@@ -43,7 +43,9 @@ from climateiq_pipelines_spark.functions.fixedpoint import (  # noqa: E402
     _int_dot,
     _sql_int_dot,
     assign_nearest_centroid,
+    cos_micros,
     fixed_mean_1e9,
+    sql_cos_micros,
 )
 
 
@@ -472,7 +474,7 @@ _TOPK_ORACLE = f"""
       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id,
-           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk,
+           {sql_cos_micros('dot_fp')} AS cos_micros, rnk,
            'exact_blocknl' AS method
     FROM (
       SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -571,7 +573,7 @@ def _cosine_topk_bucketed(
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            cos_micros(F.col("dot_fp")).alias("cos_micros"),
             F.col("rnk").cast("int").alias("rnk"),
             # Marker so a dispatched (approximate, bucket-local) result
             # can never silently pass for the exact block-NL contract:
@@ -627,7 +629,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("cos_micros", T.LongType()),
             T.StructField("rnk", T.IntegerType()),
             T.StructField("method", T.StringType()),
         ]
@@ -656,13 +658,13 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     top = np.lexsort((nb_ids, -d))[:k]
                     out_q.extend([qi[i]] * len(top))
                     out_n.extend(nb_ids[top])
-                    out_d.extend(np.round(d[top] / 1e12, 6))
+                    out_d.extend(np.floor(d[top] / 1e6).astype(np.int64))
                     out_r.extend(range(1, len(top) + 1))
             yield pd.DataFrame(
                 {
                     "vec_id": out_q,
                     "neighbor_id": out_n,
-                    "cos_sim": out_d,
+                    "cos_micros": np.array(out_d, dtype=np.int64),
                     "rnk": np.array(out_r, dtype=np.int32),
                     "method": "exact_blocknl",
                 }
@@ -684,7 +686,7 @@ _KNN_ORACLE = f"""
       WHERE e.vec_id <> 0
     )
     SELECT vec_id, label,
-           round(dot_fp / 1000000000000.0, 6) AS cos_sim
+           {sql_cos_micros('dot_fp')} AS cos_micros
     FROM scored
     ORDER BY dot_fp DESC, vec_id
     LIMIT 10
@@ -716,7 +718,7 @@ def llm_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            cos_micros(F.col("dot_fp")).alias("cos_micros"),
         )
     )
 
@@ -914,7 +916,7 @@ def _cosine_neardup_oracle() -> str:
       SELECT vec_id, embedding, {sig_expr} AS signature FROM embeddings
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round({dot} / 1000000000000.0, 6) AS cos_sim
+           {sql_cos_micros(dot)} AS cos_micros
     FROM sigs a JOIN sigs b
       ON a.signature = b.signature AND a.vec_id < b.vec_id
     WHERE {dot} >= 300000000000
@@ -962,7 +964,7 @@ def llm_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            cos_micros(F.col("dot_fp")).alias("cos_micros"),
         )
     )
 

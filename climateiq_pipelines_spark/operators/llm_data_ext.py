@@ -246,8 +246,8 @@ def _semdedup_oracle() -> str:
     SELECT e.vec_id,
            e.label AS cluster_id,
            coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
-           round(coalesce(d.max_dot, 0) / 1000000000000.0, 6)
-             AS max_earlier_sim,
+           CAST(floor(coalesce(d.max_dot, 0) / 1000000.0) AS BIGINT)
+             AS max_sim_micros,
            d.vec_id IS NULL AS kept
     FROM embeddings e LEFT JOIN dup_counts d ON e.vec_id = d.vec_id
     """
@@ -275,8 +275,9 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: similarities are exact int64 fixed-point dots
     (Σ floor(x·y·1e12), llm._int_dot's contract — unit-norm fixture
     vectors make dot == cosine), so the tau cut and both aggregates
-    are bit-stable cross-engine; the only float output is one exact
-    int→double round. The numpy path reproduces the contract exactly:
+    are bit-stable cross-engine; max_sim_micros is floored integer
+    micros (fixedpoint.cos_micros — the r13 family-wide migration off
+    the round(double, 6) seam). The numpy path reproduces the contract:
     per-component float64 products floored individually, then summed
     — each floored term is an int-valued float64 and the 64-term sum
     stays below 2^53, so the sum is exact in any association order.
@@ -290,7 +291,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     task and |pairs| ≈ n·c/2), and 100 TB never sees an all-pairs
     product. The left join back is on vec_id, and the dup-count side
     is at most one row per vector."""
-    from climateiq_pipelines_spark.functions.fixedpoint import _S12
+    from climateiq_pipelines_spark.functions.fixedpoint import cos_micros
 
     emb = load_table(spark, sf_dir, "embeddings")
     dup_counts = emb.groupBy("label").applyInPandas(
@@ -305,9 +306,9 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_earlier_dups"), F.lit(0)).alias(
                 "n_earlier_dups"
             ),
-            F.round(
-                F.coalesce(F.col("max_dot"), F.lit(0)) / F.lit(float(_S12)), 6
-            ).alias("max_earlier_sim"),
+            cos_micros(F.coalesce(F.col("max_dot"), F.lit(0))).alias(
+                "max_sim_micros"
+            ),
             F.col("n_earlier_dups").isNull().alias("kept"),
         )
     )
@@ -530,8 +531,8 @@ def _semdedup_pipeline_oracle() -> str:
     SELECT e.vec_id,
            e.cluster AS cluster_id,
            coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
-           round(coalesce(d.max_dot, 0) / 1000000000000.0, 6)
-             AS max_earlier_sim,
+           CAST(floor(coalesce(d.max_dot, 0) / 1000000.0) AS BIGINT)
+             AS max_sim_micros,
            d.vec_id IS NULL AS kept
     FROM emb2 e LEFT JOIN dup_counts d ON e.vec_id = d.vec_id
     """
@@ -563,8 +564,8 @@ def llm_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB, k grows with n so clusters stay task-sized (the paper's
     own scaling argument)."""
     from climateiq_pipelines_spark.functions.fixedpoint import (
-        _S12,
         assign_nearest_centroid,
+        cos_micros,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -592,9 +593,9 @@ def llm_semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_earlier_dups"), F.lit(0)).alias(
                 "n_earlier_dups"
             ),
-            F.round(
-                F.coalesce(F.col("max_dot"), F.lit(0)) / F.lit(float(_S12)), 6
-            ).alias("max_earlier_sim"),
+            cos_micros(F.coalesce(F.col("max_dot"), F.lit(0))).alias(
+                "max_sim_micros"
+            ),
             F.col("n_earlier_dups").isNull().alias("kept"),
         )
     )
@@ -775,8 +776,12 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is gated on the measured vocab size (round-12 review: the hint
     # bypasses autoBroadcastJoinThreshold, and an ungated broadcast of
     # a 100 TB corpus's vocab pins hundreds of MB per executor); above
-    # the bound the join shuffles on w — the standard plan.
-    if vocab.count() <= 2_000_000:  # ~tens of MB of (word, long) rows
+    # the bound the join shuffles on w — the standard plan.  The count
+    # is memoized per (session, sf_dir) so repeated evaluations skip
+    # the probe action (VERDICT r12 #4 — the gate stays).
+    from climateiq_pipelines_spark.session import gate_count
+
+    if gate_count(vocab, spark, sf_dir, "unigram_vocab") <= 2_000_000:
         vocab = F.broadcast(vocab)
     bits = F.length(F.bin(F.col("cnt")))
     return (

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.fixedpoint import fixed_mean_1e9
+from climateiq_pipelines_spark.functions.fixedpoint import (
+    cos_micros,
+    fixed_mean_1e9,
+    sql_cos_micros,
+)
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
@@ -256,7 +260,7 @@ _IVFPQ_ORACLE = f"""
       JOIN embeddings ca ON ca.vec_id = s.cand_id
     )
     SELECT q_id AS vec_id, cand_id AS neighbor_id,
-           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk
+           {sql_cos_micros('dot_fp')} AS cos_micros, rnk
     FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY dot_fp DESC, cand_id) AS rnk
@@ -368,7 +372,6 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-7 registration-order incident fixedpoint.py exists to
     # prevent (round-12 review).
     from climateiq_pipelines_spark.functions.fixedpoint import (
-        _S12,
         _int_dot,
     )
 
@@ -386,7 +389,7 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q_id").alias("vec_id"),
             F.col("cand_id").alias("neighbor_id"),
-            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            cos_micros(F.col("dot_fp")).alias("cos_micros"),
             "rnk",
         )
     )

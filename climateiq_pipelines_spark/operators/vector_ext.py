@@ -15,8 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from climateiq_pipelines_spark.functions.fixedpoint import (
+    cos_micros,
+    sql_cos_micros,
+)
 from climateiq_pipelines_spark.operators.llm import (
-    _S12,
     _cosine_topk_bucketed,
     _hyperplanes,
     _int_dot,
@@ -37,7 +40,7 @@ def _multiprobe_oracle() -> str:
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            CAST(bit_count(xor(a.signature, b.signature)) AS BIGINT)
              AS sig_hamming,
-           round({dot} / 1000000000000.0, 6) AS cos_sim
+           {sql_cos_micros(dot)} AS cos_micros
     FROM sigs a JOIN sigs b
       ON a.vec_id < b.vec_id
      AND bit_count(xor(a.signature, b.signature)) <= 1
@@ -113,7 +116,7 @@ def llm_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
             .cast("long")
             .alias("sig_hamming"),
-            F.round(F.col("dot_fp") / F.lit(float(_S12)), 6).alias("cos_sim"),
+            cos_micros(F.col("dot_fp")).alias("cos_micros"),
         )
     )
 
@@ -131,7 +134,7 @@ def _cosine_topk_lsh_oracle() -> str:
         ON a.signature = b.signature AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id,
-           round(dot_fp / 1000000000000.0, 6) AS cos_sim, rnk,
+           {sql_cos_micros('dot_fp')} AS cos_micros, rnk,
            'simhash_bucketed' AS method
     FROM (
       SELECT *, row_number() OVER (PARTITION BY vec_id

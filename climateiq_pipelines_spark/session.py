@@ -94,6 +94,51 @@ def register_temp_dir(path: str) -> str:
     return path
 
 
+# Broadcast-gate count memo (VERDICT r12 task #4): the round-12
+# measured-payload broadcast gates (graph adjacency / LPA labels /
+# unigram vocab) each cost one count() action per evaluation — ~0.3 s
+# across the bench's repeated HEADLINE runs.  The counted relations are
+# deterministic per (application, sf_dir) — fixture-derived, built from
+# already-checkpointed bases — so the scalar is memoized and repeated
+# evaluations skip the probe.  The GATES themselves stay: at 100 TB the
+# count is what stops a multi-hundred-MB relation from being pinned on
+# every executor (F.broadcast bypasses autoBroadcastJoinThreshold).
+# Values are plain ints — no filesystem or block state, so harness
+# reclaim never invalidates them (tests/test_plans.py's AST-guard
+# taxonomy: value memos are reclaim-safe).
+_GATE_COUNT_MEMO: dict[tuple[str, str, str], int] = {}
+
+
+def gate_count(df, spark: SparkSession, sf_dir: str, site: str) -> int:
+    """Memoized df.count() for broadcast-payload gates.  ``site`` names
+    the gate (one relation per site), so the memo key is
+    (applicationId, sf_dir, site) — per-session, per-scale, never
+    shared across fixtures."""
+    key = (spark.sparkContext.applicationId, sf_dir, site)
+    n = _GATE_COUNT_MEMO.get(key)
+    if n is None:
+        n = df.count()
+        _GATE_COUNT_MEMO[key] = n
+    return n
+
+
+# Catalog-table registry (ADVICE r12): join_bucketed_colocated
+# saveAsTable's two per-invocation EXTERNAL tables whose backing files
+# live in a registered temp dir — purge_temp_dirs reclaims the files,
+# but the catalog entries survived, so a warm session accumulated
+# unbounded metastore rows pointing at deleted paths.  Same lifecycle
+# as the dirs: registered by the operator, dropped by release_blocks
+# after the key's result is consumed.
+SESSION_TEMP_TABLES: list[str] = []
+
+
+def register_temp_table(name: str) -> str:
+    """Register a saveAsTable name for deterministic post-consumption
+    DROP; returns the name unchanged so call sites stay one line."""
+    SESSION_TEMP_TABLES.append(name)
+    return name
+
+
 def purge_temp_dirs() -> int:
     """Remove every registered temp root; returns how many were
     purged.  Safe to call at any point where no live DataFrame still
@@ -150,6 +195,11 @@ def release_blocks(spark: SparkSession) -> int:
         jrdd.unpersist(False)
         released += 1
     spark.catalog.clearCache()
+    # Registered catalog tables are metadata-only by now (external
+    # tables whose files the next line reclaims) — drop them so a warm
+    # many-key session's catalog stays bounded (ADVICE r12).
+    while SESSION_TEMP_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS `{SESSION_TEMP_TABLES.pop()}`")
     # Temp roots follow the same lifecycle as checkpoint blocks: the
     # harness calls release_blocks only after the key's result is fully
     # consumed, at which point no live plan reads the registered dirs.

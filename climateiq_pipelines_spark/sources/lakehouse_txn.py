@@ -120,6 +120,12 @@ def _commit_must_lose(root: str, version: int, record: dict) -> None:
     a stripped attempt would silently skip the race the key's audit
     columns claim happened."""
     if _try_commit(root, version, record):
+        # The stale record is now LINKED — a later _read_log/_snapshot
+        # on this root would replay it as committed history even though
+        # we are about to declare the root broken.  Retract it before
+        # raising so an abandoned root can never present the bogus
+        # version as valid state (ADVICE r12).
+        os.unlink(_log_path(root, version))
         raise RuntimeError(
             f"txn protocol: stale commit v{version} unexpectedly WON "
             f"at {root} (simulated race broken)"

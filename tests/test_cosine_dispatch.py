@@ -41,7 +41,7 @@ def test_large_corpus_dispatches_to_bucketed(spark, monkeypatch):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert [f.name for f in df.schema.fields] == [
-        "vec_id", "neighbor_id", "cos_sim", "rnk", "method",
+        "vec_id", "neighbor_id", "cos_micros", "rnk", "method",
     ]
     pdf = df.toPandas()
     assert len(pdf) > 0
@@ -49,11 +49,11 @@ def test_large_corpus_dispatches_to_bucketed(spark, monkeypatch):
     # can never silently pass for the exact block-NL contract
     assert (pdf["method"] == "simhash_bucketed").all()
     # per-query contract: at most k=5 neighbors, rnk dense from 1,
-    # cos_sim non-increasing in rnk
+    # cos_micros non-increasing in rnk
     for _, g in pdf.groupby("vec_id"):
         g = g.sort_values("rnk")
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
-        assert (g["cos_sim"].diff().dropna() <= 1e-12).all()
+        assert (g["cos_micros"].diff().dropna() <= 0).all()
         assert len(g) <= 5
 
 
@@ -114,7 +114,7 @@ def test_mrl_large_corpus_dispatches_to_bucketed(spark, monkeypatch):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert [f.name for f in df.schema.fields] == [
-        "vec_id", "neighbor_id", "cos_sim", "rnk", "method",
+        "vec_id", "neighbor_id", "cos_micros", "rnk", "method",
     ]
     pdf = df.toPandas()
     assert len(pdf) > 0
@@ -122,7 +122,7 @@ def test_mrl_large_corpus_dispatches_to_bucketed(spark, monkeypatch):
     for _, g in pdf.groupby("vec_id"):
         g = g.sort_values("rnk")
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
-        assert (g["cos_sim"].diff().dropna() <= 1e-12).all()
+        assert (g["cos_micros"].diff().dropna() <= 0).all()
         assert len(g) <= 5
 
 

@@ -176,9 +176,12 @@ def test_protocol_checks_survive_python_O():
     LT._commit_must_lose(root, 1, rec)           # taken slot: succeeds
     with pytest.raises(RuntimeError, match="unexpectedly WON"):
         LT._commit_must_lose(root, 2, rec)       # free slot: raises
-    # the raising probe DID link its file (a fatal protocol error, so
-    # no cleanup is attempted — the root is abandoned)
-    assert os.path.exists(LT._log_path(root, 2))
+    # ADVICE r12: the raising probe RETRACTS the record it just linked
+    # — previously the stale commit stayed in _log, so a later
+    # _read_log/_snapshot on the abandoned root replayed the bogus
+    # version as committed history.  The root is abandoned AND clean.
+    assert not os.path.exists(LT._log_path(root, 2))
+    assert [r["version"] for r in LT._read_log(root)] == [1]
 
     for mod in (LT, TS):
         src = inspect.getsource(mod)

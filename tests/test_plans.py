@@ -24,6 +24,8 @@ from climateiq_pipelines_spark.plans import QUERIES
 
 from tests.conftest import SF_SMALL
 
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
+
 # Keys whose plan legitimately contains a nested-loop join: every one
 # broadcasts a tiny literal-bounded side (5-row region cross, 16-row
 # seed table, 1-row corpus count / query vector), where nested-loop IS
@@ -525,15 +527,23 @@ def test_release_blocks_purges_registered_temp_dirs(spark):
     assert S.purge_temp_dirs() == 0
 
 
-def test_every_module_level_frame_cache_is_registered():
-    """Static sweep of the WHOLE package: any module-level annotated
-    assignment whose type holds DataFrame values (the checkpointed-frame
-    cache pattern) must be wrapped in session.register_frame_cache at
-    the assignment site.  The hand-pinned list in the test above covers
-    today's three caches; this guard covers the NEXT one — a future
-    cache that skips registration would reintroduce the round-12 poison
-    handle (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND after the harness
-    reclaim), and nothing else would catch it until a sweep died."""
+def test_every_module_level_cache_is_reclaim_safe():
+    """Static sweep of the WHOLE package (ADVICE r12 widened the r12
+    original): every module-level EMPTY-dict assignment — the cache
+    pattern; non-empty dict literals are constant tables — is
+    classified by its annotation and held to the reclaim discipline:
+
+    - DataFrame-valued  -> must be wrapped in register_frame_cache at
+      the assignment site (the round-12 poison-handle class:
+      CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND after harness reclaim);
+    - str-valued *CACHE -> a PATH cache of temp-backed data; its module
+      must re-validate os.path.isdir before reuse (stateful_timeout's
+      _SPLIT_CACHE pattern — a purged dir must rebuild, not be read);
+    - UNANNOTATED       -> fails outright: an unclassifiable cache is
+      exactly how the next temp-backed frame or path cache would slip
+      past this guard (the ADVICE r12 gap);
+    - int/bool/other value memos -> fine (no filesystem/block state).
+    """
     import ast
     import pathlib
 
@@ -541,23 +551,99 @@ def test_every_module_level_frame_cache_is_registered():
         "climateiq_pipelines_spark")
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
-        tree = ast.parse(path.read_text(), filename=str(path))
+        src = path.read_text()
+        tree = ast.parse(src, filename=str(path))
         for node in tree.body:  # module level only
-            if not isinstance(node, ast.AnnAssign) or node.value is None:
+            if not isinstance(node, (ast.Assign, ast.AnnAssign)):
                 continue
-            ann = ast.unparse(node.annotation)
-            if "DataFrame" not in ann:
+            val = node.value
+            if val is None:
                 continue
-            call_ok = (
-                isinstance(node.value, ast.Call)
-                and ast.unparse(node.value.func).endswith(
-                    "register_frame_cache")
+            wrapped = (
+                isinstance(val, ast.Call)
+                and ast.unparse(val.func).endswith("register_frame_cache")
+                and val.args
             )
-            if not call_ok:
-                offenders.append(f"{path.name}: {ast.unparse(node.target)}")
-    assert not offenders, (
-        "module-level DataFrame caches missing register_frame_cache: "
-        f"{offenders}")
+            inner = val.args[0] if wrapped else val
+            is_empty_dict = (
+                isinstance(inner, ast.Dict) and not inner.keys
+            ) or (
+                isinstance(inner, ast.Call)
+                and ast.unparse(inner.func) == "dict"
+                and not inner.args
+                and not inner.keywords
+            )
+            if not is_empty_dict:
+                continue
+            tgt = (
+                node.target
+                if isinstance(node, ast.AnnAssign)
+                else node.targets[0]
+            )
+            name = ast.unparse(tgt)
+            ann = (
+                ast.unparse(node.annotation)
+                if isinstance(node, ast.AnnAssign)
+                else None
+            )
+            if ann is None:
+                offenders.append(
+                    f"{path.name}: {name} — unannotated module-level "
+                    "cache; annotate its value type so this guard can "
+                    "classify it"
+                )
+                continue
+            # value type = the second subscript element of dict[K, V]
+            value_t = ann.rsplit(",", 1)[-1].rstrip("]").strip()
+            if "DataFrame" in value_t and not wrapped:
+                offenders.append(
+                    f"{path.name}: {name} — DataFrame cache missing "
+                    "register_frame_cache"
+                )
+            elif value_t == "str" and "CACHE" in name.upper():
+                if "os.path.isdir" not in src:
+                    offenders.append(
+                        f"{path.name}: {name} — path cache without an "
+                        "os.path.isdir re-validation (purged temp dirs "
+                        "would be read after the first reclaim)"
+                    )
+    assert not offenders, "reclaim-unsafe module caches: " + "; ".join(
+        offenders)
+
+
+def test_gate_count_memoizes_per_session_and_sfdir(spark):
+    """VERDICT r12 #4: the measured-payload broadcast gates cost one
+    count() action per evaluation; the scalar is deterministic per
+    (session, sf_dir), so repeated evaluations must skip the probe —
+    and the memo key must distinguish sf_dir and site."""
+    from climateiq_pipelines_spark import session as S
+
+    assert S.gate_count(spark.range(7), spark, "/x", "probe_site") == 7
+
+    class _Boom:
+        def count(self):
+            raise AssertionError("gate probe re-ran on a memoized key")
+
+    assert S.gate_count(_Boom(), spark, "/x", "probe_site") == 7
+    assert S.gate_count(spark.range(3), spark, "/y", "probe_site") == 3
+    assert S.gate_count(spark.range(2), spark, "/x", "other_site") == 2
+
+
+def test_release_blocks_drops_registered_catalog_tables(spark):
+    """ADVICE r12: join_bucketed_colocated's per-invocation saveAsTable
+    entries outlived their (purged) backing files, so warm sessions
+    accumulated unbounded metastore rows.  register_temp_table entries
+    must be DROPPED by release_blocks and the registry must drain."""
+    from climateiq_pipelines_spark import session as S
+
+    name = "cps_droptest_probe"
+    spark.range(3).write.mode("overwrite").saveAsTable(
+        S.register_temp_table(name))
+    assert spark.catalog.tableExists(name)
+    assert name in S.SESSION_TEMP_TABLES
+    S.release_blocks(spark)
+    assert not spark.catalog.tableExists(name)
+    assert name not in S.SESSION_TEMP_TABLES
 
 
 def test_registered_builders_carry_docstrings():
@@ -602,6 +688,38 @@ def test_gen_rotation_derive_window_rules():
         derive_window(reg, stamps, ["zzz"], 3)
     with _pytest.raises(KeyError):
         derive_window(reg, stamps, ["a", "a"], 3)
+    # VERDICT r12 #7 — exemptions are recorded judgments, never
+    # reordering inputs: the window is unchanged by them, but an
+    # unregistered or priority-overlapping exempt key fails loudly.
+    assert derive_window(reg, stamps, ["c"], 3, exempt=["a"]) == (
+        derive_window(reg, stamps, ["c"], 3))
+    with _pytest.raises(KeyError):
+        derive_window(reg, stamps, [], 3, exempt=["zzz"])
+    with _pytest.raises(KeyError):
+        derive_window(reg, stamps, ["c"], 3, exempt=["c"])
+
+
+def test_gen_rotation_exempt_output_format():
+    """The recorded-exemption line format is part of the artifact
+    contract (VERDICT r12 #7: the judgment must be visible in the
+    tool's output, not a commit message) — pin it so a reword doesn't
+    silently drop the record."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/gen_rotation.py",
+         "--exempt", "scan_parquet_project", "--n", "3"],
+        capture_output=True, text=True, timeout=600, cwd=REPO_ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.strip().splitlines()
+    ex = [ln for ln in lines if ln.startswith("# exempt: ")]
+    assert ex == [
+        "# exempt: scan_parquet_project — changed after stamp, judged "
+        "mechanical (rides normal stamp order)"
+    ]
+    assert len([ln for ln in lines if not ln.startswith("#")]) == 3
 
 
 def test_bench_gated_summary_scan_skips_non_dict_json():

@@ -356,14 +356,14 @@ def test_semdedup_matches_reference(spark, tmp_path_factory, vecs):
         expected[j] = (
             lj,
             len(dots),
-            round(max(dots) / 1e12, 6) if dots else 0.0,
+            int(max(dots)) // 10**6 if dots else 0,
             not dots,
         )
     got = {
         r["vec_id"]: (
             r["cluster_id"],
             r["n_earlier_dups"],
-            r["max_earlier_sim"],
+            r["max_sim_micros"],
             r["kept"],
         )
         for r in QUERIES["llm_semdedup"](spark, d).collect()

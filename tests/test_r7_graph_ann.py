@@ -77,7 +77,7 @@ def test_mrl_rerank_against_bruteforce(spark):
         for rnk, j in enumerate(top, 1):
             expected[(int(qid), int(nb[short][j]))] = (
                 rnk,
-                round(float(fd[j]) / 1e12, 6),
+                int(np.floor(float(fd[j]) / 1e6)),
             )
     pdf = QUERIES["llm_mrl_truncated_rerank"](spark, SF_SMALL).toPandas()
     assert len(pdf) == len(expected)
@@ -85,7 +85,7 @@ def test_mrl_rerank_against_bruteforce(spark):
     for _, r in pdf.iterrows():
         rnk, sim = expected[(int(r["vec_id"]), int(r["neighbor_id"]))]
         assert int(r["rnk"]) == rnk
-        assert abs(float(r["cos_sim"]) - sim) < 1e-9
+        assert int(r["cos_micros"]) == sim
 
 
 def test_bloom_decontam_no_false_negatives_and_counts(spark):

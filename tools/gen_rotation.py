@@ -25,8 +25,18 @@ part that was error-prone: merging eleven artifacts and sequencing the
 oldest-stamp mass.
 
 Usage:
-    python tools/gen_rotation.py [--priority k1,k2] [--n 50]
+    python tools/gen_rotation.py [--priority k1,k2] [--exempt k3,k4] [--n 50]
     python tools/gen_rotation.py --check   # diff against ROTATION_WINDOW
+
+--exempt records the OTHER changed-after-stamp decision (VERDICT r12
+task #7): keys whose post-stamp edits were judged mechanical lifecycle/
+cosmetic (the r11 ann_ext2 precedent class — e.g. mkdtemp →
+register_temp_dir wrapping, import cleanups) and therefore ride normal
+stamp order instead of leading the window.  Exempt keys do NOT change
+the derivation; they are VALIDATED (registered, disjoint from
+--priority) and echoed in the output as '# exempt:' comment lines, so
+every changed-after-stamp judgment is visible in the committed artifact
+(the ROTATION_WINDOW paste), not buried in a commit message.
 
 --check exits 1 with a diff if the derived window differs from the
 committed plans.ROTATION_WINDOW; tests/test_plans.py runs the same
@@ -81,14 +91,30 @@ def derive_window(
     stamps: dict[str, int],
     priority: list[str] | None = None,
     n: int = 50,
+    exempt: list[str] | None = None,
 ) -> list[str]:
     priority = priority or []
+    exempt = exempt or []
     reg_idx = {k: i for i, k in enumerate(registration_order)}
     unknown = [k for k in priority if k not in reg_idx]
     if unknown:
         raise KeyError(f"--priority names unregistered keys: {unknown}")
     if len(priority) != len(set(priority)):
         raise KeyError("--priority contains duplicates")
+    # Exemptions don't reorder anything — they are the recorded
+    # judgment that a post-stamp edit was mechanical (VERDICT r12 #7).
+    # Validate them the same way so a typo'd key name can't silently
+    # record a decision about nothing.
+    unknown_ex = [k for k in exempt if k not in reg_idx]
+    if unknown_ex:
+        raise KeyError(f"--exempt names unregistered keys: {unknown_ex}")
+    overlap = sorted(set(exempt) & set(priority))
+    if overlap:
+        raise KeyError(
+            f"keys cannot be both --priority and --exempt: {overlap} "
+            "(a single edit is either certification-invalidating or "
+            "mechanical, not both)"
+        )
     rest = [k for k in registration_order if k not in set(priority)]
     # Never-certified (stamp 0) sorts before every stamped key; ties
     # break by pristine decoration order.
@@ -99,6 +125,7 @@ def derive_window(
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--priority", default="", help="comma-separated changed-after-stamp keys, lead the window")
+    ap.add_argument("--exempt", default="", help="comma-separated changed-after-stamp keys judged mechanical; validated and echoed as '# exempt:' lines, never reordered")
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--max-round", type=int, default=None, help="merge artifacts only through this round (round-N windows derive from rounds <= N-1)")
     ap.add_argument("--check", action="store_true", help="exit 1 if derived != plans.ROTATION_WINDOW")
@@ -108,6 +135,7 @@ def main() -> int:
 
     plans.load_all()
     priority = [k for k in args.priority.split(",") if k]
+    exempt = [k for k in args.exempt.split(",") if k]
 
     def _derive(bound: int | None) -> list[str]:
         return derive_window(
@@ -115,6 +143,7 @@ def main() -> int:
             merged_stamps(max_round=bound),
             priority,
             args.n,
+            exempt=exempt,
         )
 
     window = _derive(args.max_round)
@@ -155,6 +184,9 @@ def main() -> int:
                     print(f"  first divergence at slot {i}: derived={d} committed={c}")
                     break
         return 1
+    for k in exempt:
+        print(f"# exempt: {k} — changed after stamp, judged mechanical "
+              "(rides normal stamp order)")
     for k in window:
         print(k)
     return 0
