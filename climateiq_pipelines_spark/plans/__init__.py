@@ -99,51 +99,52 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 12 (VERDICT r11 task #1, pre-sequenced in SURVEY §11.4):
-# post-r11 the stamp distribution is 35×r7, 50×r8, 47×r9, 50×r10,
-# 50×r11 with zero never-certified keys and NO changed-after-stamp
-# priority keys (nothing certified r9+ changed in round 11).  The
-# window = ALL 35 remaining r7 stamps + the 15 registration-oldest r8
-# stamps = exactly 50.  Since this round the list is DERIVED, not
-# hand-sequenced: tools/gen_rotation.py merges the CORRECTNESS
-# artifacts and orders by (stamp round ASC, pristine registration
-# index ASC); tests/test_plans.py re-runs the derivation in-process
-# and asserts list equality, so a hand edit that diverges from the
-# artifacts fails CI (VERDICT r11 task #6 — r6/r7 hit ordering
-# hazards doing this by prose).  After this round certifies, the
-# oldest stamp anywhere becomes r8.  Round 11's window (3 priority +
-# 32×r6 + 15×r7) is recorded in SURVEY §11.4's as-built log.
+# Round 13 (VERDICT r12 task #1; derived by tools/gen_rotation.py
+# --max-round 12): post-r12 the stamp distribution is 35×r8, 47×r9,
+# 50×r10, 50×r11, 50×r12 with zero never-certified keys.  The window
+# leads with 21 --priority changed-after-stamp keys — the 14 the r12
+# review batches edited after their driver stamp (SURVEY §11.5 items
+# 12-18) plus the 7 keys the round-13 cosine-micros migration and
+# broadcast-gate-count memoization changed that sit OUTSIDE the
+# derived stamp-order window (llm_knn_query, llm_cosine_neardup,
+# llm_simhash_multiprobe, llm_cosine_topk_lsh, llm_semdedup,
+# llm_semdedup_pipeline, llm_unigram_logprob; the migration's other
+# affected keys — llm_mrl_truncated_rerank, llm_ann_recall_eval,
+# llm_ivf_topk was displaced, graph gate keys — are r8 stamps the
+# window reaches anyway or already priority).  The remaining 29 slots
+# are (stamp round ASC, pristine registration index ASC): 29 of the
+# 34 non-priority r8 stamps (sink_txn_conflict_retry's r8 slot moved
+# to priority); the 5 registration-newest r8 stamps
+# (agg_width_bucket_histogram, events_ewma_smoothing,
+# llm_perceptron_quality, llm_classifier_eval,
+# stream_state_timeout_flush) and the 15 oldest r9 stamps slip to
+# round 14.  tests/test_plans.py re-runs
+# the derivation in-process and asserts list equality.  Round 12's
+# window is recorded in SURVEY §11.5's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # r7 stamps (35) — multimodal codecs (3)
-    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
-    # lakehouse + formats_ext scan/sink block (8)
-    "sink_merge_on_read", "sink_time_travel",
-    "sink_compact_small_files", "sink_range_partitioned_stats",
-    "scan_csv_malformed", "scan_schema_evolution",
-    "scan_dynamic_partition_pruning", "sink_compression_codecs",
-    # graph + retrieval_ext (5)
-    "graph_pagerank", "llm_inverted_index", "llm_sliding_chunks",
-    "llm_bm25_score", "llm_rrf_fusion",
-    # events_ext (5)
-    "events_top_paths", "events_anomaly_zscore",
-    "events_rfm_segmentation", "events_inter_arrival_stats",
-    "events_type_entropy",
-    # TPC-H wave 3 (7)
-    "q8_market_share", "q9_product_profit", "q15_top_supplier",
-    "q16_parts_supplier_relation", "q17_small_qty_revenue",
-    "q20_potential_promotion", "q11_important_stock",
-    # llm_data_ext head (7)
-    "llm_pii_redact", "llm_shuffle_shard", "llm_semdedup",
-    "llm_dsir_weights", "llm_semdedup_pipeline", "llm_chunk_dedup",
-    "llm_unigram_logprob",
-    # r8 stamps, 15 registration-oldest — llm_data_ext tail (6)
-    "llm_bpe_pair_stats", "llm_bpe_apply_merge",
-    "llm_heaps_vocab_growth", "llm_dataset_manifest", "llm_zipf_fit",
-    "llm_incremental_dedup",
-    # ...and the scattered r8 singles (9)
-    "set_union_by_name", "udtf_native_chunker", "fn_struct", "fn_url",
-    "mm_wav_decode", "win_gap_islands", "events_markov_transitions",
-    "join_null_safe", "fn_bitwise",
+    # 21 priority keys — changed after their driver stamp
+    "sink_txn_conflict_retry", "llm_centroid_assign",
+    "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
+    "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
+    "stream_tumbling_window", "stream_readstream_demo",
+    "stream_stateful_sessions", "llm_cosine_topk", "agg_cms_heavy_hitters",
+    "agg_theta_set_algebra", "llm_knn_query", "llm_cosine_neardup",
+    "llm_simhash_multiprobe", "llm_cosine_topk_lsh", "llm_semdedup",
+    "llm_semdedup_pipeline", "llm_unigram_logprob",
+    # 29 oldest-stamp keys (all r8), registration order
+    "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
+    "join_interval_overlap", "events_windowed_topk",
+    "win_running_distinct", "scd2_build_intervals",
+    "graph_pagerank_converged", "llm_kmeans_converged",
+    "sink_txn_commit_protocol", "sink_txn_checkpoint",
+    "stream_txn_exactly_once", "llm_minhash_jaccard_estimate",
+    "scan_manifest_skipping", "sql_recursive_closure", "join_pit_scd2",
+    "fn_variant_json", "scan_python_datasource", "llm_gopher_quality",
+    "llm_temperature_mixture", "llm_substring_span_dedup",
+    "llm_vocab_coverage", "llm_dataset_split", "graph_triangle_count",
+    "graph_label_propagation", "llm_mrl_truncated_rerank",
+    "llm_bloom_decontam", "llm_ann_recall_eval",
+    "events_attribution_touch",
 ]
 def load_all() -> None:
     """Import every operator module so its @register calls run."""

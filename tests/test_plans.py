@@ -321,37 +321,32 @@ def test_no_corpus_sized_broadcast_hints():
 # the intended membership independently so an accidental edit to either
 # side fails here.  tools/driver_sim.py covers the full surface
 # meanwhile.
-ROTATION_R12 = {
-    # r7 stamps (35) — multimodal codecs
-    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
-    # lakehouse + formats_ext scan/sink block
-    "sink_merge_on_read", "sink_time_travel",
-    "sink_compact_small_files", "sink_range_partitioned_stats",
-    "scan_csv_malformed", "scan_schema_evolution",
-    "scan_dynamic_partition_pruning", "sink_compression_codecs",
-    # graph + retrieval_ext
-    "graph_pagerank", "llm_inverted_index", "llm_sliding_chunks",
-    "llm_bm25_score", "llm_rrf_fusion",
-    # events_ext
-    "events_top_paths", "events_anomaly_zscore",
-    "events_rfm_segmentation", "events_inter_arrival_stats",
-    "events_type_entropy",
-    # TPC-H wave 3
-    "q8_market_share", "q9_product_profit", "q15_top_supplier",
-    "q16_parts_supplier_relation", "q17_small_qty_revenue",
-    "q20_potential_promotion", "q11_important_stock",
-    # llm_data_ext head
-    "llm_pii_redact", "llm_shuffle_shard", "llm_semdedup",
-    "llm_dsir_weights", "llm_semdedup_pipeline", "llm_chunk_dedup",
+ROTATION_R13 = {
+    # 21 priority keys — changed after their driver stamp (the r12
+    # review-batch edits + the r13 cosine-micros / gate-memo keys)
+    "sink_txn_conflict_retry", "llm_centroid_assign",
+    "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
+    "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
+    "stream_tumbling_window", "stream_readstream_demo",
+    "stream_stateful_sessions", "llm_cosine_topk",
+    "agg_cms_heavy_hitters", "agg_theta_set_algebra", "llm_knn_query",
+    "llm_cosine_neardup", "llm_simhash_multiprobe",
+    "llm_cosine_topk_lsh", "llm_semdedup", "llm_semdedup_pipeline",
     "llm_unigram_logprob",
-    # r8 stamps (15, registration-oldest) — llm_data_ext tail
-    "llm_bpe_pair_stats", "llm_bpe_apply_merge",
-    "llm_heaps_vocab_growth", "llm_dataset_manifest", "llm_zipf_fit",
-    "llm_incremental_dedup",
-    # ...and the scattered r8 singles
-    "set_union_by_name", "udtf_native_chunker", "fn_struct", "fn_url",
-    "mm_wav_decode", "win_gap_islands", "events_markov_transitions",
-    "join_null_safe", "fn_bitwise",
+    # 29 oldest-stamp keys (all r8), registration order
+    "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
+    "join_interval_overlap", "events_windowed_topk",
+    "win_running_distinct", "scd2_build_intervals",
+    "graph_pagerank_converged", "llm_kmeans_converged",
+    "sink_txn_commit_protocol", "sink_txn_checkpoint",
+    "stream_txn_exactly_once", "llm_minhash_jaccard_estimate",
+    "scan_manifest_skipping", "sql_recursive_closure", "join_pit_scd2",
+    "fn_variant_json", "scan_python_datasource", "llm_gopher_quality",
+    "llm_temperature_mixture", "llm_substring_span_dedup",
+    "llm_vocab_coverage", "llm_dataset_split", "graph_triangle_count",
+    "graph_label_propagation", "llm_mrl_truncated_rerank",
+    "llm_bloom_decontam", "llm_ann_recall_eval",
+    "events_attribution_touch",
 }
 
 
@@ -360,18 +355,18 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-12 membership (ROTATION_R12 above) fills the first
+    the intended round-13 membership (ROTATION_R13 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R12 together with
+    side without the other fails here.  Update ROTATION_R13 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R12 - first50)
+    missing = sorted(ROTATION_R13 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R12
+    assert set(ROTATION_WINDOW) == ROTATION_R13
     assert len(ROTATION_WINDOW) == 50
 
 
@@ -379,11 +374,11 @@ def test_rotation_window_matches_artifact_derivation():
     """VERDICT r11 task #6: the committed ROTATION_WINDOW must equal
     tools/gen_rotation.py's mechanical derivation from the merged
     CORRECTNESS artifacts — (stamp round ASC, pristine registration
-    index ASC), no priority keys this round (nothing certified r9+
-    changed in round 11).  The r6/r7 rotations hit ordering hazards
-    and r8's was hand arithmetic; this pin makes the prose
-    pre-sequencing checkable every CI run.  When a future round HAS
-    changed-after-stamp priority keys, pass them here in window order."""
+    index ASC), led by the round's 21 changed-after-stamp --priority
+    keys in window order (the r12 review-batch edits + the r13
+    cosine-micros migration and gate-memo keys).  The r6/r7 rotations
+    hit ordering hazards and r8's was hand arithmetic; this pin makes
+    the pre-sequencing checkable every CI run."""
     import tools.gen_rotation as gr
     from climateiq_pipelines_spark.plans import (
         REGISTRATION_ORDER,
@@ -392,8 +387,8 @@ def test_rotation_window_matches_artifact_derivation():
 
     derived = gr.derive_window(
         REGISTRATION_ORDER,
-        gr.merged_stamps(max_round=11),  # r12 window <- artifacts r1..r11
-        priority=[],
+        gr.merged_stamps(max_round=12),  # r13 window <- artifacts r1..r12
+        priority=list(ROTATION_WINDOW)[:21],
         n=50,
     )
     assert derived == list(ROTATION_WINDOW)
@@ -403,16 +398,16 @@ def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-12 window opens with the multimodal codec trio (led by
-    mm_decode_features), closes with fn_bitwise at slot 49, and the
-    total key count
-    must equal the full surface so a module gaining/losing a @register
-    call surfaces here."""
+    round-13 window opens with the priority block (led by
+    sink_txn_conflict_retry — the registered-oracle-text change),
+    closes with events_attribution_touch at slot 49, and the total key
+    count must equal the full surface so a module gaining/losing a
+    @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "mm_decode_features", keys[:3]
-    assert keys[3] == "sink_merge_on_read", keys[2:5]
-    assert keys[49] == "fn_bitwise", keys[45:52]
+    assert keys[0] == "sink_txn_conflict_retry", keys[:3]
+    assert keys[21] == "agg_bool_logic", keys[20:23]
+    assert keys[49] == "events_attribution_touch", keys[45:52]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
