@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from climateiq_pipelines_spark.functions.fixedpoint import sql_cos_micros
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
@@ -246,7 +247,7 @@ def _semdedup_oracle() -> str:
     SELECT e.vec_id,
            e.label AS cluster_id,
            coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
-           CAST(floor(coalesce(d.max_dot, 0) / 1000000.0) AS BIGINT)
+           {sql_cos_micros('coalesce(d.max_dot, 0)')}
              AS max_sim_micros,
            d.vec_id IS NULL AS kept
     FROM embeddings e LEFT JOIN dup_counts d ON e.vec_id = d.vec_id
@@ -531,7 +532,7 @@ def _semdedup_pipeline_oracle() -> str:
     SELECT e.vec_id,
            e.cluster AS cluster_id,
            coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
-           CAST(floor(coalesce(d.max_dot, 0) / 1000000.0) AS BIGINT)
+           {sql_cos_micros('coalesce(d.max_dot, 0)')}
              AS max_sim_micros,
            d.vec_id IS NULL AS kept
     FROM emb2 e LEFT JOIN dup_counts d ON e.vec_id = d.vec_id

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.fixedpoint import cos_micros
+from climateiq_pipelines_spark.functions.fixedpoint import (
+    cos_micros,
+    sql_cos_micros,
+)
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
@@ -327,7 +330,7 @@ _IVF_ORACLE = f"""
       JOIN embeddings ca ON ca.vec_id = c.cand_id
     )
     SELECT q_id AS vec_id, cand_id AS neighbor_id,
-           CAST(floor(dot_fp / 1000000.0) AS BIGINT) AS cos_micros, rnk
+           {sql_cos_micros('dot_fp')} AS cos_micros, rnk
     FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY dot_fp DESC, cand_id) AS rnk

@@ -100,29 +100,35 @@ def register(
 # regardless of order.
 #
 # Round 13 (VERDICT r12 task #1; derived by tools/gen_rotation.py
-# --max-round 12): post-r12 the stamp distribution is 35×r8, 47×r9,
-# 50×r10, 50×r11, 50×r12 with zero never-certified keys.  The window
-# leads with 21 --priority changed-after-stamp keys — the 14 the r12
-# review batches edited after their driver stamp (SURVEY §11.5 items
-# 12-18) plus the 7 keys the round-13 cosine-micros migration and
-# broadcast-gate-count memoization changed that sit OUTSIDE the
-# derived stamp-order window (llm_knn_query, llm_cosine_neardup,
-# llm_simhash_multiprobe, llm_cosine_topk_lsh, llm_semdedup,
-# llm_semdedup_pipeline, llm_unigram_logprob; the migration's other
-# affected keys — llm_mrl_truncated_rerank, llm_ann_recall_eval,
-# llm_ivf_topk was displaced, graph gate keys — are r8 stamps the
-# window reaches anyway or already priority).  The remaining 29 slots
-# are (stamp round ASC, pristine registration index ASC): 29 of the
-# 34 non-priority r8 stamps (sink_txn_conflict_retry's r8 slot moved
-# to priority); the 5 registration-newest r8 stamps
-# (agg_width_bucket_histogram, events_ewma_smoothing,
-# llm_perceptron_quality, llm_classifier_eval,
+# --max-round 12 --exempt join_bucketed_colocated): post-r12 the stamp
+# distribution is 35×r8, 47×r9, 50×r10, 50×r11, 50×r12 with zero
+# never-certified keys.  The window leads with 22 --priority
+# changed-after-stamp keys — the 14 the r12 review batches edited
+# after their driver stamp (SURVEY §11.5 items 12-18) plus the 8 keys
+# the round-13 cosine-micros migration and broadcast-gate-count
+# memoization changed that sit OUTSIDE the derived stamp-order window
+# (llm_knn_query, llm_cosine_neardup, llm_simhash_multiprobe,
+# llm_cosine_topk_lsh, llm_semdedup, llm_semdedup_pipeline,
+# llm_unigram_logprob, and llm_ivf_topk — an r9 stamp the priority
+# block itself displaces from the derived slots; the round-13
+# self-review caught its omission after the first rotation commit).
+# The migration's other affected keys are r8 stamps the window
+# reaches anyway (llm_mrl_truncated_rerank, llm_ann_recall_eval, the
+# graph gate keys).  RECORDED EXEMPTION (--exempt, the r12 task #7
+# mechanism): join_bucketed_colocated — r9 stamp, outside the window,
+# its only round-13 edit is the register_temp_table lifecycle wiring
+# (the r11 ann_ext2 mechanical-edit precedent class) — rides normal
+# stamp order to r14.  The remaining 28 slots are (stamp round ASC,
+# pristine registration index ASC): 28 of the 34 non-priority r8
+# stamps; the 6 registration-newest r8 stamps
+# (events_attribution_touch, agg_width_bucket_histogram,
+# events_ewma_smoothing, llm_perceptron_quality, llm_classifier_eval,
 # stream_state_timeout_flush) and the 15 oldest r9 stamps slip to
-# round 14.  tests/test_plans.py re-runs
-# the derivation in-process and asserts list equality.  Round 12's
+# round 14.  tests/test_plans.py re-runs the derivation in-process
+# (priority AND exemption) and asserts list equality.  Round 12's
 # window is recorded in SURVEY §11.5's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 21 priority keys — changed after their driver stamp
+    # 22 priority keys — changed after their driver stamp
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -130,8 +136,8 @@ ROTATION_WINDOW: list[str] = [
     "stream_stateful_sessions", "llm_cosine_topk", "agg_cms_heavy_hitters",
     "agg_theta_set_algebra", "llm_knn_query", "llm_cosine_neardup",
     "llm_simhash_multiprobe", "llm_cosine_topk_lsh", "llm_semdedup",
-    "llm_semdedup_pipeline", "llm_unigram_logprob",
-    # 29 oldest-stamp keys (all r8), registration order
+    "llm_semdedup_pipeline", "llm_unigram_logprob", "llm_ivf_topk",
+    # 28 oldest-stamp keys (all r8), registration order
     "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
     "join_interval_overlap", "events_windowed_topk",
     "win_running_distinct", "scd2_build_intervals",
@@ -144,7 +150,6 @@ ROTATION_WINDOW: list[str] = [
     "llm_vocab_coverage", "llm_dataset_split", "graph_triangle_count",
     "graph_label_propagation", "llm_mrl_truncated_rerank",
     "llm_bloom_decontam", "llm_ann_recall_eval",
-    "events_attribution_touch",
 ]
 def load_all() -> None:
     """Import every operator module so its @register calls run."""

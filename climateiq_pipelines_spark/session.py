@@ -103,9 +103,12 @@ def register_temp_dir(path: str) -> str:
 # evaluations skip the probe.  The GATES themselves stay: at 100 TB the
 # count is what stops a multi-hundred-MB relation from being pinned on
 # every executor (F.broadcast bypasses autoBroadcastJoinThreshold).
-# Values are plain ints — no filesystem or block state, so harness
-# reclaim never invalidates them (tests/test_plans.py's AST-guard
-# taxonomy: value memos are reclaim-safe).
+# Values are plain ints (no filesystem or block state), but
+# release_blocks still CLEARS the memo (round-13 self-review): a
+# session that swaps the data behind an sf_dir must never gate a
+# broadcast on a stale count, and re-deriving the scalar costs one
+# aggregate per gate site per evaluation.  The warm-run saving the
+# memo exists for lives in bench.py, which does not reclaim.
 _GATE_COUNT_MEMO: dict[tuple[str, str, str], int] = {}
 
 
@@ -198,8 +201,26 @@ def release_blocks(spark: SparkSession) -> int:
     # Registered catalog tables are metadata-only by now (external
     # tables whose files the next line reclaims) — drop them so a warm
     # many-key session's catalog stays bounded (ADVICE r12).
+    # Best-effort per table (round-13 self-review): a py4j/analysis
+    # failure mid-loop must neither lose the popped name (it goes back
+    # in the registry for the next reclaim) nor abort the rest of this
+    # function — the temp-dir purge below must run regardless.
+    drop_failed: list[str] = []
     while SESSION_TEMP_TABLES:
-        spark.sql(f"DROP TABLE IF EXISTS `{SESSION_TEMP_TABLES.pop()}`")
+        name = SESSION_TEMP_TABLES.pop()
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        except Exception:  # noqa: BLE001 — dead JVM; retry next reclaim
+            drop_failed.append(name)
+    SESSION_TEMP_TABLES.extend(drop_failed)
+    # Gate-count memo: cleared on reclaim like the frame caches — the
+    # scalars are cheap to re-derive (one aggregate per gate site per
+    # evaluation, the pre-memo behavior correctness sweeps always had),
+    # and a long-lived session that swaps the data behind an sf_dir
+    # must never broadcast on a stale count (round-13 self-review).
+    # bench.py does not reclaim, so the warm-run saving the memo exists
+    # for is untouched.
+    _GATE_COUNT_MEMO.clear()
     # Temp roots follow the same lifecycle as checkpoint blocks: the
     # harness calls release_blocks only after the key's result is fully
     # consumed, at which point no live plan reads the registered dirs.
