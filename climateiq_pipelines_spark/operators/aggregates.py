@@ -1,4 +1,4 @@
-"""Aggregation operators (SURVEY.md §2.4) — 12 keys.
+"""Aggregation operators (SURVEY.md §2.4) — 16 keys.
 
 Logical agg semantics only — partial/final split, hash-vs-sort agg and
 spill are Catalyst/Tungsten's (SURVEY §4). Float policy: every SUM/AVG
@@ -84,6 +84,17 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts per group.
+
+    DATA CONTRACT (round-13 review): the two engines disagree on
+    NULL-containing tuples — Spark's countDistinct(a, b) DROPS any row
+    with a NULL argument while DuckDB's COUNT(DISTINCT (a, b)) counts
+    (x, NULL) as a distinct tuple — so this key's parity additionally
+    requires o_custkey/o_orderstatus to be non-null.  That holds for
+    every TPC-H-shaped fixture and is pinned as a NAMED precondition by
+    tests/test_determinism.py::test_count_distinct_columns_are_non_null,
+    so a regenerated fixture with NULLs fails there attributably
+    instead of as an opaque off-by-N hash mismatch here."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_custs"),
@@ -356,14 +367,18 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     view = "cps_customer_gs"
     customer.createOrReplaceTempView(view)
+    # sql_dsum is valid Spark SQL too (the explicit BIGINT cast is a
+    # no-op on Spark's floor) — round-13 review: the hand-inlined copy
+    # here was the one fixed-point sum outside the shared helper, the
+    # drift class helpers.py's SPLIT_SALT note records as a past
+    # incident.
     return spark.sql(
         f"""
         SELECT c_mktsegment, c_nationkey,
                CAST(grouping(c_mktsegment) AS INT) AS g_seg,
                CAST(grouping(c_nationkey) AS INT) AS g_nat,
                COUNT(*) AS n_custs,
-               (CAST(SUM(floor(c_acctbal * 1000000)) AS DOUBLE) / 1000000.0)
-                 AS sum_bal
+               {sql_dsum('c_acctbal')} AS sum_bal
         FROM {view}
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """

@@ -1,4 +1,4 @@
-"""Set operations (SURVEY.md §2.7) — 5 keys.
+"""Set operations (SURVEY.md §2.7) — 8 keys.
 
 union/intersect/except map 1:1 onto Spark DataFrame ops; the
 deduplication key deliberately avoids dropDuplicates, whose keep-choice

@@ -1,4 +1,4 @@
-"""Sort / limit / top-k operators (SURVEY.md §2.6) — 3 keys.
+"""Sort / limit / top-k operators (SURVEY.md §2.6) — 4 keys.
 
 The driver's value-hash is order-insensitive, so a bare orderBy would be
 unobservable; each key therefore materializes its ordering as a rank or
@@ -158,7 +158,14 @@ def sort_multikey_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         "open_price",
-        (F.col("local_rank") + F.col("offset")).cast("int").alias("sort_rank"),
+        # The rank stays LONG (round-13 review): local_rank + offset is
+        # already a correct 64-bit sum, and the old cast("int") capped
+        # the explicitly 100-TB-safe two-phase rank at 2^31-1 rows —
+        # CAST_OVERFLOW under Spark 4's default ANSI mode, silent
+        # negative wrap-around with ANSI off.  The oracle's
+        # row_number() is BIGINT and the parity canonicalizer unifies
+        # integer widths, so the wide type is free at fixture scale.
+        (F.col("local_rank") + F.col("offset")).alias("sort_rank"),
     )
 
 

@@ -1,4 +1,4 @@
-"""Window-function operators (SURVEY.md §2.5) — 7 keys.
+"""Window-function operators (SURVEY.md §2.5) — 8 keys.
 
 Determinism discipline (SURVEY §2.5 note): every window orderBy carries a
 unique-key tail (o_orderkey / event_id / s_suppkey) so row_number, ntile

@@ -102,33 +102,36 @@ def register(
 # Round 13 (VERDICT r12 task #1; derived by tools/gen_rotation.py
 # --max-round 12 --exempt join_bucketed_colocated): post-r12 the stamp
 # distribution is 35×r8, 47×r9, 50×r10, 50×r11, 50×r12 with zero
-# never-certified keys.  The window leads with 22 --priority
-# changed-after-stamp keys — the 14 the r12 review batches edited
-# after their driver stamp (SURVEY §11.5 items 12-18) plus the 8 keys
-# the round-13 cosine-micros migration and broadcast-gate-count
-# memoization changed that sit OUTSIDE the derived stamp-order window
-# (llm_knn_query, llm_cosine_neardup, llm_simhash_multiprobe,
-# llm_cosine_topk_lsh, llm_semdedup, llm_semdedup_pipeline,
-# llm_unigram_logprob, and llm_ivf_topk — an r9 stamp the priority
-# block itself displaces from the derived slots; the round-13
-# self-review caught its omission after the first rotation commit).
-# The migration's other affected keys are r8 stamps the window
-# reaches anyway (llm_mrl_truncated_rerank, llm_ann_recall_eval, the
-# graph gate keys).  RECORDED EXEMPTION (--exempt, the r12 task #7
-# mechanism): join_bucketed_colocated — r9 stamp, outside the window,
-# its only round-13 edit is the register_temp_table lifecycle wiring
-# (the r11 ann_ext2 mechanical-edit precedent class) — rides normal
-# stamp order to r14.  The remaining 28 slots are (stamp round ASC,
-# pristine registration index ASC): 28 of the 34 non-priority r8
-# stamps; the 6 registration-newest r8 stamps
-# (events_attribution_touch, agg_width_bucket_histogram,
-# events_ewma_smoothing, llm_perceptron_quality, llm_classifier_eval,
+# never-certified keys.  The window leads with 29 --priority
+# changed-after-stamp keys: the 14 pre-sequenced r12 review-batch keys
+# (SURVEY §11.5 items 12-18); the 8 keys the round-13 cosine-micros
+# migration and broadcast-gate-count memoization changed outside the
+# stamp-order slots (llm_knn_query, llm_cosine_neardup,
+# llm_simhash_multiprobe, llm_cosine_topk_lsh, llm_semdedup,
+# llm_semdedup_pipeline, llm_unigram_logprob, llm_ivf_topk — the last
+# an r9 stamp the priority block itself displaces, caught by the
+# round-13 self-review); the 3 round-13 review-batch-A keys
+# (sort_multikey_scalable + its delegating sibling sort_multikey_nulls
+# — the 2^31 rank-cast fix — and agg_grouping_sets — the sql_dsum
+# dedupe); and the 4 changed r8 stamps the growing priority block
+# would otherwise push out of the 50 (llm_mrl_truncated_rerank,
+# llm_ann_recall_eval, graph_triangle_count, graph_label_propagation).
+# RECORDED EXEMPTION (--exempt, the r12 task #7 mechanism):
+# join_bucketed_colocated — r9 stamp, outside the window, its only
+# round-13 edit is the register_temp_table lifecycle wiring (the r11
+# ann_ext2 mechanical-edit precedent class) — rides normal stamp order
+# to r14.  The remaining 21 slots are (stamp round ASC, pristine
+# registration index ASC) r8 stamps; the 9 registration-newest
+# non-priority r8 stamps (llm_vocab_coverage, llm_dataset_split,
+# llm_bloom_decontam, events_attribution_touch,
+# agg_width_bucket_histogram, events_ewma_smoothing,
+# llm_perceptron_quality, llm_classifier_eval,
 # stream_state_timeout_flush) and the 15 oldest r9 stamps slip to
 # round 14.  tests/test_plans.py re-runs the derivation in-process
 # (priority AND exemption) and asserts list equality.  Round 12's
 # window is recorded in SURVEY §11.5's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 22 priority keys — changed after their driver stamp
+    # 29 priority keys — changed after their driver stamp
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -137,7 +140,10 @@ ROTATION_WINDOW: list[str] = [
     "agg_theta_set_algebra", "llm_knn_query", "llm_cosine_neardup",
     "llm_simhash_multiprobe", "llm_cosine_topk_lsh", "llm_semdedup",
     "llm_semdedup_pipeline", "llm_unigram_logprob", "llm_ivf_topk",
-    # 28 oldest-stamp keys (all r8), registration order
+    "sort_multikey_scalable", "sort_multikey_nulls", "agg_grouping_sets",
+    "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
+    "graph_triangle_count", "graph_label_propagation",
+    # 21 oldest-stamp keys (all r8), registration order
     "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
     "join_interval_overlap", "events_windowed_topk",
     "win_running_distinct", "scd2_build_intervals",
@@ -147,10 +153,8 @@ ROTATION_WINDOW: list[str] = [
     "scan_manifest_skipping", "sql_recursive_closure", "join_pit_scd2",
     "fn_variant_json", "scan_python_datasource", "llm_gopher_quality",
     "llm_temperature_mixture", "llm_substring_span_dedup",
-    "llm_vocab_coverage", "llm_dataset_split", "graph_triangle_count",
-    "graph_label_propagation", "llm_mrl_truncated_rerank",
-    "llm_bloom_decontam", "llm_ann_recall_eval",
 ]
+
 def load_all() -> None:
     """Import every operator module so its @register calls run."""
     # Imported lazily to avoid circular imports at package import time.

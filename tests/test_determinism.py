@@ -83,3 +83,28 @@ def test_lineitem_measures_are_exact_cents(col, spark):
         f"{col}: max deviation from the cent grid is {worst} — the "
         "cent-long moment accumulators' exactness precondition fails"
     )
+
+
+# agg_count_distinct's cross-engine parity has a NULL data contract
+# (round-13 review): Spark countDistinct(a, b) DROPS rows with any NULL
+# argument while DuckDB COUNT(DISTINCT (a, b)) counts (x, NULL) as a
+# distinct tuple — empirically verified on both engines.  The key is
+# hash-exact ONLY while the counted columns are non-null, which every
+# TPC-H-shaped fixture satisfies; pin that as a named precondition so a
+# regenerated fixture with NULLs fails HERE attributably instead of as
+# an off-by-N oracle hash mismatch.
+@pytest.mark.parametrize("col", ["o_custkey", "o_orderstatus"])
+def test_count_distinct_columns_are_non_null(col, spark):
+    from pyspark.sql import functions as F
+
+    from climateiq_pipelines_spark.registry import load_table
+
+    n_null = (
+        load_table(spark, SF_MED, "orders")
+        .filter(F.col(col).isNull())
+        .count()
+    )
+    assert n_null == 0, (
+        f"orders.{col} has {n_null} NULLs — agg_count_distinct's "
+        "engine/oracle NULL-tuple semantics diverge on such rows"
+    )

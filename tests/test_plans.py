@@ -322,18 +322,22 @@ def test_no_corpus_sized_broadcast_hints():
 # side fails here.  tools/driver_sim.py covers the full surface
 # meanwhile.
 ROTATION_R13 = {
-    # 21 priority keys — changed after their driver stamp (the r12
-    # review-batch edits + the r13 cosine-micros / gate-memo keys)
+    # 29 priority keys — changed after their driver stamp (the r12
+    # review-batch edits + the r13 cosine-micros / gate-memo /
+    # review-batch-A keys, incl. the changed r8 stamps the growing
+    # priority block would otherwise displace from the window)
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
     "stream_tumbling_window", "stream_readstream_demo",
-    "stream_stateful_sessions", "llm_cosine_topk",
-    "agg_cms_heavy_hitters", "agg_theta_set_algebra", "llm_knn_query",
-    "llm_cosine_neardup", "llm_simhash_multiprobe",
-    "llm_cosine_topk_lsh", "llm_semdedup", "llm_semdedup_pipeline",
-    "llm_unigram_logprob", "llm_ivf_topk",
-    # 28 oldest-stamp keys (all r8), registration order
+    "stream_stateful_sessions", "llm_cosine_topk", "agg_cms_heavy_hitters",
+    "agg_theta_set_algebra", "llm_knn_query", "llm_cosine_neardup",
+    "llm_simhash_multiprobe", "llm_cosine_topk_lsh", "llm_semdedup",
+    "llm_semdedup_pipeline", "llm_unigram_logprob", "llm_ivf_topk",
+    "sort_multikey_scalable", "sort_multikey_nulls", "agg_grouping_sets",
+    "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
+    "graph_triangle_count", "graph_label_propagation",
+    # 21 oldest-stamp keys (all r8), registration order
     "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
     "join_interval_overlap", "events_windowed_topk",
     "win_running_distinct", "scd2_build_intervals",
@@ -343,10 +347,8 @@ ROTATION_R13 = {
     "scan_manifest_skipping", "sql_recursive_closure", "join_pit_scd2",
     "fn_variant_json", "scan_python_datasource", "llm_gopher_quality",
     "llm_temperature_mixture", "llm_substring_span_dedup",
-    "llm_vocab_coverage", "llm_dataset_split", "graph_triangle_count",
-    "graph_label_propagation", "llm_mrl_truncated_rerank",
-    "llm_bloom_decontam", "llm_ann_recall_eval",
 }
+
 
 
 def test_rotation_targets_fill_driver_window():
@@ -394,10 +396,13 @@ def test_rotation_window_matches_artifact_derivation():
         "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
         "stream_tumbling_window", "stream_readstream_demo",
         "stream_stateful_sessions", "llm_cosine_topk",
-        "agg_cms_heavy_hitters", "agg_theta_set_algebra",
-        "llm_knn_query", "llm_cosine_neardup", "llm_simhash_multiprobe",
+        "agg_cms_heavy_hitters", "agg_theta_set_algebra", "llm_knn_query",
+        "llm_cosine_neardup", "llm_simhash_multiprobe",
         "llm_cosine_topk_lsh", "llm_semdedup", "llm_semdedup_pipeline",
-        "llm_unigram_logprob", "llm_ivf_topk",
+        "llm_unigram_logprob", "llm_ivf_topk", "sort_multikey_scalable",
+        "sort_multikey_nulls", "agg_grouping_sets",
+        "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
+        "graph_triangle_count", "graph_label_propagation",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
@@ -417,15 +422,15 @@ def test_driver_window_layout_matches_load_all_comment():
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
     round-13 window opens with the priority block (led by
     sink_txn_conflict_retry — the registered-oracle-text change),
-    closes with events_attribution_touch at slot 49, and the total key
+    closes with llm_substring_span_dedup at slot 49, and the total key
     count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
     assert keys[0] == "sink_txn_conflict_retry", keys[:3]
-    assert keys[21] == "llm_ivf_topk", keys[20:23]
-    assert keys[22] == "agg_bool_logic", keys[21:24]
-    assert keys[49] == "llm_ann_recall_eval", keys[45:52]
+    assert keys[28] == "graph_label_propagation", keys[27:30]
+    assert keys[29] == "agg_bool_logic", keys[28:31]
+    assert keys[49] == "llm_substring_span_dedup", keys[45:52]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
