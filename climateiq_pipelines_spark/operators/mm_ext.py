@@ -72,7 +72,11 @@ def mm_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     binfiles = spark.read.format("binaryFile").load(out)
     return binfiles.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        # (-?\d+): the old \d+-only pattern silently stripped a minus
+        # sign, so a negative doc_id round-tripped as its absolute
+        # value — wrong key instead of a loud parse failure (round-13
+        # review; fixture ids are dense 0..N-1 today, so latent).
+        F.regexp_extract(F.col("path"), r"(-?\d+)\.bin$", 1)
         .cast("long")
         .alias("doc_id"),
         F.col("length").alias("n_bytes"),

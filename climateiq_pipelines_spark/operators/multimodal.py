@@ -119,7 +119,9 @@ def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEAT_ORACLE = """
     WITH payloads AS (
-      SELECT doc_id, encode(text) AS payload FROM documents
+      SELECT doc_id,
+             encode(regexp_replace(text, '[^ -~]', '', 'g')) AS payload
+      FROM documents
     )
     SELECT doc_id,
            octet_length(payload) AS n_bytes,
@@ -145,9 +147,15 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     width). This is the exact batch shape a GPU feature extractor
     plugs into — payloads stay map-side, only features flow on.
 
-    The oracle recomputes the same statistics in SQL (payload bytes are
-    UTF-8 text here, so per-character ascii() == per-byte value),
-    proving the Python boundary loses nothing."""
+    The oracle recomputes the same statistics in SQL over the SAME
+    printable-ASCII projection of the text (round-13 review, the
+    mm_wav_decode ADVICE-r6 precedent): chars == bytes by construction
+    on both engines, so per-character ascii() == per-byte value even if
+    a regenerated fixture carries non-ASCII text — without the
+    projection the engine's per-UTF-8-byte stats and the oracle's
+    per-character codepoints silently diverge.  An empty payload (a doc
+    whose text is entirely non-printable) fails LOUDLY with the doc_id
+    named instead of crashing min() with an opaque executor trace."""
 
     schema = T.StructType(
         [
@@ -165,6 +173,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if not b:
+                    raise ValueError(
+                        f"mm_decode_features: doc {doc_id} has an empty "
+                        "payload after the printable-ASCII projection — "
+                        "byte statistics are undefined on zero bytes"
+                    )
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -178,7 +192,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=list(schema.fieldNames()))
 
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    payloads = docs.select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace("text", "[^ -~]", ""), "UTF-8"
+        ).alias("payload"),
+    )
     return payloads.mapInPandas(extract, schema)
 
 
@@ -187,11 +206,18 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, frame_id,
            octet_length(frame_bytes) AS frame_len,
-           CAST(ascii(substr(CAST(frame_bytes AS VARCHAR), 1, 1)) AS INTEGER)
+           -- first-CHAR codepoint from the TEXT slice (round-13
+           -- review): casting the BLOB back to VARCHAR backslash-
+           -- escapes non-printable bytes (a 0x09 tab renders '\\x09',
+           -- ascii -> 92 not 9), so the old blob-cast form diverged
+           -- from Spark's F.ascii(frame_text) on any non-printable
+           -- frame head; both engines now read the same char.
+           CAST(ascii(substr(frame_text, 1, 1)) AS INTEGER)
              AS frame_first_byte
     FROM (
       SELECT doc_id,
              CAST(k AS INTEGER) AS frame_id,
+             substr(text, 1 + k * 64, 64) AS frame_text,
              encode(substr(text, 1 + k * 64, 64)) AS frame_bytes
       FROM documents
       CROSS JOIN (SELECT unnest(range(0, 8)) AS k)
@@ -226,7 +252,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PPM_ORACLE = f"""
     WITH px AS (
-      SELECT doc_id, substr(rpad(text, {_PPM_RASTER}, 'x'), 1, {_PPM_RASTER}) AS pix
+      SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                         {_PPM_RASTER}, 'x'), 1, {_PPM_RASTER}) AS pix
       FROM documents
     ),
     b AS (
@@ -275,8 +303,16 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Printable-ASCII projection BEFORE the fixed-width slice (round-13
+    # review, the mm_wav_decode ADVICE-r6 precedent): rpad/substring
+    # count CHARS while the P6 header declares BYTES, so one non-ASCII
+    # char in the first 768 positions would shift every later raster
+    # byte — the decode still "succeeds" (extra trailing bytes are
+    # ignored) but r/g/b sums are silently wrong vs the oracle's
+    # per-character arithmetic.  chars == bytes by construction.
+    clean_txt = F.regexp_replace(F.col("text"), "[^ -~]", "")
     raster_txt = F.substring(
-        F.rpad(F.col("text"), _PPM_RASTER, "x"), 1, _PPM_RASTER
+        F.rpad(clean_txt, _PPM_RASTER, "x"), 1, _PPM_RASTER
     )
     header = F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n")
     payload = F.encode(F.concat(header, raster_txt), "UTF-8")

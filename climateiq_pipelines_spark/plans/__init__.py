@@ -102,7 +102,7 @@ def register(
 # Round 13 (VERDICT r12 task #1; derived by tools/gen_rotation.py
 # --max-round 12 --exempt join_bucketed_colocated): post-r12 the stamp
 # distribution is 35×r8, 47×r9, 50×r10, 50×r11, 50×r12 with zero
-# never-certified keys.  The window leads with 29 --priority
+# never-certified keys.  The window leads with 41 --priority
 # changed-after-stamp keys: the 14 pre-sequenced r12 review-batch keys
 # (SURVEY §11.5 items 12-18); the 8 keys the round-13 cosine-micros
 # migration and broadcast-gate-count memoization changed outside the
@@ -131,7 +131,7 @@ def register(
 # (priority AND exemption) and asserts list equality.  Round 12's
 # window is recorded in SURVEY §11.5's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 29 priority keys — changed after their driver stamp
+    # 41 priority keys — changed after their driver stamp
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -143,16 +143,16 @@ ROTATION_WINDOW: list[str] = [
     "sort_multikey_scalable", "sort_multikey_nulls", "agg_grouping_sets",
     "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
     "graph_triangle_count", "graph_label_propagation",
-    # 21 oldest-stamp keys (all r8), registration order
+    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
+    "mm_binary_file_scan", "scan_all_tables_counts", "scan_csv_malformed",
+    "scan_schema_evolution", "scan_dynamic_partition_pruning",
+    "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
+    "scan_manifest_skipping",
+    # 9 oldest-stamp keys (all r8), registration order
     "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
     "join_interval_overlap", "events_windowed_topk",
     "win_running_distinct", "scd2_build_intervals",
     "graph_pagerank_converged", "llm_kmeans_converged",
-    "sink_txn_commit_protocol", "sink_txn_checkpoint",
-    "stream_txn_exactly_once", "llm_minhash_jaccard_estimate",
-    "scan_manifest_skipping", "sql_recursive_closure", "join_pit_scd2",
-    "fn_variant_json", "scan_python_datasource", "llm_gopher_quality",
-    "llm_temperature_mixture", "llm_substring_span_dedup",
 ]
 
 def load_all() -> None:

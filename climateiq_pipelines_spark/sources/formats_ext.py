@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.helpers import sql_dsum
+from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 from climateiq_pipelines_spark.session import register_temp_dir
@@ -100,10 +100,7 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(corrupt, F.col("k"))), F.lit(0)).alias(
             "corrupt_key_checksum"
         ),
-        (
-            F.sum(F.floor(F.col("price") * 1_000_000)).cast("double")
-            / F.lit(1e6)
-        ).alias("parsed_price_sum"),
+        dsum(F.col("price"), "parsed_price_sum"),
     )
 
 
@@ -162,10 +159,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("p_brand").alias("n_brands"),
-        (
-            F.sum(F.floor(F.col("p_retailprice") * 1_000_000)).cast("double")
-            / F.lit(1e6)
-        ).alias("sum_price"),
+        dsum(F.col("p_retailprice"), "sum_price"),
     )
 
 
@@ -221,12 +215,7 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("o_year").cast("int").alias("o_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.sum(F.floor(F.col("o_totalprice") * 1_000_000)).cast(
-                    "double"
-                )
-                / F.lit(1e6)
-            ).alias("sum_price"),
+            dsum(F.col("o_totalprice"), "sum_price"),
         )
     )
 

@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.sources.merge_demo import (
+    INSERT_PRICE,
+    N_INSERTS,
+    UPDATE_BUMP,
+    UPDATE_MOD,
+    merge_source,
+)
 
 
 def _tmpdir(tag: str) -> str:
@@ -64,27 +71,16 @@ def _write_base_and_deltas(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     )
     orders.write.mode("overwrite").parquet(paths["base"])
     deletes = orders.filter(
-        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 10 != 0)
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderkey") % UPDATE_MOD != 0)
     ).select("o_orderkey")
     deletes.write.mode("overwrite").parquet(paths["deletes"])
-    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey",
-        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
-        "o_orderpriority",
-    )
-    max_key = orders.agg(F.max("o_orderkey").alias("mk"))
-    inserts = (
-        spark.range(5)
-        .crossJoin(F.broadcast(max_key))
-        .select(
-            (F.col("mk") + 1 + F.col("id")).alias("o_orderkey"),
-            F.lit(50000.0).alias("o_totalprice"),
-            F.lit("1-URGENT").alias("o_orderpriority"),
-        )
-    )
-    updates.unionByName(inserts).write.mode("overwrite").parquet(
-        paths["upserts"]
-    )
+    # Shared source contract (sources/merge_demo.py, round-13 review):
+    # this MOR upsert delta and sink_merge_upsert's COW source are the
+    # SAME logical merge — the constants live once.
+    merge_source(spark, orders, priority_lit="1-URGENT").write.mode(
+        "overwrite"
+    ).parquet(paths["upserts"])
     return paths
 
 
@@ -104,22 +100,22 @@ def _merge_on_read(spark: SparkSession, paths: dict[str, str]) -> DataFrame:
     return survivors.unionByName(upsert_rows)
 
 
-_MOR_SQL_MERGED = """
+_MOR_SQL_MERGED = f"""
     base AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
     ),
     deletes AS (
       SELECT o_orderkey FROM orders
-      WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % {UPDATE_MOD} <> 0
     ),
     upserts AS (
-      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+      SELECT o_orderkey, o_totalprice + {UPDATE_BUMP} AS o_totalprice,
              o_orderpriority
-      FROM orders WHERE o_orderkey % 10 = 0
+      FROM orders WHERE o_orderkey % {UPDATE_MOD} = 0
       UNION ALL
       SELECT (SELECT max(o_orderkey) FROM orders) + 1 + k,
-             50000.0, '1-URGENT'
-      FROM (SELECT unnest(range(0, 5)) AS k)
+             {INSERT_PRICE}, '1-URGENT'
+      FROM (SELECT unnest(range(0, {N_INSERTS})) AS k)
     ),
     merged AS (
       SELECT * FROM base

@@ -92,13 +92,17 @@ def scan_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("pmax"),
         )
     )
-    # Metadata-plane pruning: bounded take (≤ _PARTS + 1 rows by
-    # construction; the +1 would only trip if the layout contract broke).
-    all_files = manifest.select("fpath").take(_PARTS + 1)
-    hit_files = manifest.filter(
-        (F.col("pmax") >= _LO) & (F.col("pmin") <= _HI)
-    ).take(_PARTS + 1)
-    assert len(all_files) <= _PARTS and len(hit_files) <= _PARTS
+    # Metadata-plane pruning: ONE bounded take of the whole manifest
+    # (≤ _PARTS + 1 rows by construction; the +1 would only trip if the
+    # layout contract broke), band intersection derived in Python —
+    # round-13 review: the old form ran two separate take() jobs over
+    # the same manifest aggregate, recomputing the groupBy-over-files
+    # scan twice for the identical ≤8-row relation.
+    all_files = manifest.take(_PARTS + 1)
+    hit_files = [
+        r for r in all_files if r["pmax"] >= _LO and r["pmin"] <= _HI
+    ]
+    assert len(all_files) <= _PARTS
     files_pruned = len(hit_files) < len(all_files)
     scan_bounded = len(all_files) <= _PARTS
 

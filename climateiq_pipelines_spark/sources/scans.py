@@ -25,6 +25,13 @@ from pyspark.sql import types as T
 from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import TABLES, load_table
+from climateiq_pipelines_spark.sources.merge_demo import (
+    INSERT_PRICE,
+    N_INSERTS,
+    UPDATE_BUMP,
+    UPDATE_MOD,
+    merge_source,
+)
 
 
 def _tmpdir(tag: str) -> str:
@@ -63,12 +70,20 @@ _COUNTS_ORACLE = "\nUNION ALL\n".join(
 @register("scan_all_tables_counts", oracle=_COUNTS_ORACLE)
 def scan_all_tables_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count every fixture table and union the results. Parquet count()
-    is metadata-only (row-group stats), no data scan."""
+    is metadata-only (row-group stats), no data scan.
+
+    Each per-table count is a GLOBAL aggregate, not a groupBy on a
+    literal (round-13 review): a groupBy over an empty relation has no
+    groups and would DROP that table's row entirely, while the oracle's
+    UNION ALL of COUNT(*) always emits ('t', 0) — SQL COUNT semantics
+    need the global form."""
     out: DataFrame | None = None
     for t in TABLES:
-        df = load_table(spark, sf_dir, t).select(
-            F.lit(t).alias("table_name")
-        ).groupBy("table_name").agg(F.count(F.lit(1)).alias("n_rows"))
+        df = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(t).alias("table_name"), "n_rows")
+        )
         out = df if out is None else out.unionByName(df)
     assert out is not None
     return out
@@ -251,13 +266,13 @@ def sink_sorted_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_merge_upsert",
     oracle=f"""
     WITH updates AS (
-      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
-      FROM orders WHERE o_orderkey % 10 = 0
+      SELECT o_orderkey, o_totalprice + {UPDATE_BUMP} AS o_totalprice
+      FROM orders WHERE o_orderkey % {UPDATE_MOD} = 0
     ),
     inserts AS (
       SELECT (SELECT max(o_orderkey) FROM orders) + 1 + k AS o_orderkey,
-             50000.0 AS o_totalprice
-      FROM (SELECT unnest(range(0, 5)) AS k)
+             {INSERT_PRICE} AS o_totalprice
+      FROM (SELECT unnest(range(0, {N_INSERTS})) AS k)
     ),
     source AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
     merged AS (
@@ -289,19 +304,10 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", (F.col("o_totalprice") + 100.0).alias("o_totalprice")
-    )
-    max_key = orders.agg(F.max("o_orderkey").alias("mk"))
-    inserts = (
-        spark.range(5)
-        .crossJoin(F.broadcast(max_key))
-        .select(
-            (F.col("mk") + 1 + F.col("id")).alias("o_orderkey"),
-            F.lit(50000.0).alias("o_totalprice"),
-        )
-    )
-    source = updates.unionByName(inserts)
+    # Shared source contract (sources/merge_demo.py, round-13 review):
+    # the MOR/time-travel twins merge against the IDENTICAL logical
+    # source, so the constants live once.
+    source = merge_source(spark, orders)
     t = orders.alias("t")
     s = source.alias("s")
     merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full").select(

@@ -246,7 +246,7 @@ def test_no_driver_collect_in_engine_sources():
 # (those OOM the broadcast build side at 100 TB; round-2 verdict flagged
 # three such hints, since removed). (file, argument) -> why bounded.
 BROADCAST_OK = {
-    ("scans.py", "max_key"): "1-row max aggregate",
+    ("merge_demo.py", "max_key"): "1-row max aggregate (shared merge-source builder)",
     ("joins.py", "region"): "5-row literal dim",
     ("joins.py", "asia_nations"): "<=25-row filtered nation dim",
     ("text_analysis.py", "profiles"): "30-row literal profile table",
@@ -284,7 +284,6 @@ BROADCAST_OK = {
     ("retrieval_ext.py", "q"): "1-row query vector (RRF dense side)",
     ("events_ext.py", "st"): "|event_type|-row moment-stats table (zscore)",
     ("lakehouse.py", "b"): "1-row compaction audit aggregate",
-    ("lakehouse.py", "max_key"): "1-row max aggregate",
     ("graph_ext2.py", "adj"): "sum-of-degrees adjacency, size-GUARDED on the MEASURED oriented-edge count (<=4M; plain shuffle join beyond — round-12 fix: the old |V| gate admitted |E|-sized payloads)",
     ("graph_ext2.py", "du"): "|V| x 16B degree relation, size-GUARDED (deg.count() <= 4M; shuffle beyond)",
     ("graph_ext2.py", "dv"): "|V| x 16B degree relation, size-GUARDED (deg.count() <= 4M; shuffle beyond)",
@@ -322,10 +321,11 @@ def test_no_corpus_sized_broadcast_hints():
 # side fails here.  tools/driver_sim.py covers the full surface
 # meanwhile.
 ROTATION_R13 = {
-    # 29 priority keys — changed after their driver stamp (the r12
-    # review-batch edits + the r13 cosine-micros / gate-memo /
-    # review-batch-A keys, incl. the changed r8 stamps the growing
-    # priority block would otherwise displace from the window)
+    # 41 priority keys — changed after their driver stamp (r12
+    # review-batch edits + the r13 cosine-micros / gate-memo keys +
+    # the r13 review batches A (relational core) and B (sources +
+    # multimodal), incl. changed r8 stamps the priority block would
+    # otherwise displace from the window)
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -337,16 +337,16 @@ ROTATION_R13 = {
     "sort_multikey_scalable", "sort_multikey_nulls", "agg_grouping_sets",
     "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
     "graph_triangle_count", "graph_label_propagation",
-    # 21 oldest-stamp keys (all r8), registration order
+    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
+    "mm_binary_file_scan", "scan_all_tables_counts", "scan_csv_malformed",
+    "scan_schema_evolution", "scan_dynamic_partition_pruning",
+    "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
+    "scan_manifest_skipping",
+    # 9 oldest-stamp keys (all r8), registration order
     "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
     "join_interval_overlap", "events_windowed_topk",
     "win_running_distinct", "scd2_build_intervals",
     "graph_pagerank_converged", "llm_kmeans_converged",
-    "sink_txn_commit_protocol", "sink_txn_checkpoint",
-    "stream_txn_exactly_once", "llm_minhash_jaccard_estimate",
-    "scan_manifest_skipping", "sql_recursive_closure", "join_pit_scd2",
-    "fn_variant_json", "scan_python_datasource", "llm_gopher_quality",
-    "llm_temperature_mixture", "llm_substring_span_dedup",
 }
 
 
@@ -403,6 +403,11 @@ def test_rotation_window_matches_artifact_derivation():
         "sort_multikey_nulls", "agg_grouping_sets",
         "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
         "graph_triangle_count", "graph_label_propagation",
+        "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
+        "mm_binary_file_scan", "scan_all_tables_counts",
+        "scan_csv_malformed", "scan_schema_evolution",
+        "scan_dynamic_partition_pruning", "sink_merge_upsert",
+        "sink_merge_on_read", "sink_time_travel", "scan_manifest_skipping",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
@@ -422,15 +427,15 @@ def test_driver_window_layout_matches_load_all_comment():
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
     round-13 window opens with the priority block (led by
     sink_txn_conflict_retry — the registered-oracle-text change),
-    closes with llm_substring_span_dedup at slot 49, and the total key
+    closes with llm_kmeans_converged at slot 49, and the total key
     count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
     assert keys[0] == "sink_txn_conflict_retry", keys[:3]
-    assert keys[28] == "graph_label_propagation", keys[27:30]
-    assert keys[29] == "agg_bool_logic", keys[28:31]
-    assert keys[49] == "llm_substring_span_dedup", keys[45:52]
+    assert keys[40] == "scan_manifest_skipping", keys[39:42]
+    assert keys[41] == "agg_bool_logic", keys[40:43]
+    assert keys[49] == "llm_kmeans_converged", keys[45:52]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
@@ -1029,6 +1034,14 @@ def test_promoted_keys_match_their_demo_twins(spark):
             .sort_values(list(got.columns))
             .reset_index(drop=True)
         )
+        # VALUE equivalence, width-insensitive (round-13: the registered
+        # rank widened to LONG to survive past 2^31 rows; the demo twin
+        # keeps row_number's INT — the driver's canonicalizer unifies
+        # integer widths the same way).
+        for c in got.columns:
+            if str(got[c].dtype).startswith("int"):
+                got[c] = got[c].astype("int64")
+                want[c] = want[c].astype("int64")
         assert got.equals(want), f"{key}: two-phase != demo twin"
 
 
