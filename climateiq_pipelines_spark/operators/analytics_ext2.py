@@ -56,7 +56,8 @@ _ATTRIB_ORACLE = f"""
 
 @register("events_attribution_touch", oracle=_ATTRIB_ORACLE)
 def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-touch ATTRIBUTION: credit each '{_CONV_TYPE}' conversion's
+    """Multi-touch ATTRIBUTION: credit each purchase (_CONV_TYPE)
+    conversion's
     revenue to the user's FIRST and LAST preceding non-conversion
     touch — the two bookend models of marketing attribution, reported
     as conversion counts + attributed revenue per (model, touch_type).
@@ -150,7 +151,8 @@ _HIST_ORACLE = f"""
 @register("agg_width_bucket_histogram", oracle=_HIST_ORACLE)
 def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width HISTOGRAM of order totals (the SQL width_bucket
-    shape): {_HIST_N} fixed buckets over [{_HIST_LO}, {_HIST_HI}),
+    shape): 12 fixed buckets (_HIST_N) over [0, 600000)
+    (_HIST_LO/_HIST_HI),
     clamped at both ends, with per-bucket counts and exact micro sums
     — the one-pass distribution profile dashboards and optimizers both
     build.
@@ -163,7 +165,7 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     width_bucket implementations.
 
     Scale: map-side bucket projection + hash aggregate with partial
-    combine — one shuffle of at most {_HIST_N} rows per mapper. The
+    combine — one shuffle of at most _HIST_N rows per mapper. The
     fixed-edge contract (vs data-dependent min/max) is what makes the
     histogram mergeable across runs/partitions at 100 TB."""
     span = _HIST_HI - _HIST_LO

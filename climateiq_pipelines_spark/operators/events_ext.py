@@ -73,9 +73,18 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(uw).alias("e2"),
         F.lead("event_type", 2).over(uw).alias("e3"),
     ).filter(F.col("e3").isNotNull())
+    # F.concat, NOT concat_ws (round-13 review batch C): concat_ws
+    # silently SKIPS null components while the oracle's || propagates
+    # NULL — a row with a NULL event_type would emit a 2-part path on
+    # the engine side and a NULL path on the oracle side.  concat
+    # null-propagates exactly like ||, so the two sides agree on any
+    # fixture, not just the current no-NULLs one.
     paths = (
         stepped.select(
-            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+            F.concat(
+                F.col("event_type"), F.lit(">"), F.col("e2"),
+                F.lit(">"), F.col("e3"),
+            ).alias("path")
         )
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -102,7 +102,7 @@ def register(
 # Round 13 (VERDICT r12 task #1; derived by tools/gen_rotation.py
 # --max-round 12 --exempt join_bucketed_colocated): post-r12 the stamp
 # distribution is 35×r8, 47×r9, 50×r10, 50×r11, 50×r12 with zero
-# never-certified keys.  The window leads with 41 --priority
+# never-certified keys.  The window leads with 43 --priority
 # changed-after-stamp keys: the 14 pre-sequenced r12 review-batch keys
 # (SURVEY §11.5 items 12-18); the 8 keys the round-13 cosine-micros
 # migration and broadcast-gate-count memoization changed outside the
@@ -116,11 +116,14 @@ def register(
 # dedupe); and the 4 changed r8 stamps the growing priority block
 # would otherwise push out of the 50 (llm_mrl_truncated_rerank,
 # llm_ann_recall_eval, graph_triangle_count, graph_label_propagation).
-# RECORDED EXEMPTION (--exempt, the r12 task #7 mechanism):
-# join_bucketed_colocated — r9 stamp, outside the window, its only
-# round-13 edit is the register_temp_table lifecycle wiring (the r11
-# ann_ext2 mechanical-edit precedent class) — rides normal stamp order
-# to r14.  The remaining 21 slots are (stamp round ASC, pristine
+# RECORDED EXEMPTIONS (--exempt, the r12 task #7 mechanism; all the
+# r11 ann_ext2 mechanical-edit precedent class, riding normal stamp
+# order to r14): join_bucketed_colocated (register_temp_table wiring),
+# stream_sliding_demo / stream_dedup_watermark_demo /
+# stream_stream_join_demo / stream_windowed_topk_demo /
+# stream_state_timeout_flush (memory-sink view registration for
+# driver-memory reclaim), events_attribution_touch /
+# agg_width_bucket_histogram (docstring-only placeholder fixes).  The remaining 21 slots are (stamp round ASC, pristine
 # registration index ASC) r8 stamps; the 9 registration-newest
 # non-priority r8 stamps (llm_vocab_coverage, llm_dataset_split,
 # llm_bloom_decontam, events_attribution_touch,
@@ -131,7 +134,7 @@ def register(
 # (priority AND exemption) and asserts list equality.  Round 12's
 # window is recorded in SURVEY §11.5's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 41 priority keys — changed after their driver stamp
+    # 43 priority keys — changed after their driver stamp
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -147,12 +150,12 @@ ROTATION_WINDOW: list[str] = [
     "mm_binary_file_scan", "scan_all_tables_counts", "scan_csv_malformed",
     "scan_schema_evolution", "scan_dynamic_partition_pruning",
     "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
-    "scan_manifest_skipping",
-    # 9 oldest-stamp keys (all r8), registration order
+    "scan_manifest_skipping", "events_top_paths",
+    "stream_txn_exactly_once",
+    # 7 oldest-stamp keys (all r8), registration order
     "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
     "join_interval_overlap", "events_windowed_topk",
     "win_running_distinct", "scd2_build_intervals",
-    "graph_pagerank_converged", "llm_kmeans_converged",
 ]
 
 def load_all() -> None:

@@ -142,6 +142,24 @@ def register_temp_table(name: str) -> str:
     return name
 
 
+# Memory-sink temp views (round-13 review batch C): the streaming demo
+# keys run availableNow queries into uniquely-named MEMORY sinks whose
+# full result rows live in driver memory behind a temp view for the
+# session lifetime — a warm many-key session accumulated 4 new views
+# per sweep, and stream_stream_join_demo's sink holds a data-sized
+# join result.  Same lifecycle as the dirs/tables: registered by the
+# operator, dropped by release_blocks after the key's result is
+# consumed.
+SESSION_TEMP_VIEWS: list[str] = []
+
+
+def register_temp_view(name: str) -> str:
+    """Register a memory-sink temp view for deterministic
+    post-consumption dropTempView; returns the name unchanged."""
+    SESSION_TEMP_VIEWS.append(name)
+    return name
+
+
 def purge_temp_dirs() -> int:
     """Remove every registered temp root; returns how many were
     purged.  Safe to call at any point where no live DataFrame still
@@ -213,6 +231,17 @@ def release_blocks(spark: SparkSession) -> int:
         except Exception:  # noqa: BLE001 — dead JVM; retry next reclaim
             drop_failed.append(name)
     SESSION_TEMP_TABLES.extend(drop_failed)
+    # Memory-sink views follow the same discipline: their driver-held
+    # result rows are only reclaimable once the catalog reference is
+    # dropped (round-13 review batch C).
+    view_failed: list[str] = []
+    while SESSION_TEMP_VIEWS:
+        name = SESSION_TEMP_VIEWS.pop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — dead JVM; retry next reclaim
+            view_failed.append(name)
+    SESSION_TEMP_VIEWS.extend(view_failed)
     # Gate-count memo: cleared on reclaim like the frame caches — the
     # scalars are cheap to re-derive (one aggregate per gate site per
     # evaluation, the pre-memo behavior correctness sweeps always had),

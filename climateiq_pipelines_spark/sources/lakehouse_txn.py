@@ -183,6 +183,61 @@ def _write_data(df: DataFrame, root: str, tag: str) -> list[str]:
     ]
 
 
+def commit_idempotent(root: str, batch_id: int, write_files) -> str:
+    """PUBLIC idempotent-commit recipe for at-least-once producers
+    (round-13 review batch C: the logic lived inlined in
+    streaming/txn_sink's foreachBatch closure, coupled to this module's
+    privates — the generic Delta txnAppId/txnVersion pattern deserves
+    its own seam next to the protocol it composes with).
+
+    Maps ``version = batch_id + 1`` and commits put-if-absent:
+
+    - version unclaimed → invoke ``write_files()`` (a callable returning
+      the data-file list — only called when a write is actually needed)
+      and atomically claim the version → ``"committed"``;
+    - version already committed BY THIS batch_id (a replayed delivery —
+      the at-least-once failure mode) → skip without writing →
+      ``"replay_skipped"``;
+    - version held by a FOREIGN batch_id → RuntimeError (plain raise,
+      never assert: python -O must not skip the exactly-once
+      validation).
+
+    The lost-race path re-reads the log: only a concurrent replay of
+    this very batch can hold our version; anything else is a broken
+    invariant."""
+    version = batch_id + 1
+    committed = {r["version"]: r for r in _read_log(root)}
+    if version in committed:
+        if committed[version].get("batch_id") == batch_id:
+            return "replay_skipped"
+        raise RuntimeError(
+            f"txn: version {version} committed by a different batch "
+            f"({committed[version].get('batch_id')!r}, "
+            f"expected {batch_id!r})"
+        )
+    files = write_files()
+    if _try_commit(
+        root,
+        version,
+        {
+            "version": version,
+            "add": files,
+            "read_version": version - 1,
+            "domain": "*",
+            "batch_id": batch_id,
+        },
+    ):
+        return "committed"
+    rec = {r["version"]: r for r in _read_log(root)}[version]
+    if rec.get("batch_id") != batch_id:
+        raise RuntimeError(
+            f"txn sink: version {version} held by foreign batch "
+            f"{rec.get('batch_id')!r}, expected {batch_id!r} — "
+            "exactly-once invariant broken"
+        )
+    return "replay_skipped"
+
+
 def _build_three_commit_history(
     spark: SparkSession, orders: DataFrame, root: str
 ) -> tuple[list[str], list[str], list[str]]:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.functions.helpers import davg, sql_davg
 from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.session import register_temp_view
 from climateiq_pipelines_spark.registry import (
     load_table,
     ntz_of_window_bound,
@@ -359,7 +360,7 @@ def stream_readstream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = (
         agg.writeStream.format("memory")
-        .queryName("cps_stream_demo")
+        .queryName(register_temp_view("cps_stream_demo"))
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
@@ -490,7 +491,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = (
         sessions.writeStream.format("memory")
-        .queryName("cps_stateful_sessions")
+        .queryName(register_temp_view("cps_stateful_sessions"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

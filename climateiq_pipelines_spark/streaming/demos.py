@@ -46,20 +46,24 @@ from climateiq_pipelines_spark.registry import (
 from climateiq_pipelines_spark.streaming.await_util import await_or_raise
 
 
-def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture via registry.read_events_stream
-    — probes the parquet footer, applies the layout-correct conversion,
-    and pins the TIMESTAMP epoch to the NTZ wall-clock micros
-    (watermarks require TIMESTAMP, not TIMESTAMP_NTZ; the epoch pin
-    keeps results session-tz independent)."""
-    return read_events_stream(spark, sf_dir)
+# (round-13 review batch C: the former _read_events_stream wrapper
+# added no behavior over registry.read_events_stream — txn_sink.py
+# already called the registry function directly — so the demos below
+# do too; one call convention, one docstring to keep true.)
+_read_events_stream = read_events_stream
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a
     uniquely-named memory sink and return the sink table — unique names
-    so concurrent sessions/repeated bench runs never collide."""
-    name = f"cps_demo_{uuid.uuid4().hex[:12]}"
+    so concurrent sessions/repeated bench runs never collide.  The view
+    is registered for post-consumption dropTempView (round-13 review
+    batch C: a warm many-key session accumulated 4 undropped memory
+    sinks per sweep, each pinning its full result rows in driver
+    memory — the leak class release_blocks exists to prevent)."""
+    from climateiq_pipelines_spark.session import register_temp_view
+
+    name = register_temp_view(f"cps_demo_{uuid.uuid4().hex[:12]}")
     query = (
         df.writeStream.format("memory")
         .queryName(name)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.plans import register
+from climateiq_pipelines_spark.session import register_temp_view
 from climateiq_pipelines_spark.registry import read_events_micros
 from climateiq_pipelines_spark.streaming.await_util import await_or_raise
 
@@ -247,7 +248,7 @@ def stream_state_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = (
         sessions.writeStream.format("memory")
-        .queryName("cps_state_timeout_flush")
+        .queryName(register_temp_view("cps_state_timeout_flush"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -25,10 +25,9 @@ from climateiq_pipelines_spark.registry import (
 )
 from climateiq_pipelines_spark.sources.lakehouse_txn import (
     _mk_table,
-    _read_log,
     _snapshot,
-    _try_commit,
     _write_data,
+    commit_idempotent,
 )
 from climateiq_pipelines_spark.streaming.await_util import await_or_raise
 
@@ -71,43 +70,18 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeps the log 1:1 with data-bearing batches.
         if batch_df.isEmpty():
             return
-        version = batch_id + 1
-        committed = {r["version"]: r for r in _read_log(root)}
-        if version in committed:
-            # A replayed delivery: same batch_id already committed ⇒
-            # drop it without writing (the exactly-once guarantee).
-            if committed[version].get("batch_id") == batch_id:
-                audit["replays_skipped"] += 1
-                return
-            raise RuntimeError(
-                f"version {version} committed by a different batch"
-            )
-        files = _write_data(batch_df, root, f"batch_{batch_id}")
-        if _try_commit(
+        # The whole idempotence recipe is lakehouse_txn's PUBLIC
+        # commit_idempotent (round-13 review batch C: it lived inlined
+        # here against the txn module's privates; it is generic Delta
+        # txnAppId/txnVersion logic and belongs next to the protocol).
+        outcome = commit_idempotent(
             root,
-            version,
-            {
-                "version": version,
-                "add": files,
-                "read_version": version - 1,
-                "domain": "*",
-                "batch_id": batch_id,
-            },
-        ):
-            audit["commits"] += 1
-        else:
-            # Lost a concurrent race for our own version: only a replay
-            # of this very batch can hold it (checked), so skip.  Plain
-            # raise, not assert — python -O must not skip the
-            # exactly-once validation this sink exists to demonstrate.
-            rec = {r["version"]: r for r in _read_log(root)}[version]
-            if rec.get("batch_id") != batch_id:
-                raise RuntimeError(
-                    f"txn sink: version {version} held by foreign batch "
-                    f"{rec.get('batch_id')!r}, expected {batch_id!r} — "
-                    "exactly-once invariant broken"
-                )
-            audit["replays_skipped"] += 1
+            batch_id,
+            lambda: _write_data(batch_df, root, f"batch_{batch_id}"),
+        )
+        audit[
+            "commits" if outcome == "committed" else "replays_skipped"
+        ] += 1
 
     agg = (
         read_events_stream(spark, sf_dir)

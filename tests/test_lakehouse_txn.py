@@ -209,3 +209,36 @@ def test_checkpoint_and_commit_share_one_publish_recipe():
         if isinstance(n, ast.Call) and ast.unparse(n.func) == "os.link"
     ]
     assert len(links) == 1
+
+
+def test_commit_idempotent_three_outcomes():
+    """Round-13 review batch C: the idempotent-commit recipe is now
+    lakehouse_txn's PUBLIC seam.  Pin all three outcomes: fresh commit
+    writes and claims; a replayed delivery (same batch_id) skips
+    WITHOUT invoking the write callable; a foreign holder of the
+    version raises (plain raise — survives python -O)."""
+    import pytest
+
+    import climateiq_pipelines_spark.sources.lakehouse_txn as LT
+
+    root = _mk_table("idem")
+    calls = []
+
+    def write():
+        calls.append(1)
+        return ["batch_7/part-0.parquet"]
+
+    assert LT.commit_idempotent(root, 7, write) == "committed"
+    assert calls == [1]
+    # replay of the same batch: no second write, no duplicate commit
+    assert LT.commit_idempotent(root, 7, write) == "replay_skipped"
+    assert calls == [1]
+    assert [r["version"] for r in LT._read_log(root)] == [8]
+    # a foreign batch holding the version is an invariant break
+    LT._commit_must_win(
+        root, 9, {"version": 9, "add": [], "read_version": 8,
+                  "domain": "*", "batch_id": 999},
+    )
+    with pytest.raises(RuntimeError, match="different batch"):
+        LT.commit_idempotent(root, 8, write)
+    assert calls == [1]  # the foreign-holder path never writes

@@ -321,11 +321,11 @@ def test_no_corpus_sized_broadcast_hints():
 # side fails here.  tools/driver_sim.py covers the full surface
 # meanwhile.
 ROTATION_R13 = {
-    # 41 priority keys — changed after their driver stamp (r12
+    # 43 priority keys — changed after their driver stamp (r12
     # review-batch edits + the r13 cosine-micros / gate-memo keys +
-    # the r13 review batches A (relational core) and B (sources +
-    # multimodal), incl. changed r8 stamps the priority block would
-    # otherwise displace from the window)
+    # the r13 review batches A (relational core), B (sources +
+    # multimodal) and C (streaming/events), incl. changed r8 stamps
+    # the priority block would otherwise displace from the window)
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -341,12 +341,12 @@ ROTATION_R13 = {
     "mm_binary_file_scan", "scan_all_tables_counts", "scan_csv_malformed",
     "scan_schema_evolution", "scan_dynamic_partition_pruning",
     "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
-    "scan_manifest_skipping",
-    # 9 oldest-stamp keys (all r8), registration order
+    "scan_manifest_skipping", "events_top_paths",
+    "stream_txn_exactly_once",
+    # 7 oldest-stamp keys (all r8), registration order
     "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
     "join_interval_overlap", "events_windowed_topk",
     "win_running_distinct", "scd2_build_intervals",
-    "graph_pagerank_converged", "llm_kmeans_converged",
 }
 
 
@@ -408,15 +408,23 @@ def test_rotation_window_matches_artifact_derivation():
         "scan_csv_malformed", "scan_schema_evolution",
         "scan_dynamic_partition_pruning", "sink_merge_upsert",
         "sink_merge_on_read", "sink_time_travel", "scan_manifest_skipping",
+        "events_top_paths", "stream_txn_exactly_once",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
         gr.merged_stamps(max_round=12),  # r13 window <- artifacts r1..r12
         priority=priority,
         n=50,
-        # Recorded judgment (r12 task #7): mechanical lifecycle edit,
-        # rides stamp order to r14.
-        exempt=["join_bucketed_colocated"],
+        # Recorded judgments (r12 task #7): mechanical lifecycle /
+        # docstring-only edits, riding stamp order to r14 — the
+        # bucketed-join table registration, the five memory-sink view
+        # registrations, and the two placeholder-docstring fixes.
+        exempt=[
+            "join_bucketed_colocated", "stream_sliding_demo",
+            "stream_dedup_watermark_demo", "stream_stream_join_demo",
+            "stream_windowed_topk_demo", "stream_state_timeout_flush",
+            "events_attribution_touch", "agg_width_bucket_histogram",
+        ],
     )
     assert derived == list(ROTATION_WINDOW)
 
@@ -427,15 +435,15 @@ def test_driver_window_layout_matches_load_all_comment():
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
     round-13 window opens with the priority block (led by
     sink_txn_conflict_retry — the registered-oracle-text change),
-    closes with llm_kmeans_converged at slot 49, and the total key
+    closes with scd2_build_intervals at slot 49, and the total key
     count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
     assert keys[0] == "sink_txn_conflict_retry", keys[:3]
-    assert keys[40] == "scan_manifest_skipping", keys[39:42]
-    assert keys[41] == "agg_bool_logic", keys[40:43]
-    assert keys[49] == "llm_kmeans_converged", keys[45:52]
+    assert keys[42] == "stream_txn_exactly_once", keys[41:44]
+    assert keys[43] == "agg_bool_logic", keys[42:45]
+    assert keys[49] == "scd2_build_intervals", keys[45:52]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
@@ -646,6 +654,22 @@ def test_every_module_level_cache_is_reclaim_safe():
                     )
     assert not offenders, "reclaim-unsafe module caches: " + "; ".join(
         offenders)
+
+
+def test_release_blocks_drops_registered_temp_views(spark):
+    """Round-13 review batch C: the streaming demo keys' memory sinks
+    live behind temp views holding their full result rows in driver
+    memory — a warm many-key session accumulated 4 undropped views per
+    sweep.  register_temp_view entries must be dropped by
+    release_blocks and the registry must drain."""
+    from climateiq_pipelines_spark import session as S
+
+    name = S.register_temp_view("cps_viewdrop_probe")
+    spark.range(3).createOrReplaceTempView(name)
+    assert spark.catalog.tableExists(name)
+    S.release_blocks(spark)
+    assert not spark.catalog.tableExists(name)
+    assert name not in S.SESSION_TEMP_VIEWS
 
 
 def test_gate_count_memoizes_per_session_and_sfdir(spark):
