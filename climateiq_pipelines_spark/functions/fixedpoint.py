@@ -165,3 +165,121 @@ _CENTROID_SQL = """
       ) WHERE rn = 1
     )
 """
+
+
+# ---------------------------------------------------------------- shared
+# iterative-oracle builders (round-13 review batch D): the unrolled
+# Lloyd-iteration CTE lived byte-for-byte in ml_iter._iter_sql AND
+# iterative_ext._kmeans_iter_sql, and the pagerank oracle builder was
+# duplicated between graph_ext and iterative_ext — the hand-inlined-
+# copy drift class this module exists to prevent, applied to the two
+# iterative fixpoint contracts.  They live HERE (registers nothing)
+# for the same decoration-time-import reason as the dot helpers.
+
+PR_R0 = 1_000_000  # pagerank initial rank, micro-units
+PR_BASE = 150_000  # (1 - d) in micros, d = 0.85
+
+
+def lloyd_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: exact-fixed-point centroids from
+    assign{i-1}, integer distances, deterministic argmin -> assign{i}."""
+    return f"""
+    centroids{i} AS (
+      SELECT a.cluster AS c_id, e.pos,
+             CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM exploded e JOIN assign{i - 1} a ON a.vec_id = e.vec_id
+      GROUP BY a.cluster, e.pos
+    ),
+    dists{i} AS (
+      SELECT e.vec_id, c.c_id,
+             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                            * (CAST(e.x AS DOUBLE) - c.c)
+                            * 1000000000000) AS BIGINT)) AS dist_fp
+      FROM exploded e JOIN centroids{i} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.c_id
+    ),
+    assign{i} AS (
+      SELECT vec_id, c_id AS cluster, dist_fp
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_fp ASC, c_id) AS rn
+        FROM dists{i}
+      ) WHERE rn = 1
+    )
+    """
+
+
+def pagerank_oracle_sql(n_rounds: int, with_rounds_col: bool = False) -> str:
+    """The bipartite-purchase-graph pagerank oracle, ``n_rounds``
+    unrolled integer power iterations; ``with_rounds_col`` appends the
+    pinned n_rounds column the converged key checks."""
+    stages = []
+    prev = "r0"
+    for i in range(1, n_rounds + 1):
+        stages.append(
+            f"""r{i} AS (
+      SELECT s.v AS node, {PR_BASE} + (SUM(p.r // d.deg) * 85) // 100 AS r
+      FROM sym s
+      JOIN {prev} p ON p.node = s.u
+      JOIN deg d ON d.node = s.u
+      GROUP BY s.v
+    )"""
+        )
+        prev = f"r{i}"
+    joined_stages = ",\n    ".join(stages)
+    rounds_col = (
+        f",\n           CAST({n_rounds} AS INTEGER) AS n_rounds"
+        if with_rounds_col
+        else ""
+    )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+    r0 AS (SELECT node, CAST({PR_R0} AS BIGINT) AS r FROM deg),
+    {joined_stages}
+    SELECT f.node AS node_id,
+           f.node % 2 = 1 AS is_supplier,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(f.r AS BIGINT) AS rank_micro{rounds_col}
+    FROM {prev} f JOIN deg d ON d.node = f.node
+    """
+
+
+def bipartite_purchase_edges(spark, sf_dir: str):
+    """The customer-supplier purchase graph both pagerank keys walk:
+    (edges, sym, deg) as LAZY frames — materialization strategy stays
+    with the caller (graph_pagerank relies on AQE stage reuse across
+    its unrolled rounds; the converged key localCheckpoints because
+    every round issues its own residual action)."""
+    from pyspark.sql import functions as F
+
+    from climateiq_pipelines_spark.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return edges, sym, deg

@@ -12,49 +12,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from climateiq_pipelines_spark.functions.fixedpoint import (
+    PR_BASE,
+    PR_R0,
+    bipartite_purchase_edges,
+    pagerank_oracle_sql,
+)
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
 _PR_ITERS = 3
-_PR_R0 = 1_000_000  # initial rank, micro-units
-_PR_BASE = 150_000  # (1 - d) in micros, d = 0.85
+_PR_R0 = PR_R0  # initial rank, micro-units (fixedpoint canonical home)
+_PR_BASE = PR_BASE  # (1 - d) in micros, d = 0.85
 
 
 def _pagerank_oracle() -> str:
     # 3 unrolled power iterations as CTE stages — the identical integer
     # arithmetic the engine runs: c(u) = r(u) // deg(u) per edge,
-    # r'(v) = BASE + (Σ c(u) * 85) // 100.
-    stages = []
-    prev = "r0"
-    for i in range(1, _PR_ITERS + 1):
-        stages.append(
-            f"""r{i} AS (
-      SELECT s.v AS node, {_PR_BASE} + (SUM(p.r // d.deg) * 85) // 100 AS r
-      FROM sym s
-      JOIN {prev} p ON p.node = s.u
-      JOIN deg d ON d.node = s.u
-      GROUP BY s.v
-    )"""
-        )
-        prev = f"r{i}"
-    joined_stages = ",\n    ".join(stages)
-    return f"""
-    WITH edges AS (
-      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    sym AS (
-      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-    ),
-    deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
-    r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS r FROM deg),
-    {joined_stages}
-    SELECT f.node AS node_id,
-           f.node % 2 = 1 AS is_supplier,
-           CAST(d.deg AS BIGINT) AS degree,
-           CAST(f.r AS BIGINT) AS rank_micro
-    FROM {prev} f JOIN deg d ON d.node = f.node
-    """
+    # r'(v) = BASE + (Σ c(u) * 85) // 100.  ONE builder shared with
+    # the converged twin (fixedpoint.pagerank_oracle_sql — round-13
+    # review batch D found the block duplicated here and in
+    # iterative_ext).
+    return pagerank_oracle_sql(_PR_ITERS)
 
 
 @register("graph_pagerank", oracle=_pagerank_oracle())
@@ -93,24 +72,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical shape by test_aqe_skew_join_splits_hot_partition);
     at hundreds of rounds (not 3) lineage depth would warrant a
     localCheckpoint every ~10 rounds — the dedup_graph discipline."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
-    )
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    # Shared lazy edge build (fixedpoint.bipartite_purchase_edges, one
+    # home with the converged twin); NO checkpoint here — AQE stage
+    # reuse is measured faster for this unrolled plan (docstring).
+    _edges, sym, deg = bipartite_purchase_edges(spark, sf_dir)
     # (src, dst, src-degree): identical subtree under every unrolled
     # round — AQE stage reuse computes its shuffles once (see
     # docstring for the measured checkpoint comparison).

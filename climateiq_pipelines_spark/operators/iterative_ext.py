@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from climateiq_pipelines_spark.functions.fixedpoint import (
+    PR_BASE,
+    PR_R0,
+    bipartite_purchase_edges,
+    lloyd_iter_sql,
+    pagerank_oracle_sql,
+)
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
@@ -73,8 +80,8 @@ def _memo_rounds(kind: str, sf_dir: str) -> int | None:
 
 # ---------------------------------------------------------------- pagerank
 
-_PR_R0 = 1_000_000  # initial rank, micro-units (graph_ext twin)
-_PR_BASE = 150_000  # (1 - d) in micros, d = 0.85
+_PR_R0 = PR_R0  # initial rank, micro-units (fixedpoint canonical home)
+_PR_BASE = PR_BASE  # (1 - d) in micros, d = 0.85
 
 # Stop when the L1 rank drift of a round is ≤ _PR_TOL_MICRO per node on
 # average (0.1 rank-units). The drift contracts at the damping rate
@@ -87,41 +94,11 @@ _PR_ROUNDS_SF001 = 18  # measured stopping round at sf0.01
 
 
 def _pagerank_converged_oracle(n_rounds: int) -> str:
-    """graph_ext._pagerank_oracle generalized to ``n_rounds`` unrolled
-    rounds, plus the pinned n_rounds column (see module docstring for
-    why a fixed unroll is a faithful oracle for a converging loop)."""
-    stages = []
-    prev = "r0"
-    for i in range(1, n_rounds + 1):
-        stages.append(
-            f"""r{i} AS (
-      SELECT s.v AS node, {_PR_BASE} + (SUM(p.r // d.deg) * 85) // 100 AS r
-      FROM sym s
-      JOIN {prev} p ON p.node = s.u
-      JOIN deg d ON d.node = s.u
-      GROUP BY s.v
-    )"""
-        )
-        prev = f"r{i}"
-    joined_stages = ",\n    ".join(stages)
-    return f"""
-    WITH edges AS (
-      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    sym AS (
-      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-    ),
-    deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
-    r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS r FROM deg),
-    {joined_stages}
-    SELECT f.node AS node_id,
-           f.node % 2 = 1 AS is_supplier,
-           CAST(d.deg AS BIGINT) AS degree,
-           CAST(f.r AS BIGINT) AS rank_micro,
-           CAST({n_rounds} AS INTEGER) AS n_rounds
-    FROM {prev} f JOIN deg d ON d.node = f.node
-    """
+    """fixedpoint.pagerank_oracle_sql with the pinned n_rounds column
+    (ONE home shared with graph_ext — round-13 review batch D; see the
+    module docstring for why a fixed unroll is a faithful oracle for a
+    converging loop)."""
+    return pagerank_oracle_sql(n_rounds, with_rounds_col=True)
 
 
 def _pagerank_stop_round(sf_dir: str) -> int:
@@ -235,26 +212,11 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exactness: both engines produce bit-identical ranks each
     round, hence identical residuals, hence the same stopping round
     (measured 18 at sf0.01; the oracle unrolls exactly 18)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
-    )
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    # Shared lazy edge build (fixedpoint.bipartite_purchase_edges, one
+    # home with graph_pagerank — round-13 review batch D); the
+    # CHECKPOINT strategy stays here, where the per-round residual
+    # actions make it necessary.
+    _edges, sym, deg = bipartite_purchase_edges(spark, sf_dir)
     # Static per-round inputs, materialized ONCE: every round issues its
     # own residual action, so without the checkpoint the edge build
     # would re-execute once per action.
@@ -325,33 +287,9 @@ _KM_MAX_ROUNDS = 10
 _KM_ROUNDS_SF001 = 3  # measured stopping round at sf0.01
 
 
-def _kmeans_iter_sql(i: int) -> str:
-    """One unrolled Lloyd iteration (ml_iter._iter_sql twin)."""
-    return f"""
-    centroids{i} AS (
-      SELECT a.cluster AS c_id, e.pos,
-             CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * 1000000000) AS BIGINT))
-                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
-      FROM exploded e JOIN assign{i - 1} a ON a.vec_id = e.vec_id
-      GROUP BY a.cluster, e.pos
-    ),
-    dists{i} AS (
-      SELECT e.vec_id, c.c_id,
-             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
-                            * (CAST(e.x AS DOUBLE) - c.c)
-                            * 1000000000000) AS BIGINT)) AS dist_fp
-      FROM exploded e JOIN centroids{i} c ON e.pos = c.pos
-      GROUP BY e.vec_id, c.c_id
-    ),
-    assign{i} AS (
-      SELECT vec_id, c_id AS cluster, dist_fp
-      FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist_fp ASC, c_id) AS rn
-        FROM dists{i}
-      ) WHERE rn = 1
-    )
-    """
+# One unrolled Lloyd iteration — ONE home (fixedpoint.lloyd_iter_sql),
+# shared with ml_iter (round-13 review batch D).
+_kmeans_iter_sql = lloyd_iter_sql
 
 
 def _kmeans_converged_oracle(n_rounds: int) -> str:

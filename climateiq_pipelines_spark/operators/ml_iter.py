@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.fixedpoint import (
     cos_micros,
     fixed_mean_1e9,
+    lloyd_iter_sql,
     sql_cos_micros,
 )
 from climateiq_pipelines_spark.plans import register
@@ -29,34 +30,11 @@ from climateiq_pipelines_spark.registry import load_table
 _N_ITER = 3
 
 
-def _iter_sql(i: int) -> str:
-    """One unrolled Lloyd iteration: exact-fixed-point centroids from
-    assign{i-1}, integer distances, deterministic argmin → assign{i}."""
-    return f"""
-    centroids{i} AS (
-      SELECT a.cluster AS c_id, e.pos,
-             CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * 1000000000) AS BIGINT))
-                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
-      FROM exploded e JOIN assign{i - 1} a ON a.vec_id = e.vec_id
-      GROUP BY a.cluster, e.pos
-    ),
-    dists{i} AS (
-      SELECT e.vec_id, c.c_id,
-             SUM(CAST(floor((CAST(e.x AS DOUBLE) - c.c)
-                            * (CAST(e.x AS DOUBLE) - c.c)
-                            * 1000000000000) AS BIGINT)) AS dist_fp
-      FROM exploded e JOIN centroids{i} c ON e.pos = c.pos
-      GROUP BY e.vec_id, c.c_id
-    ),
-    assign{i} AS (
-      SELECT vec_id, c_id AS cluster, dist_fp
-      FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist_fp ASC, c_id) AS rn
-        FROM dists{i}
-      ) WHERE rn = 1
-    )
-    """
+# One unrolled Lloyd iteration — shared with the converged twin in
+# iterative_ext via fixedpoint.lloyd_iter_sql (round-13 review batch D:
+# the CTE lived byte-for-byte in both modules, the hand-inlined-copy
+# drift class).
+_iter_sql = lloyd_iter_sql
 
 
 _KMEANS_ORACLE = f"""

@@ -116,8 +116,10 @@ _ZSCORE_ORACLE = """
       WINDOW w AS (PARTITION BY user_id)
     )
     SELECT user_id, event_id,
-           round((value - sx / n)
-                 / sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS value_z
+           CASE WHEN n < 2 OR (sxx - sx * sx / n) <= 0 THEN NULL
+                ELSE CAST(floor((value - sx / n)
+                     / sqrt((sxx - sx * sx / n) / (n - 1))
+                     * 1000000000) AS BIGINT) END AS z_nanos
     FROM stats
 """
 
@@ -129,15 +131,24 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a single shuffle on user_id. Mean/var come from exact
     fixed-point power sums (floor(v·1e6), floor(v²·1e6) — int-valued
     float64 sums, exact below 2^53) with the identical expression tree
-    in the oracle's window formulation, then rounded to 9 dp because
-    the final division/sqrt chain is the only non-integer step."""
+    in the oracle's window formulation; the z-score is reported as
+    FLOORED INTEGER NANOS (round-13 review batch D: the old
+    round(·, 9) paired np.round half-even against DuckDB half-away —
+    the exact seam the cosine family migrated off; floor of identical
+    IEEE doubles has no tie to break).  DEGENERATE GROUPS are NULL on
+    BOTH sides by the same predicate (n < 2 or non-positive fixed-point
+    variance numerator): the old contract made a single-event group NaN
+    in the engine vs NULL in the oracle, and a zero-variance group of
+    identical fractionals could drive the oracle's sqrt NEGATIVE
+    (floor(v²·1e6) sums can undershoot (floor-sum)²/n) — a hard DuckDB
+    OutOfRangeException while the engine silently emitted NaN."""
     import numpy as np
 
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
             T.StructField("event_id", T.LongType()),
-            T.StructField("value_z", T.DoubleType()),
+            T.StructField("z_nanos", T.LongType()),
         ]
     )
 
@@ -146,10 +157,18 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(v)
         sx = np.floor(v * 1e6).sum() / 1e6
         sxx = np.floor(v * v * 1e6).sum() / 1e6
-        var = (sxx - sx * sx / n) / (n - 1)
-        z = np.round((v - sx / n) / np.sqrt(var), 9)
+        num = sxx - sx * sx / n  # the oracle's CASE predicate operand
+        if n < 2 or num <= 0:
+            z_nanos = pd.array([None] * n, dtype="Int64")
+        else:
+            z = (v - sx / n) / np.sqrt(num / (n - 1))
+            z_nanos = np.floor(z * 1e9).astype(np.int64)
         return pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "value_z": z}
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "z_nanos": z_nanos,
+            }
         )
 
     events = load_table(spark, sf_dir, "events").select(
@@ -211,9 +230,15 @@ def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts = pdf["ts"]
         # NaT comparisons are False (not NA), so the first row must be
         # flagged explicitly or every session_seq comes out one low.
-        gap_new = ((ts - ts.shift(1)) > pd.Timedelta(minutes=30)) | ts.shift(
-            1
-        ).isna()
+        # A NULL ts row starts a NEW session on both sides (round-13
+        # review batch D): the oracle's `ts - lag(ts) <= 30min` is
+        # not-true when EITHER operand is NULL, so the engine must flag
+        # the current row's NaT too, not just the previous row's.
+        gap_new = (
+            ((ts - ts.shift(1)) > pd.Timedelta(minutes=30))
+            | ts.shift(1).isna()
+            | ts.isna()
+        )
         seq = gap_new.astype("int64").cumsum()
         out = []
         for s, grp in pdf.groupby(seq):
@@ -282,12 +307,23 @@ def udtf_native_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (i // _CHUNK, len(c), " ".join(c))
 
     spark.udtf.register("cps_chunk_doc", ChunkDoc)
-    docs = load_table(spark, sf_dir, "documents")
-    if docs.filter(F.size(F.split("text", " ", -1)) >= 2000 * _CHUNK).limit(
+    # NULL-text docs emit ZERO rows on both sides (round-13 review
+    # batch D): the oracle's WHERE k*10 < len(string_split(NULL)) is
+    # not-true, while the UDTF's (text or '') fabricated one
+    # empty-chunk row — filter to the oracle's semantics.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # Strict > : a doc of EXACTLY 2000 chunks is still inside the
+    # oracle's k-range (k <= 1999 covers token 19990+), so >= raised
+    # spuriously on a still-correct input.
+    if docs.filter(F.size(F.split("text", " ", -1)) > 2000 * _CHUNK).limit(
         1
     ).count():
         raise ValueError("doc exceeds the oracle's 2000-chunk bound")
-    view = f"cps_chunker_docs_{uuid.uuid4().hex[:12]}"
+    from climateiq_pipelines_spark.session import register_temp_view
+
+    view = register_temp_view(f"cps_chunker_docs_{uuid.uuid4().hex[:12]}")
     docs.select("doc_id", "text").createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT doc_id, c.chunk_idx, c.n_tokens, c.chunk "

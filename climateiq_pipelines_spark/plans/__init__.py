@@ -102,7 +102,7 @@ def register(
 # Round 13 (VERDICT r12 task #1; derived by tools/gen_rotation.py
 # --max-round 12 --exempt join_bucketed_colocated): post-r12 the stamp
 # distribution is 35×r8, 47×r9, 50×r10, 50×r11, 50×r12 with zero
-# never-certified keys.  The window leads with 43 --priority
+# never-certified keys.  The window leads with 49 --priority
 # changed-after-stamp keys: the 14 pre-sequenced r12 review-batch keys
 # (SURVEY §11.5 items 12-18); the 8 keys the round-13 cosine-micros
 # migration and broadcast-gate-count memoization changed outside the
@@ -134,7 +134,7 @@ def register(
 # (priority AND exemption) and asserts list equality.  Round 12's
 # window is recorded in SURVEY §11.5's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 43 priority keys — changed after their driver stamp
+    # 49 priority keys — changed after their driver stamp
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -151,11 +151,11 @@ ROTATION_WINDOW: list[str] = [
     "scan_schema_evolution", "scan_dynamic_partition_pruning",
     "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
     "scan_manifest_skipping", "events_top_paths",
-    "stream_txn_exactly_once",
-    # 7 oldest-stamp keys (all r8), registration order
-    "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
-    "join_interval_overlap", "events_windowed_topk",
-    "win_running_distinct", "scd2_build_intervals",
+    "stream_txn_exactly_once", "udaf_grouped_pandas",
+    "udtf_explode_sessions", "udtf_native_chunker", "graph_pagerank",
+    "graph_pagerank_converged", "llm_kmeans_converged",
+    # 1 oldest-stamp key (r8), registration order
+    "agg_bool_logic",
 ]
 
 def load_all() -> None:

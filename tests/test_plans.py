@@ -321,11 +321,12 @@ def test_no_corpus_sized_broadcast_hints():
 # side fails here.  tools/driver_sim.py covers the full surface
 # meanwhile.
 ROTATION_R13 = {
-    # 43 priority keys — changed after their driver stamp (r12
+    # 49 priority keys — changed after their driver stamp (r12
     # review-batch edits + the r13 cosine-micros / gate-memo keys +
     # the r13 review batches A (relational core), B (sources +
-    # multimodal) and C (streaming/events), incl. changed r8 stamps
-    # the priority block would otherwise displace from the window)
+    # multimodal), C (streaming/events) and D (udfs + iterative/graph
+    # dedup), incl. changed keys the priority block would otherwise
+    # displace from the window)
     "sink_txn_conflict_retry", "llm_centroid_assign",
     "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
     "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
@@ -342,11 +343,11 @@ ROTATION_R13 = {
     "scan_schema_evolution", "scan_dynamic_partition_pruning",
     "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
     "scan_manifest_skipping", "events_top_paths",
-    "stream_txn_exactly_once",
-    # 7 oldest-stamp keys (all r8), registration order
-    "agg_bool_logic", "sort_zorder_locality", "agg_linear_fit",
-    "join_interval_overlap", "events_windowed_topk",
-    "win_running_distinct", "scd2_build_intervals",
+    "stream_txn_exactly_once", "udaf_grouped_pandas",
+    "udtf_explode_sessions", "udtf_native_chunker", "graph_pagerank",
+    "graph_pagerank_converged", "llm_kmeans_converged",
+    # 1 oldest-stamp key (r8), registration order
+    "agg_bool_logic",
 }
 
 
@@ -409,6 +410,9 @@ def test_rotation_window_matches_artifact_derivation():
         "scan_dynamic_partition_pruning", "sink_merge_upsert",
         "sink_merge_on_read", "sink_time_travel", "scan_manifest_skipping",
         "events_top_paths", "stream_txn_exactly_once",
+        "udaf_grouped_pandas", "udtf_explode_sessions",
+        "udtf_native_chunker", "graph_pagerank",
+        "graph_pagerank_converged", "llm_kmeans_converged",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
@@ -435,15 +439,14 @@ def test_driver_window_layout_matches_load_all_comment():
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
     round-13 window opens with the priority block (led by
     sink_txn_conflict_retry — the registered-oracle-text change),
-    closes with scd2_build_intervals at slot 49, and the total key
+    closes with agg_bool_logic at slot 49, and the total key
     count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
     assert keys[0] == "sink_txn_conflict_retry", keys[:3]
-    assert keys[42] == "stream_txn_exactly_once", keys[41:44]
-    assert keys[43] == "agg_bool_logic", keys[42:45]
-    assert keys[49] == "scd2_build_intervals", keys[45:52]
+    assert keys[48] == "llm_kmeans_converged", keys[47:50]
+    assert keys[49] == "agg_bool_logic", keys[48:51]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
