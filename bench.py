@@ -231,8 +231,14 @@ def main() -> None:
         "load_1m_before": load_before,
         "load_1m_after": round(os.getloadavg()[0], 2),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_QUERIES.json"), "w") as f:
+    # BENCH_DETAIL_PATH: a caller-supplied private rendezvous path
+    # (bench_gated uses one per run — round-13 review: two concurrent
+    # bench invocations otherwise race on the shared BENCH_QUERIES.json
+    # and the gate could package the OTHER run's timings).
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(

@@ -60,8 +60,9 @@ def canon_value(v: object) -> object:
     # numpy scalars
     if hasattr(v, "item") and not hasattr(v, "__len__"):
         return canon_value(v.item())
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
+    # (no pd.Timestamp branch: it subclasses datetime.datetime, so the
+    # datetime isoformat() branch above already handles it — a separate
+    # branch here was dead code; round-13 review.)
     # Arrays/lists are REJECTED: the driver's canonicalizer hashes cells
     # via pandas factorize, which crashes on unhashable lists (round-1
     # agg_collect_sorted failure). Queries must serialize collections to

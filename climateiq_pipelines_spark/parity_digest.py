@@ -249,13 +249,21 @@ def spark_digest(spark, df) -> pd.DataFrame:
 
     before = set(_persistent_jrdds())
     ckpt = df.localCheckpoint(eager=False)
+    # Per-call UNIQUE view name (round-13 review): a fixed "_digest_in"
+    # meant two in-flight digests on one session (a threaded sweep,
+    # pytest-xdist sharing the session fixture) could clobber each
+    # other between registration and the spark.sql action — digest A
+    # computed over key B's rows reads as a false MISMATCH.
+    import uuid as _uuid
+
+    view = f"_digest_in_{_uuid.uuid4().hex[:12]}"
     try:
-        ckpt.createOrReplaceTempView("_digest_in")
+        ckpt.createOrReplaceTempView(view)
         return _as_ints(
-            spark.sql(digest_sql(cols, "_digest_in", "spark")).toPandas()
+            spark.sql(digest_sql(cols, view, "spark")).toPandas()
         )
     finally:
-        spark.catalog.dropTempView("_digest_in")
+        spark.catalog.dropTempView(view)
         for rid, jr in _persistent_jrdds().items():
             if rid not in before:
                 jr.unpersist(False)

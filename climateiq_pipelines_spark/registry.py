@@ -134,12 +134,17 @@ NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def _assert_schema(name: str, df: DataFrame, expected_schema: T.StructType) -> None:
-    expected = {(f.name, f.dataType) for f in expected_schema.fields}
-    actual = {(f.name, f.dataType) for f in df.schema.fields}
+    # ORDERED tuples, not sets (round-13 review): the module's contract
+    # is "footer schema equals the registry entry", and a set compare
+    # silently passed column-ORDER drift in a regenerated fixture —
+    # all consumers select by name today, but the guard should detect
+    # the drift class it documents.
+    expected = [(f.name, f.dataType) for f in expected_schema.fields]
+    actual = [(f.name, f.dataType) for f in df.schema.fields]
     if expected != actual:
         raise ValueError(
-            f"schema mismatch for {name}: expected {sorted(map(str, expected))}, "
-            f"got {sorted(map(str, actual))}"
+            f"schema mismatch for {name}: expected {list(map(str, expected))}, "
+            f"got {list(map(str, actual))}"
         )
 
 

@@ -32,6 +32,7 @@ import argparse
 import json
 import os
 import subprocess
+import tempfile
 import sys
 import time
 
@@ -89,9 +90,18 @@ def main() -> int:
         waited += args.poll
 
     t0 = time.time()
+    # Private rendezvous path (round-13 review): the shared
+    # BENCH_QUERIES.json could be overwritten by any other bench.py
+    # invocation (the external driver calls it directly) between our
+    # subprocess exiting and the read below — the gate would package
+    # the OTHER run's per-query timings into the committed record.
+    detail_path = os.path.join(
+        tempfile.mkdtemp(prefix="cps_bench_gate_"), "detail.json"
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         cwd=REPO, capture_output=True, text=True,
+        env={**os.environ, "BENCH_DETAIL_PATH": detail_path},
     )
     sys.stderr.write(proc.stderr)
     if proc.returncode != 0:
@@ -111,7 +121,7 @@ def main() -> int:
         print("# bench.py exited 0 but printed no parseable JSON summary",
               file=sys.stderr)
         return 1
-    with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
+    with open(detail_path) as f:
         detail = json.load(f)
     artifact = dict(detail)  # queries + summary fields
     artifact["gate"] = {
@@ -120,7 +130,16 @@ def main() -> int:
         "attempts": attempts,
         "bench_wall_sec": round(time.time() - t0, 1),
     }
-    assert summary["value"] == artifact["value"]  # same run, two views
+    # Same run, two views — a REAL check, not an assert (python -O
+    # must not silently write a mismatched artifact after an hour-long
+    # gated wait).
+    if summary["value"] != artifact["value"]:
+        print(
+            f"# rendezvous mismatch: stdout summary {summary['value']} "
+            f"!= detail file {artifact['value']} — refusing to write",
+            file=sys.stderr,
+        )
+        return 1
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(json.dumps({k: artifact[k] for k in

@@ -58,8 +58,6 @@ DIGEST_FAST_KEYS = {"fn_math", "proj_computed_columns", "fn_date"}
 
 
 def main() -> int:
-    import duckdb
-
     from climateiq_pipelines_spark import get_spark, release_blocks
     from climateiq_pipelines_spark.parity import compare_frames
     from climateiq_pipelines_spark.plans import ORACLE_BUILDERS
@@ -67,6 +65,13 @@ def main() -> int:
 
     args = [a for a in sys.argv[1:] if a != "--fast"]
     fast = "--fast" in sys.argv[1:]
+    # Reject unknown flags up front (round-13 review: a typo like
+    # --Fast silently became the sf_dir positional, booting a full
+    # SparkSession before DuckDB failed on '--Fast/region.parquet').
+    unknown = [a for a in args if a.startswith("-")]
+    if unknown:
+        sys.exit(f"unknown flag(s) {unknown}; usage: "
+                 "parity_sweep.py [--fast] [sf_dir]")
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     if fast:
         from climateiq_pipelines_spark.operators import llm
@@ -76,15 +81,13 @@ def main() -> int:
               flush=True)
     spark = get_spark(app_name="parity-sweep", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM"
-            f" read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    # ONE view-builder (round-13 review: this hand-rolled a literal
+    # 10-table list next to parity.duck_connect's registry-driven one —
+    # an 11th fixture table would reach driver_sim/check_key but fail
+    # here as a false 'Table does not exist' sweep EXC).
+    from climateiq_pipelines_spark.parity import duck_connect
+
+    con = duck_connect(sf_dir)
     queries, oracles = E.queries(), E.oracle_sql()
     bad, built, t_all = [], [], time.perf_counter()
     for i, (key, fn) in enumerate(queries.items()):
