@@ -60,6 +60,25 @@ def davg(col: Column, alias: str) -> Column:
     ).alias(alias)
 
 
+def micros(col: Column) -> Column:
+    """floor(col * the fixed-point scale) — the raw micro-unit term
+    every dsum/davg accumulates.  Exported (round-13 review batch F) so
+    window/decimal variants stop hand-inlining 1_000_000 next to an
+    oracle built from sql_dsum — the scale-drift class the SPLIT_SALT
+    note records."""
+    return F.floor(col * _SCALE)
+
+
+def davg_window(col: Column, w) -> Column:
+    """Window twin of :func:`davg`: exact micro-sum mean over a window
+    frame (q17's per-part average threshold shape)."""
+    return (
+        F.sum(micros(col)).over(w).cast("double")
+        / F.lit(float(_SCALE))
+        / F.count(F.lit(1)).over(w)
+    )
+
+
 def fin(col: Column, alias: str, places: int = 6) -> Column:
     """Round a float output whose producer is library-dependent."""
     return F.round(col, places).alias(alias)

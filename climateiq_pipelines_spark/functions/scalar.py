@@ -183,7 +183,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer_case = (
+    order_size_case = (
         F.when(F.col("o_totalprice") >= 300000, "large")
         .when(F.col("o_totalprice") >= 100000, "medium")
         .otherwise("small")
@@ -191,7 +191,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        customer_case.alias("size_bucket"),
+        order_size_case.alias("size_bucket"),
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
             "status_label"
         ),
@@ -287,15 +287,25 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction: get_json_object returns STRING (DuckDB
     json_extract returns JSON) → both sides cast '$.k' to INT to align
-    the schema (SURVEY §3.1b)."""
+    the schema (SURVEY §3.1b).
+
+    is_valid_json is TRUE JSON validity via Spark 4's try_parse_json
+    (round-13 review batch F: the old from_json map<string,int> probe
+    tested "parses as an int-valued object", so a valid scalar/array
+    JSON — or a NULL — read false while DuckDB's json_valid read
+    true/NULL; probed equal on objects, scalars, arrays, and garbage,
+    with the NULL row made explicit on the engine side because
+    try_parse_json(NULL) IS NOT NULL collapses to false, not NULL)."""
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing_path"),
-        F.from_json(F.col("props"), "map<string,int>").isNotNull().alias(
-            "is_valid_json"
-        ),
+        F.when(
+            F.col("props").isNull(), F.lit(None).cast("boolean")
+        )
+        .otherwise(F.expr("try_parse_json(props) IS NOT NULL"))
+        .alias("is_valid_json"),
     )
 
 

@@ -138,25 +138,34 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q22_global_sales_opportunity",
-    oracle="""
+# ONE query text for BOTH entry APIs (round-13 review batch F: the
+# oracle literal and the spark.sql body were the same ~15 lines
+# maintained twice, differing only in table names — an edit to one
+# copy compiled cleanly and surfaced only as an unattributed hash
+# mismatch; the key's entire point is that both APIs compile the one
+# query).
+_Q22_SQL = """
     WITH thresh AS (
       SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
              / 100.0 / COUNT(*) AS avg_bal
-      FROM customer WHERE c_acctbal > 0.0
+      FROM {cust} WHERE c_acctbal > 0.0
     )
     SELECT c_nationkey,
            COUNT(*) AS n_custs,
            CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
              / 100.0 AS total_bal
-    FROM customer, thresh
+    FROM {cust}, thresh
     WHERE c_acctbal > thresh.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders
+      AND NOT EXISTS (SELECT 1 FROM {ord}
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
-    """,
+    """
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=_Q22_SQL.format(cust="customer", ord="orders"),
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity) — and the repo's
@@ -179,27 +188,18 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT EXISTS becomes a left-anti hash join keyed on custkey."""
     import uuid
 
+    from climateiq_pipelines_spark.session import register_temp_view
+
     token = uuid.uuid4().hex[:12]
-    cust_v, ord_v = f"cps_q22_cust_{token}", f"cps_q22_ord_{token}"
+    # Registered for post-consumption reclaim (round-13 review batch F:
+    # the per-call uuid names defeated replace-reuse AND bypassed the
+    # batch-C SESSION_TEMP_VIEWS discipline — 2 dead catalog entries
+    # per evaluation for the session lifetime).
+    cust_v = register_temp_view(f"cps_q22_cust_{token}")
+    ord_v = register_temp_view(f"cps_q22_ord_{token}")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(cust_v)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(ord_v)
-    return spark.sql(f"""
-        WITH thresh AS (
-          SELECT CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
-                 / 100.0 / COUNT(*) AS avg_bal
-          FROM {cust_v} WHERE c_acctbal > 0.0
-        )
-        SELECT c_nationkey,
-               COUNT(*) AS n_custs,
-               CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
-                 / 100.0 AS total_bal
-        FROM {cust_v}, thresh
-        WHERE c_acctbal > thresh.avg_bal
-          AND NOT EXISTS (SELECT 1 FROM {ord_v}
-                          WHERE o_custkey = c_custkey
-                            AND o_orderpriority = '1-URGENT')
-        GROUP BY c_nationkey
-    """)
+    return spark.sql(_Q22_SQL.format(cust=cust_v, ord=ord_v))
 
 
 @register(

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.functions.helpers import (
     REVENUE,
+    davg_window,
     dsum,
+    micros,
     revenue_col,
     sql_dsum,
 )
@@ -335,12 +337,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     brand_li = li.join(part, li.l_partkey == part.p_partkey)
     w = W.partitionBy("l_partkey")
-    micros = F.floor(F.col("l_quantity") * 1_000_000)
-    avg_qty = (
-        F.sum(micros).over(w).cast("double")
-        / F.lit(1e6)
-        / F.count(F.lit(1)).over(w)
-    )
+    # helpers.davg_window (round-13 review batch F): the inline scale
+    # here sat next to an oracle built from sql_dsum — the documented
+    # scale-drift class.
+    avg_qty = davg_window(F.col("l_quantity"), w)
     small = brand_li.withColumn("qty_limit", F.lit(0.2) * avg_qty).filter(
         F.col("l_quantity") < F.col("qty_limit")
     )
@@ -450,13 +450,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — the canonical GROUP BY + scalar-subquery HAVING threshold.
 
     Exactness: both sides of the threshold stay in INTEGER micro-units
-    (per-part BIGINT sum vs the BIGINT grand total; `v*200 > t` is pure
-    int64 arithmetic — no double rounding anywhere near the cut), so
-    the kept set is bit-identical cross-engine; the output value is the
-    single exact int→double conversion. Overflow headroom: Σ|rev|·1e6
-    for one nation tops out ~2.4e15 micro at sf0.1 — ×200 is 3 orders
-    under the 2^63 bound, and the bound scales linearly with SF (see
-    helpers.py for the widening policy past ~1e18).
+    — the per-part sum accumulates in DECIMAL(38,0) (round-13: Spark
+    SUM(BIGINT) silently wraps while the oracle's DuckDB sum widens to
+    HUGEINT; decimal matches that widening, so the `v*200 > t` cut is
+    exact integer arithmetic at ANY SF, not just under the 2^63
+    headroom the previous form relied on).  The output value is the
+    single exact int→double conversion.
 
     Plan: nation (25 rows, bounded) broadcasts into supplier; the ~1/25
     supplier slice left-semi-joins into lineitem UNHINTED — it is
@@ -481,10 +480,21 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
+    # DECIMAL(38,0) accumulation (round-13 review batch F): Spark's
+    # SUM(BIGINT) silently WRAPS on overflow while the oracle's DuckDB
+    # SUM(BIGINT) widens to HUGEINT — at large SF one nation's
+    # Σ|rev|·1e6 (×200 in the threshold) approaches 2^63 and the kept
+    # set would silently diverge.  decimal(38,0) matches the oracle's
+    # widening semantics exactly (the aggregates._MOM dialect-note
+    # policy); the threshold compare stays pure integer arithmetic.
     vals = (
         li.join(sup, li.l_suppkey == sup.s_suppkey, "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.floor(revenue_col() * 1_000_000)).alias("v_micros"))
+        .agg(
+            F.sum(micros(revenue_col()).cast("decimal(38,0)")).alias(
+                "v_micros"
+            )
+        )
     )
     tot = vals.agg(F.sum("v_micros").alias("t_micros"))
     return (
