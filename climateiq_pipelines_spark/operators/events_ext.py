@@ -28,7 +28,8 @@ _TOP_PATHS_ORACLE = f"""
     paths AS (
       SELECT event_type || '>' || e2 || '>' || e3 AS path,
              COUNT(*) AS n_occurrences
-      FROM ordered WHERE e3 IS NOT NULL
+      FROM ordered
+      WHERE e3 IS NOT NULL AND e2 IS NOT NULL AND event_type IS NOT NULL
       GROUP BY 1
     )
     SELECT path, n_occurrences, CAST(rk AS INTEGER) AS rank
@@ -72,13 +73,22 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lead("event_type", 1).over(uw).alias("e2"),
         F.lead("event_type", 2).over(uw).alias("e3"),
-    ).filter(F.col("e3").isNotNull())
+    ).filter(
+        F.col("e3").isNotNull()
+        & F.col("e2").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     # F.concat, NOT concat_ws (round-13 review batch C): concat_ws
     # silently SKIPS null components while the oracle's || propagates
     # NULL — a row with a NULL event_type would emit a 2-part path on
     # the engine side and a NULL path on the oracle side.  concat
     # null-propagates exactly like ||, so the two sides agree on any
-    # fixture, not just the current no-NULLs one.
+    # fixture, not just the current no-NULLs one.  All three
+    # components are additionally filtered NON-NULL pre-aggregation on
+    # BOTH sides (round-13 ADVICE): a NULL path row would otherwise
+    # reach the rank window, where Spark sorts NULLs FIRST on the
+    # ascending path key and DuckDB sorts them LAST — divergent ranks
+    # the moment a NULL path lands near the top-10 boundary.
     paths = (
         stepped.select(
             F.concat(

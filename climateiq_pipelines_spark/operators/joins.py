@@ -491,11 +491,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir is removed at interpreter exit (repeated bench runs don't
     accumulate disk)."""
     import os
-    import tempfile
     import uuid
 
     from climateiq_pipelines_spark.session import (
-        register_temp_dir,
+        new_temp_dir,
         register_temp_table,
     )
 
@@ -512,7 +511,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # release_blocks after consumption, so a warm session's catalog
     # stays bounded instead of accumulating dead unique-named entries
     # (ADVICE r12).
-    d = register_temp_dir(tempfile.mkdtemp(prefix="cps_bucketed_join"))
+    d = new_temp_dir("bucketed_join")
     t_orders = register_temp_table(f"cps_bkt_orders_{token}")
     t_cust = register_temp_table(f"cps_bkt_customer_{token}")
     (

@@ -13,7 +13,6 @@ audited against the source-of-truth table without ever decoding.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,9 +54,9 @@ def mm_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Registered for post-consumption reclaim (release_blocks purges it
     # once the harness has consumed the read-back result; the session
     # atexit hook covers non-reclaiming processes).
-    from climateiq_pipelines_spark.session import register_temp_dir
+    from climateiq_pipelines_spark.session import new_temp_dir
 
-    out = register_temp_dir(tempfile.mkdtemp(prefix="cps_binfiles"))
+    out = new_temp_dir("binfiles")
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")

@@ -244,16 +244,30 @@ def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s, grp in pdf.groupby(seq):
             v = grp["value"].to_numpy(dtype=np.float64)
             start, end = grp["ts"].iloc[0], grp["ts"].iloc[-1]
+            # A NaT session (always a singleton — a NULL ts starts a
+            # new session AND forces the next row to start another) has
+            # NULL duration on the oracle side (epoch_us(NULL) -
+            # epoch_us(NULL) is NULL); int(NaT - NaT) would raise here
+            # (round-13 ADVICE): propagate None instead.
+            duration = (
+                None
+                if (pd.isna(start) or pd.isna(end))
+                else int((end - start) // pd.Timedelta(seconds=1))
+            )
             out.append(
                 {
                     "user_id": grp["user_id"].iloc[0],
                     "session_seq": int(s),
                     "n_events": len(grp),
-                    "duration_sec": int((end - start) // pd.Timedelta(seconds=1)),
+                    "duration_sec": duration,
                     "avg_value": np.floor(v * 1e6).sum() / 1e6 / len(v),
                 }
             )
-        return pd.DataFrame(out, columns=list(schema.fieldNames()))
+        res = pd.DataFrame(out, columns=list(schema.fieldNames()))
+        # Pandas widens a None-bearing int column to float64; Int64
+        # (nullable) keeps the Arrow type a NULL-able long.
+        res["duration_sec"] = res["duration_sec"].astype("Int64")
+        return res
 
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"

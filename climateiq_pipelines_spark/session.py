@@ -94,6 +94,18 @@ def register_temp_dir(path: str) -> str:
     return path
 
 
+def new_temp_dir(tag: str) -> str:
+    """Create AND register a session temp dir in one call (round-13
+    review batch B's recorded deferral): ``new_temp_dir("csv")`` is the
+    only sanctioned way an operator materializes scratch files — the
+    raw ``register_temp_dir(tempfile.mkdtemp(...))`` two-step left each
+    call site one forgotten wrap away from a /tmp leak.  The prefix is
+    always ``cps_{tag}_`` so purge audits can attribute every root."""
+    import tempfile
+
+    return register_temp_dir(tempfile.mkdtemp(prefix=f"cps_{tag}_"))
+
+
 # Broadcast-gate count memo (VERDICT r12 task #4): the round-12
 # measured-payload broadcast gates (graph adjacency / LPA labels /
 # unigram vocab) each cost one count() action per evaluation — ~0.3 s

@@ -11,7 +11,6 @@ Registered after the driver's 50-entry certification window
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,7 +18,7 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
-from climateiq_pipelines_spark.session import register_temp_dir
+from climateiq_pipelines_spark.session import new_temp_dir
 
 # Deterministic corruption classes injected by key (disjoint by CASE
 # precedence): bad numeric field, missing field, extra field.
@@ -82,7 +81,7 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(base)
     )
     path = os.path.join(
-        register_temp_dir(tempfile.mkdtemp(prefix="cps_csv_")), "orders_csv"
+        new_temp_dir("csv"), "orders_csv"
     )
     o.select(line.alias("value")).write.mode("overwrite").text(path)
 
@@ -143,7 +142,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_retailprice"
     )
     path = os.path.join(
-        register_temp_dir(tempfile.mkdtemp(prefix="cps_evo_")), "part_evolved"
+        new_temp_dir("evo"), "part_evolved"
     )
     v1 = part.filter(F.col("p_partkey") % 2 == 0).select(
         "p_partkey", "p_retailprice"
@@ -198,7 +197,7 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     the dim is too large — the fallback is correctness-neutral."""
     orders = load_table(spark, sf_dir, "orders")
     path = os.path.join(
-        register_temp_dir(tempfile.mkdtemp(prefix="cps_dpp_")),
+        new_temp_dir("dpp"),
         "orders_by_year",
     )
     orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
@@ -250,7 +249,7 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    base = register_temp_dir(tempfile.mkdtemp(prefix="cps_codec_"))
+    base = new_temp_dir("codec")
 
     def digest(df):
         # order-insensitive relation digest: exact int64 sum of each

@@ -27,7 +27,6 @@ periodic COMPACTION (applying the deltas and rewriting, i.e. exactly
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,9 +47,9 @@ def _tmpdir(tag: str) -> str:
     # Registered for post-consumption reclaim (session.purge_temp_dirs
     # via release_blocks, atexit fallback): the returned frame reads
     # these files lazily, so the operator itself can never delete them.
-    from climateiq_pipelines_spark.session import register_temp_dir
+    from climateiq_pipelines_spark.session import new_temp_dir
 
-    return register_temp_dir(tempfile.mkdtemp(prefix=f"cps_{tag}_"))
+    return new_temp_dir(tag)
 
 
 def _write_base_and_deltas(spark: SparkSession, sf_dir: str) -> dict[str, str]:

@@ -55,9 +55,9 @@ def _mk_table(tag: str) -> str:
     # via release_blocks, atexit fallback): each txn key writes ~6 file
     # groups of orders slices per call — the heaviest /tmp leakers in
     # the engine before round 12's registry.
-    from climateiq_pipelines_spark.session import register_temp_dir
+    from climateiq_pipelines_spark.session import new_temp_dir
 
-    root = register_temp_dir(tempfile.mkdtemp(prefix=f"cps_txn_{tag}_"))
+    root = new_temp_dir(f"txn_{tag}")
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     os.makedirs(os.path.join(root, "_log"), exist_ok=True)
     return root

@@ -18,7 +18,6 @@ Registered after the driver's 50-entry certification window
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,7 +25,7 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
-from climateiq_pipelines_spark.session import register_temp_dir
+from climateiq_pipelines_spark.session import new_temp_dir
 
 _PARTS = 8
 _LO, _HI = 100_000.0, 150_000.0  # the scan predicate (≈10% of rows)
@@ -72,7 +71,7 @@ def scan_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     path = os.path.join(
-        register_temp_dir(tempfile.mkdtemp(prefix="cps_manifest_")),
+        new_temp_dir("manifest"),
         "orders_by_price",
     )
     (
@@ -102,7 +101,16 @@ def scan_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_files = [
         r for r in all_files if r["pmax"] >= _LO and r["pmin"] <= _HI
     ]
-    assert len(all_files) <= _PARTS
+    # Plain raise, not assert (round-13 review batch B's deferral; the
+    # r12 txn precedent): python -O strips asserts, and a broken layout
+    # contract on the READ path must fail loudly, not scan a manifest
+    # it believes is bounded.
+    if len(all_files) > _PARTS:
+        raise RuntimeError(
+            f"layout contract broken: {len(all_files)} files in the "
+            f"manifest, expected <= {_PARTS} — the bounded take() no "
+            "longer covers the whole manifest"
+        )
     files_pruned = len(hit_files) < len(all_files)
     scan_bounded = len(all_files) <= _PARTS
 

@@ -15,7 +15,6 @@ schemas because inference is a full extra pass over the data at scale.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -38,9 +37,9 @@ def _tmpdir(tag: str) -> str:
     # Registered for post-consumption reclaim (session.purge_temp_dirs
     # via release_blocks, atexit fallback): the returned frame reads
     # these files lazily, so the operator itself can never delete them.
-    from climateiq_pipelines_spark.session import register_temp_dir
+    from climateiq_pipelines_spark.session import new_temp_dir
 
-    return register_temp_dir(tempfile.mkdtemp(prefix=f"cps_{tag}_"))
+    return new_temp_dir(tag)
 
 
 @register(

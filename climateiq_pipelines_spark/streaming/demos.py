@@ -211,14 +211,12 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (win_start restored to NTZ via the epoch pin). At 100 TB/day
     the same sink pattern targets a partitioned table and the merge is
     a partition overwrite keyed on (window day, batch watermark)."""
-    import tempfile
-
-    from climateiq_pipelines_spark.session import register_temp_dir
+    from climateiq_pipelines_spark.session import new_temp_dir
 
     # Registered for post-consumption reclaim (release_blocks purges it
     # once the harness has consumed the read-back result; the session
     # atexit hook covers non-reclaiming processes).
-    out = register_temp_dir(tempfile.mkdtemp(prefix="cps_febatch_sink"))
+    out = new_temp_dir("febatch_sink")
     agg = (
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")

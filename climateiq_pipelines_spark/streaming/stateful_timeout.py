@@ -17,7 +17,6 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,9 +47,9 @@ def _two_batch_dir(spark: SparkSession, sf_dir: str) -> str:
         return cached
     # Registered for post-consumption reclaim; _SPLIT_CACHE re-checks
     # os.path.isdir before reuse, so a purged dir rebuilds gracefully.
-    from climateiq_pipelines_spark.session import register_temp_dir
+    from climateiq_pipelines_spark.session import new_temp_dir
 
-    base = register_temp_dir(tempfile.mkdtemp(prefix="cps_state_timeout_"))
+    base = new_temp_dir("state_timeout")
     ev = read_events_micros(spark, sf_dir).select("user_id", "ts_us")
     for i, pred in enumerate(
         (F.col("user_id") < _SPLIT_UID, F.col("user_id") >= _SPLIT_UID)

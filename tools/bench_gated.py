@@ -95,34 +95,36 @@ def main() -> int:
     # invocation (the external driver calls it directly) between our
     # subprocess exiting and the read below — the gate would package
     # the OTHER run's per-query timings into the committed record.
-    detail_path = os.path.join(
-        tempfile.mkdtemp(prefix="cps_bench_gate_"), "detail.json"
-    )
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        cwd=REPO, capture_output=True, text=True,
-        env={**os.environ, "BENCH_DETAIL_PATH": detail_path},
-    )
-    sys.stderr.write(proc.stderr)
-    if proc.returncode != 0:
-        # keep bench.py's stdout too — it may hold the last progress
-        # evidence of where a partial run died
-        sys.stderr.write(proc.stdout)
-        print(f"# bench.py failed rc={proc.returncode}", file=sys.stderr)
-        return proc.returncode
+    # TemporaryDirectory, not bare mkdtemp (round-13 ADVICE): the
+    # rendezvous dir holds one small JSON and must not outlive the run
+    # — every gated invocation would otherwise leak a /tmp dir.
+    with tempfile.TemporaryDirectory(prefix="cps_bench_gate_") as gate_dir:
+        detail_path = os.path.join(gate_dir, "detail.json")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO, capture_output=True, text=True,
+            env={**os.environ, "BENCH_DETAIL_PATH": detail_path},
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            # keep bench.py's stdout too — it may hold the last progress
+            # evidence of where a partial run died
+            sys.stderr.write(proc.stdout)
+            print(f"# bench.py failed rc={proc.returncode}", file=sys.stderr)
+            return proc.returncode
 
-    # bench.py prints exactly one JSON line on stdout; scan backwards
-    # for the summary shape so stray trailing output after the JSON
-    # can't crash the gate after a long wait-and-run (see
-    # extract_summary).
-    summary = extract_summary(proc.stdout)
-    if summary is None:
-        sys.stderr.write(proc.stdout)
-        print("# bench.py exited 0 but printed no parseable JSON summary",
-              file=sys.stderr)
-        return 1
-    with open(detail_path) as f:
-        detail = json.load(f)
+        # bench.py prints exactly one JSON line on stdout; scan backwards
+        # for the summary shape so stray trailing output after the JSON
+        # can't crash the gate after a long wait-and-run (see
+        # extract_summary).
+        summary = extract_summary(proc.stdout)
+        if summary is None:
+            sys.stderr.write(proc.stdout)
+            print("# bench.py exited 0 but printed no parseable JSON summary",
+                  file=sys.stderr)
+            return 1
+        with open(detail_path) as f:
+            detail = json.load(f)
     artifact = dict(detail)  # queries + summary fields
     artifact["gate"] = {
         "threshold": args.threshold,
