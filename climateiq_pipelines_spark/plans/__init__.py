@@ -99,63 +99,69 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 13 (VERDICT r12 task #1; derived by tools/gen_rotation.py
-# --max-round 12 --exempt join_bucketed_colocated): post-r12 the stamp
-# distribution is 35×r8, 47×r9, 50×r10, 50×r11, 50×r12 with zero
-# never-certified keys.  The window leads with 49 --priority
-# changed-after-stamp keys: the 14 pre-sequenced r12 review-batch keys
-# (SURVEY §11.5 items 12-18); the 8 keys the round-13 cosine-micros
-# migration and broadcast-gate-count memoization changed outside the
-# stamp-order slots (llm_knn_query, llm_cosine_neardup,
-# llm_simhash_multiprobe, llm_cosine_topk_lsh, llm_semdedup,
-# llm_semdedup_pipeline, llm_unigram_logprob, llm_ivf_topk — the last
-# an r9 stamp the priority block itself displaces, caught by the
-# round-13 self-review); the 3 round-13 review-batch-A keys
-# (sort_multikey_scalable + its delegating sibling sort_multikey_nulls
-# — the 2^31 rank-cast fix — and agg_grouping_sets — the sql_dsum
-# dedupe); and the 4 changed r8 stamps the growing priority block
-# would otherwise push out of the 50 (llm_mrl_truncated_rerank,
-# llm_ann_recall_eval, graph_triangle_count, graph_label_propagation).
-# RECORDED EXEMPTIONS (--exempt, the r12 task #7 mechanism; all the
-# r11 ann_ext2 mechanical-edit precedent class, riding normal stamp
-# order to r14): join_bucketed_colocated (register_temp_table wiring),
-# stream_sliding_demo / stream_dedup_watermark_demo /
-# stream_stream_join_demo / stream_windowed_topk_demo /
-# stream_state_timeout_flush (memory-sink view registration for
-# driver-memory reclaim), events_attribution_touch /
-# agg_width_bucket_histogram (docstring-only placeholder fixes).  The remaining 21 slots are (stamp round ASC, pristine
-# registration index ASC) r8 stamps; the 9 registration-newest
-# non-priority r8 stamps (llm_vocab_coverage, llm_dataset_split,
-# llm_bloom_decontam, events_attribution_touch,
-# agg_width_bucket_histogram, events_ewma_smoothing,
-# llm_perceptron_quality, llm_classifier_eval,
-# stream_state_timeout_flush) and the 15 oldest r9 stamps slip to
-# round 14.  tests/test_plans.py re-runs the derivation in-process
-# (priority AND exemption) and asserts list equality.  Round 12's
-# window is recorded in SURVEY §11.5's as-built log.
+# Round 14 (VERDICT r13 task #1; derived by tools/gen_rotation.py
+# --max-round 13 --priority q22_global_sales_opportunity,
+# q11_important_stock,q17_small_qty_revenue,fn_json,
+# udtf_explode_sessions,events_top_paths --exempt <16 keys below>):
+# post-r13 the stamp distribution is 25×r8, 30×r9, 46×r10, 45×r11,
+# 36×r12, 50×r13 with zero never-certified keys.  The window leads
+# with 6 --priority changed-after-stamp keys: the 4 round-13 review-
+# batch-F keys whose edits landed after the r13 window had filled
+# (q22_global_sales_opportunity — one named-placeholder template,
+# q11_important_stock — DECIMAL(38,0) HUGEINT-safe micro-sum,
+# q17_small_qty_revenue, fn_json — true JSON validity via
+# try_parse_json), and the 2 round-14 ADVICE fixes
+# (udtf_explode_sessions — NaT sessions now emit NULL duration like
+# the oracle's epoch_us(NULL) instead of raising int(NaT-NaT);
+# events_top_paths — NULL-component paths filtered pre-rank on BOTH
+# sides, closing the Spark-NULLS-first vs DuckDB-NULLS-last rank
+# seam).  RECORDED EXEMPTIONS (--exempt; mechanical lifecycle edits
+# riding normal stamp order): the 9 r13 records re-affirmed
+# (fn_conditional, join_bucketed_colocated, stream_sliding_demo,
+# stream_dedup_watermark_demo, stream_stream_join_demo,
+# stream_windowed_topk_demo, stream_state_timeout_flush,
+# events_attribution_touch, agg_width_bucket_histogram) plus the 7
+# round-14 new_temp_dir hoist sites — registered bodies whose only
+# edit is register_temp_dir(tempfile.mkdtemp(...)) → new_temp_dir(tag)
+# (scan_manifest_skipping — also the read-path assert→raise,
+# scan_csv_malformed, scan_schema_evolution,
+# scan_dynamic_partition_pruning, sink_compression_codecs,
+# stream_foreachbatch_sink, mm_binary_file_scan).  The remaining 44
+# slots are (stamp round ASC, pristine registration index ASC): ALL
+# 25 remaining r8 stamps — retiring the r8 stamp mass entirely — and
+# the 19 registration-oldest r9 stamps.  The 10 registration-newest
+# r9 stamps slip to round 15 (llm_ngram_jaccard, llm_simhash_neardup,
+# llm_corpus_pipeline, llm_stratified_sample, llm_pack_sequences,
+# llm_text_normalize, q7_volume_shipping, q10_returned_items,
+# q12_priority_by_flag, fn_collation_lcase).  tests/test_plans.py re-runs the derivation in-process
+# (priority AND exemption) and asserts list equality.  Round 13's
+# window is recorded in SURVEY §11.6's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 49 priority keys — changed after their driver stamp
-    "sink_txn_conflict_retry", "llm_centroid_assign",
-    "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
-    "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
-    "stream_tumbling_window", "stream_readstream_demo",
-    "stream_stateful_sessions", "llm_cosine_topk", "agg_cms_heavy_hitters",
-    "agg_theta_set_algebra", "llm_knn_query", "llm_cosine_neardup",
-    "llm_simhash_multiprobe", "llm_cosine_topk_lsh", "llm_semdedup",
-    "llm_semdedup_pipeline", "llm_unigram_logprob", "llm_ivf_topk",
-    "sort_multikey_scalable", "sort_multikey_nulls", "agg_grouping_sets",
-    "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
-    "graph_triangle_count", "graph_label_propagation",
-    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
-    "mm_binary_file_scan", "scan_all_tables_counts", "scan_csv_malformed",
-    "scan_schema_evolution", "scan_dynamic_partition_pruning",
-    "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
-    "scan_manifest_skipping", "events_top_paths",
-    "stream_txn_exactly_once", "udaf_grouped_pandas",
-    "udtf_explode_sessions", "udtf_native_chunker", "graph_pagerank",
-    "graph_pagerank_converged", "llm_kmeans_converged",
-    # 1 oldest-stamp key (r8), registration order
-    "agg_bool_logic",
+    # 6 priority keys — changed after their driver stamp (4× r13
+    # review batch F, 2× r14 ADVICE fixes)
+    "q22_global_sales_opportunity", "q11_important_stock",
+    "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
+    "events_top_paths",
+    # 25 r8 stamps (registration order) — the entire remaining r8 mass
+    "sort_zorder_locality", "agg_linear_fit", "join_interval_overlap",
+    "events_windowed_topk", "win_running_distinct",
+    "scd2_build_intervals", "sink_txn_commit_protocol",
+    "sink_txn_checkpoint", "llm_minhash_jaccard_estimate",
+    "sql_recursive_closure", "join_pit_scd2", "fn_variant_json",
+    "scan_python_datasource", "llm_gopher_quality",
+    "llm_temperature_mixture", "llm_substring_span_dedup",
+    "llm_vocab_coverage", "llm_dataset_split", "llm_bloom_decontam",
+    "events_attribution_touch", "agg_width_bucket_histogram",
+    "events_ewma_smoothing", "llm_perceptron_quality",
+    "llm_classifier_eval", "stream_state_timeout_flush",
+    # 19 registration-oldest r9 stamps
+    "join_bucketed_colocated", "topk_global", "limit_offset",
+    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
+    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
+    "llm_fingerprint", "llm_exact_dedup", "llm_minhash_neardup",
+    "llm_minhash_lsh", "llm_token_counts", "llm_tfidf_topterms",
+    "llm_text_stats", "llm_lang_filter_sample", "llm_embed_normalize",
+    "llm_simhash_bucket",
 ]
 
 def load_all() -> None:

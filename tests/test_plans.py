@@ -311,43 +311,41 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-12 rotation targets (plans.ROTATION_WINDOW, VERDICT r11 task
-# #1): no changed-after-stamp priority keys this round, so the window
-# is exactly the oldest-stamp mass — all 35 remaining r7 stamps + the
-# 15 registration-oldest r8 stamps.  After r12 certifies, the oldest
-# stamp on the surface becomes r8.  The window is the EXPLICIT
-# plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set pins
-# the intended membership independently so an accidental edit to either
-# side fails here.  tools/driver_sim.py covers the full surface
-# meanwhile.
-ROTATION_R13 = {
-    # 49 priority keys — changed after their driver stamp (r12
-    # review-batch edits + the r13 cosine-micros / gate-memo keys +
-    # the r13 review batches A (relational core), B (sources +
-    # multimodal), C (streaming/events) and D (udfs + iterative/graph
-    # dedup), incl. changed keys the priority block would otherwise
-    # displace from the window)
-    "sink_txn_conflict_retry", "llm_centroid_assign",
-    "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
-    "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
-    "stream_tumbling_window", "stream_readstream_demo",
-    "stream_stateful_sessions", "llm_cosine_topk", "agg_cms_heavy_hitters",
-    "agg_theta_set_algebra", "llm_knn_query", "llm_cosine_neardup",
-    "llm_simhash_multiprobe", "llm_cosine_topk_lsh", "llm_semdedup",
-    "llm_semdedup_pipeline", "llm_unigram_logprob", "llm_ivf_topk",
-    "sort_multikey_scalable", "sort_multikey_nulls", "agg_grouping_sets",
-    "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
-    "graph_triangle_count", "graph_label_propagation",
-    "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
-    "mm_binary_file_scan", "scan_all_tables_counts", "scan_csv_malformed",
-    "scan_schema_evolution", "scan_dynamic_partition_pruning",
-    "sink_merge_upsert", "sink_merge_on_read", "sink_time_travel",
-    "scan_manifest_skipping", "events_top_paths",
-    "stream_txn_exactly_once", "udaf_grouped_pandas",
-    "udtf_explode_sessions", "udtf_native_chunker", "graph_pagerank",
-    "graph_pagerank_converged", "llm_kmeans_converged",
-    # 1 oldest-stamp key (r8), registration order
-    "agg_bool_logic",
+# Round-14 rotation targets (plans.ROTATION_WINDOW, VERDICT r13 task
+# #1): 6 changed-after-stamp priority keys (the 4 r13 review-batch-F
+# keys whose edits landed after the r13 window filled, plus the 2 r14
+# ADVICE fixes), then ALL 25 remaining r8 stamps — retiring the r8
+# stamp mass — and the 19 registration-oldest r9 stamps.  After r14
+# certifies, the oldest stamp on the surface becomes r9.  The window
+# is the EXPLICIT plans.ROTATION_WINDOW list (load_all reorders
+# QUERIES); this set pins the intended membership independently so an
+# accidental edit to either side fails here.  tools/driver_sim.py
+# covers the full surface meanwhile.
+ROTATION_R14 = {
+    # 6 priority keys — changed after their driver stamp
+    "q22_global_sales_opportunity", "q11_important_stock",
+    "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
+    "events_top_paths",
+    # 25 r8 stamps — the entire remaining r8 mass
+    "sort_zorder_locality", "agg_linear_fit", "join_interval_overlap",
+    "events_windowed_topk", "win_running_distinct",
+    "scd2_build_intervals", "sink_txn_commit_protocol",
+    "sink_txn_checkpoint", "llm_minhash_jaccard_estimate",
+    "sql_recursive_closure", "join_pit_scd2", "fn_variant_json",
+    "scan_python_datasource", "llm_gopher_quality",
+    "llm_temperature_mixture", "llm_substring_span_dedup",
+    "llm_vocab_coverage", "llm_dataset_split", "llm_bloom_decontam",
+    "events_attribution_touch", "agg_width_bucket_histogram",
+    "events_ewma_smoothing", "llm_perceptron_quality",
+    "llm_classifier_eval", "stream_state_timeout_flush",
+    # 19 registration-oldest r9 stamps
+    "join_bucketed_colocated", "topk_global", "limit_offset",
+    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
+    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
+    "llm_fingerprint", "llm_exact_dedup", "llm_minhash_neardup",
+    "llm_minhash_lsh", "llm_token_counts", "llm_tfidf_topterms",
+    "llm_text_stats", "llm_lang_filter_sample", "llm_embed_normalize",
+    "llm_simhash_bucket",
 }
 
 
@@ -357,18 +355,18 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-13 membership (ROTATION_R13 above) fills the first
+    the intended round-14 membership (ROTATION_R14 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R13 together with
+    side without the other fails here.  Update ROTATION_R14 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R13 - first50)
+    missing = sorted(ROTATION_R14 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R13
+    assert set(ROTATION_WINDOW) == ROTATION_R14
     assert len(ROTATION_WINDOW) == 50
 
 
@@ -376,11 +374,11 @@ def test_rotation_window_matches_artifact_derivation():
     """VERDICT r11 task #6: the committed ROTATION_WINDOW must equal
     tools/gen_rotation.py's mechanical derivation from the merged
     CORRECTNESS artifacts — (stamp round ASC, pristine registration
-    index ASC), led by the round's 21 changed-after-stamp --priority
-    keys in window order (the r12 review-batch edits + the r13
-    cosine-micros migration and gate-memo keys).  The r6/r7 rotations
-    hit ordering hazards and r8's was hand arithmetic; this pin makes
-    the pre-sequencing checkable every CI run."""
+    index ASC), led by the round's 6 changed-after-stamp --priority
+    keys in window order (the 4 r13 review-batch-F keys + the 2 r14
+    ADVICE fixes).  The r6/r7 rotations hit ordering hazards and r8's
+    was hand arithmetic; this pin makes the pre-sequencing checkable
+    every CI run."""
     import tools.gen_rotation as gr
     from climateiq_pipelines_spark.plans import (
         REGISTRATION_ORDER,
@@ -390,44 +388,32 @@ def test_rotation_window_matches_artifact_derivation():
     # The priority list is stated EXPLICITLY here, not sliced from the
     # committed window (round-13 self-review: a slice makes the pin
     # circular — any wrong key inside the prefix would echo straight
-    # back).  It must match the SURVEY 11.6 changed-after-stamp record.
+    # back).  It must match the SURVEY 11.7 changed-after-stamp record.
     priority = [
-        "sink_txn_conflict_retry", "llm_centroid_assign",
-        "llm_winnow_fingerprint", "llm_winnow_neardup", "llm_pq_encode",
-        "llm_ivf_pq_topk", "llm_kmeans_iterate", "llm_multimodal_join",
-        "stream_tumbling_window", "stream_readstream_demo",
-        "stream_stateful_sessions", "llm_cosine_topk",
-        "agg_cms_heavy_hitters", "agg_theta_set_algebra", "llm_knn_query",
-        "llm_cosine_neardup", "llm_simhash_multiprobe",
-        "llm_cosine_topk_lsh", "llm_semdedup", "llm_semdedup_pipeline",
-        "llm_unigram_logprob", "llm_ivf_topk", "sort_multikey_scalable",
-        "sort_multikey_nulls", "agg_grouping_sets",
-        "llm_mrl_truncated_rerank", "llm_ann_recall_eval",
-        "graph_triangle_count", "graph_label_propagation",
-        "mm_decode_features", "mm_frame_sample", "mm_ppm_decode",
-        "mm_binary_file_scan", "scan_all_tables_counts",
-        "scan_csv_malformed", "scan_schema_evolution",
-        "scan_dynamic_partition_pruning", "sink_merge_upsert",
-        "sink_merge_on_read", "sink_time_travel", "scan_manifest_skipping",
-        "events_top_paths", "stream_txn_exactly_once",
-        "udaf_grouped_pandas", "udtf_explode_sessions",
-        "udtf_native_chunker", "graph_pagerank",
-        "graph_pagerank_converged", "llm_kmeans_converged",
+        "q22_global_sales_opportunity", "q11_important_stock",
+        "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
+        "events_top_paths",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
-        gr.merged_stamps(max_round=12),  # r13 window <- artifacts r1..r12
+        gr.merged_stamps(max_round=13),  # r14 window <- artifacts r1..r13
         priority=priority,
         n=50,
-        # Recorded judgments (r12 task #7): mechanical lifecycle /
-        # docstring-only edits, riding stamp order to r14 — the
-        # bucketed-join table registration, the five memory-sink view
-        # registrations, and the two placeholder-docstring fixes.
+        # Recorded judgments (r12 task #7): mechanical lifecycle edits
+        # riding normal stamp order — the 9 r13 records re-affirmed,
+        # plus the 7 r14 new_temp_dir hoist sites (registered bodies
+        # whose only edit is the one-line mkdtemp→new_temp_dir swap;
+        # scan_manifest_skipping additionally got its read-path
+        # layout-contract assert converted to a plain raise).
         exempt=[
-            "join_bucketed_colocated", "stream_sliding_demo",
-            "stream_dedup_watermark_demo", "stream_stream_join_demo",
-            "stream_windowed_topk_demo", "stream_state_timeout_flush",
-            "events_attribution_touch", "agg_width_bucket_histogram",
+            "fn_conditional", "join_bucketed_colocated",
+            "stream_sliding_demo", "stream_dedup_watermark_demo",
+            "stream_stream_join_demo", "stream_windowed_topk_demo",
+            "stream_state_timeout_flush", "events_attribution_touch",
+            "agg_width_bucket_histogram", "scan_manifest_skipping",
+            "scan_csv_malformed", "scan_schema_evolution",
+            "scan_dynamic_partition_pruning", "sink_compression_codecs",
+            "stream_foreachbatch_sink", "mm_binary_file_scan",
         ],
     )
     assert derived == list(ROTATION_WINDOW)
@@ -437,16 +423,16 @@ def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-13 window opens with the priority block (led by
-    sink_txn_conflict_retry — the registered-oracle-text change),
-    closes with agg_bool_logic at slot 49, and the total key
+    round-14 window opens with the priority block (led by
+    q22_global_sales_opportunity — the r13 batch-F template change),
+    closes with llm_simhash_bucket at slot 49, and the total key
     count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "sink_txn_conflict_retry", keys[:3]
-    assert keys[48] == "llm_kmeans_converged", keys[47:50]
-    assert keys[49] == "agg_bool_logic", keys[48:51]
+    assert keys[0] == "q22_global_sales_opportunity", keys[:3]
+    assert keys[5] == "events_top_paths", keys[4:7]
+    assert keys[49] == "llm_simhash_bucket", keys[48:51]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
