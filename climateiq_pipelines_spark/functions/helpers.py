@@ -24,11 +24,21 @@ codegen as primitive ops.
 
 Capacity / scale note: the accumulator holds Σ|x|·1e6 per group; with
 money-scale values (~1e5 → 1e11 micro-units/row) it is exact up to
-~9·10^7 rows per group (2^63 bound). Beyond that — e.g. national-scale
-groups at 100 TB — widen to a two-level sum (partial long sums combined
-as decimal) or decimal(25,6); the moments oracle (aggregates._MOM) shows
-the decimal form for squared measures whose magnitude exceeds the long
-budget at any cardinality.
+~9·10^7 rows per group (2^63 bound), and Spark 4's default ANSI mode
+makes the boundary LOUD (ARITHMETIC_OVERFLOW), never a silent wrap.
+Beyond that — e.g. national-scale groups at 100 TB — the standard
+recipe is the TWO-LEVEL SUM: partial long-micro sums grouped by
+(keys, spark_partition_id()) — bounded by partition size
+(maxPartitionBytes), so the hot codegen path can never overflow at ANY
+total scale — then a decimal(38,0) merge over the tiny
+|groups|×|partitions| relation.  agg_pricing_summary (the TPC-H Q1
+headline) runs this form live since round 14 (+0.07 s fixed overhead
+at sf0.1, the extra merge stage; the decimal-everywhere alternative
+measured 3× on the same shape).  Single-level dsum/davg remain the
+default for bounded-group keys; q11 shows the decimal(38,0)
+direct-sum form where the input relation is small.  The moments
+oracle (aggregates._MOM) shows the decimal form for squared measures
+whose magnitude exceeds the long budget at any cardinality.
 """
 
 from __future__ import annotations
@@ -39,6 +49,11 @@ from pyspark.sql import functions as F
 # Kept for the few aggregates (squared measures) that exceed the
 # long-micro range and accept the BigDecimal slow path instead.
 DEC = "decimal(25,6)"
+
+# Merge type of the two-level sum (module docstring): wide enough that
+# Σ over per-partition long partials cannot overflow at any SF (the
+# q11 precedent type).
+DEC38 = "decimal(38,0)"
 
 _SCALE = 1_000_000
 
@@ -57,6 +72,30 @@ def davg(col: Column, alias: str) -> Column:
     engines and partition layouts."""
     return (
         F.sum(F.floor(col * _SCALE)).cast("double") / F.lit(float(_SCALE)) / F.count(col)
+    ).alias(alias)
+
+
+def dsum_merge(partial: Column | str, alias: str) -> Column:
+    """Final stage of the TWO-LEVEL exact sum (module docstring): merge
+    per-(keys, partition) long-micro partials as decimal(38,0) —
+    overflow-free at any SF — and convert to double exactly like
+    :func:`dsum`'s tail, so the hash-parity expression is unchanged."""
+    c = F.col(partial) if isinstance(partial, str) else partial
+    return (F.sum(c.cast(DEC38)).cast("double") / F.lit(float(_SCALE))).alias(
+        alias
+    )
+
+
+def davg_merge(partial: Column | str, n: Column | str, alias: str) -> Column:
+    """Two-level twin of :func:`davg`: decimal merge of long-micro
+    partials divided by the merged non-null count — the same
+    ((sum→double)/1e6)/count expression tree as the single-level form,
+    so the final double is bit-identical."""
+    c = F.col(partial) if isinstance(partial, str) else partial
+    return (
+        F.sum(c.cast(DEC38)).cast("double")
+        / F.lit(float(_SCALE))
+        / F.sum(n)
     ).alias(alias)
 
 

@@ -102,10 +102,11 @@ def register(
 # Round 14 (VERDICT r13 task #1; derived by tools/gen_rotation.py
 # --max-round 13 --priority q22_global_sales_opportunity,
 # q11_important_stock,q17_small_qty_revenue,fn_json,
-# udtf_explode_sessions,events_top_paths --exempt <16 keys below>):
+# udtf_explode_sessions,events_top_paths,agg_pricing_summary
+# --exempt <16 keys below>):
 # post-r13 the stamp distribution is 25×r8, 30×r9, 46×r10, 45×r11,
 # 36×r12, 50×r13 with zero never-certified keys.  The window leads
-# with 6 --priority changed-after-stamp keys: the 4 round-13 review-
+# with 7 --priority changed-after-stamp keys: the 4 round-13 review-
 # batch-F keys whose edits landed after the r13 window had filled
 # (q22_global_sales_opportunity — one named-placeholder template,
 # q11_important_stock — DECIMAL(38,0) HUGEINT-safe micro-sum,
@@ -115,7 +116,11 @@ def register(
 # the oracle's epoch_us(NULL) instead of raising int(NaT-NaT);
 # events_top_paths — NULL-component paths filtered pre-rank on BOTH
 # sides, closing the Spark-NULLS-first vs DuckDB-NULLS-last rank
-# seam).  RECORDED EXEMPTIONS (--exempt; mechanical lifecycle edits
+# seam), and the round-14 two-level exact-sum upgrade
+# (agg_pricing_summary — the Q1 headline's long-micro accumulator now
+# merges per-(keys, partition-id) partials as decimal(38,0), removing
+# the ~9e7-rows-per-group 2^63 ceiling at any SF; helpers module
+# docstring).  RECORDED EXEMPTIONS (--exempt; mechanical lifecycle edits
 # riding normal stamp order): the 9 r13 records re-affirmed
 # (fn_conditional, join_bucketed_colocated, stream_sliding_demo,
 # stream_dedup_watermark_demo, stream_stream_join_demo,
@@ -126,22 +131,23 @@ def register(
 # (scan_manifest_skipping — also the read-path assert→raise,
 # scan_csv_malformed, scan_schema_evolution,
 # scan_dynamic_partition_pruning, sink_compression_codecs,
-# stream_foreachbatch_sink, mm_binary_file_scan).  The remaining 44
+# stream_foreachbatch_sink, mm_binary_file_scan).  The remaining 43
 # slots are (stamp round ASC, pristine registration index ASC): ALL
 # 25 remaining r8 stamps — retiring the r8 stamp mass entirely — and
-# the 19 registration-oldest r9 stamps.  The 10 registration-newest
-# r9 stamps slip to round 15 (llm_ngram_jaccard, llm_simhash_neardup,
+# the 18 registration-oldest r9 stamps.  The 11 registration-newest
+# r9 stamps slip to round 15 (llm_simhash_bucket — displaced by the
+# 7th priority key — plus llm_ngram_jaccard, llm_simhash_neardup,
 # llm_corpus_pipeline, llm_stratified_sample, llm_pack_sequences,
 # llm_text_normalize, q7_volume_shipping, q10_returned_items,
 # q12_priority_by_flag, fn_collation_lcase).  tests/test_plans.py re-runs the derivation in-process
 # (priority AND exemption) and asserts list equality.  Round 13's
 # window is recorded in SURVEY §11.6's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 6 priority keys — changed after their driver stamp (4× r13
-    # review batch F, 2× r14 ADVICE fixes)
+    # 7 priority keys — changed after their driver stamp (4× r13
+    # review batch F, 2× r14 ADVICE fixes, 1× r14 two-level exact sum)
     "q22_global_sales_opportunity", "q11_important_stock",
     "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
-    "events_top_paths",
+    "events_top_paths", "agg_pricing_summary",
     # 25 r8 stamps (registration order) — the entire remaining r8 mass
     "sort_zorder_locality", "agg_linear_fit", "join_interval_overlap",
     "events_windowed_topk", "win_running_distinct",
@@ -161,7 +167,6 @@ ROTATION_WINDOW: list[str] = [
     "llm_fingerprint", "llm_exact_dedup", "llm_minhash_neardup",
     "llm_minhash_lsh", "llm_token_counts", "llm_tfidf_topterms",
     "llm_text_stats", "llm_lang_filter_sample", "llm_embed_normalize",
-    "llm_simhash_bucket",
 ]
 
 def load_all() -> None:

@@ -312,20 +312,21 @@ def test_no_corpus_sized_broadcast_hints():
 
 
 # Round-14 rotation targets (plans.ROTATION_WINDOW, VERDICT r13 task
-# #1): 6 changed-after-stamp priority keys (the 4 r13 review-batch-F
-# keys whose edits landed after the r13 window filled, plus the 2 r14
-# ADVICE fixes), then ALL 25 remaining r8 stamps — retiring the r8
-# stamp mass — and the 19 registration-oldest r9 stamps.  After r14
+# #1): 7 changed-after-stamp priority keys (the 4 r13 review-batch-F
+# keys whose edits landed after the r13 window filled, the 2 r14
+# ADVICE fixes, and the r14 two-level exact-sum Q1 upgrade), then ALL
+# 25 remaining r8 stamps — retiring the r8 stamp mass — and the 18
+# registration-oldest r9 stamps.  After r14
 # certifies, the oldest stamp on the surface becomes r9.  The window
 # is the EXPLICIT plans.ROTATION_WINDOW list (load_all reorders
 # QUERIES); this set pins the intended membership independently so an
 # accidental edit to either side fails here.  tools/driver_sim.py
 # covers the full surface meanwhile.
 ROTATION_R14 = {
-    # 6 priority keys — changed after their driver stamp
+    # 7 priority keys — changed after their driver stamp
     "q22_global_sales_opportunity", "q11_important_stock",
     "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
-    "events_top_paths",
+    "events_top_paths", "agg_pricing_summary",
     # 25 r8 stamps — the entire remaining r8 mass
     "sort_zorder_locality", "agg_linear_fit", "join_interval_overlap",
     "events_windowed_topk", "win_running_distinct",
@@ -338,14 +339,13 @@ ROTATION_R14 = {
     "events_attribution_touch", "agg_width_bucket_histogram",
     "events_ewma_smoothing", "llm_perceptron_quality",
     "llm_classifier_eval", "stream_state_timeout_flush",
-    # 19 registration-oldest r9 stamps
+    # 18 registration-oldest r9 stamps
     "join_bucketed_colocated", "topk_global", "limit_offset",
     "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
     "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
     "llm_fingerprint", "llm_exact_dedup", "llm_minhash_neardup",
     "llm_minhash_lsh", "llm_token_counts", "llm_tfidf_topterms",
     "llm_text_stats", "llm_lang_filter_sample", "llm_embed_normalize",
-    "llm_simhash_bucket",
 }
 
 
@@ -375,8 +375,8 @@ def test_rotation_window_matches_artifact_derivation():
     tools/gen_rotation.py's mechanical derivation from the merged
     CORRECTNESS artifacts — (stamp round ASC, pristine registration
     index ASC), led by the round's 6 changed-after-stamp --priority
-    keys in window order (the 4 r13 review-batch-F keys + the 2 r14
-    ADVICE fixes).  The r6/r7 rotations hit ordering hazards and r8's
+    keys in window order (the 4 r13 review-batch-F keys, the 2 r14
+    ADVICE fixes, and the r14 two-level exact-sum Q1 upgrade).  The r6/r7 rotations hit ordering hazards and r8's
     was hand arithmetic; this pin makes the pre-sequencing checkable
     every CI run."""
     import tools.gen_rotation as gr
@@ -392,7 +392,7 @@ def test_rotation_window_matches_artifact_derivation():
     priority = [
         "q22_global_sales_opportunity", "q11_important_stock",
         "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
-        "events_top_paths",
+        "events_top_paths", "agg_pricing_summary",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
@@ -425,14 +425,14 @@ def test_driver_window_layout_matches_load_all_comment():
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
     round-14 window opens with the priority block (led by
     q22_global_sales_opportunity — the r13 batch-F template change),
-    closes with llm_simhash_bucket at slot 49, and the total key
+    closes with llm_embed_normalize at slot 49, and the total key
     count must equal the full surface so a module gaining/losing a
     @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
     assert keys[0] == "q22_global_sales_opportunity", keys[:3]
-    assert keys[5] == "events_top_paths", keys[4:7]
-    assert keys[49] == "llm_simhash_bucket", keys[48:51]
+    assert keys[6] == "agg_pricing_summary", keys[5:8]
+    assert keys[49] == "llm_embed_normalize", keys[48:51]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
