@@ -34,11 +34,38 @@ total scale — then a decimal(38,0) merge over the tiny
 |groups|×|partitions| relation.  agg_pricing_summary (the TPC-H Q1
 headline) runs this form live since round 14 (+0.07 s fixed overhead
 at sf0.1, the extra merge stage; the decimal-everywhere alternative
-measured 3× on the same shape).  Single-level dsum/davg remain the
-default for bounded-group keys; q11 shows the decimal(38,0)
-direct-sum form where the input relation is small.  The moments
-oracle (aggregates._MOM) shows the decimal form for squared measures
-whose magnitude exceeds the long budget at any cardinality.
+measured 3× on the same shape).  Round 15 extended it to every
+remaining ANALYTICS key whose groups are table-fraction-sized:
+agg_conditional_filter (~SF 1e5 single-level ceiling at events value
+scale), agg_rollup (grand total ~SF 60 — the earliest-binding site in
+the repo), agg_unpivot_melt (~SF 400), join_multikey /
+join_bucketed_colocated (~SF 1e3), join_salted_skew (~SF 1e5),
+q7/q8/q9 (fact-fraction nation/year groups), q14 (~SF 4e3), and the
+global bands q17/q19 (~SF 4e4) — all 12 hash-matched against their
+UNCHANGED single-level oracles (DuckDB sums BIGINT into HUGEINT, so
+the oracle side never had the ceiling) at all three SFs.
+
+Single-level dsum/davg remain, deliberately, in three classes:
+(1) BOUNDED-group keys — per-order (join_shuffle_fact, q3), per
+    (part, supp) (q2, q20), per-customer (q10), per-supplier (q15):
+    group size is a TPC-H constant independent of SF, no ceiling.
+(2) The sources/lakehouse/format DEMO keys (scans.py, lakehouse.py,
+    formats_ext.py, lakehouse_txn.py, manifest_read.py audit sums
+    by o_orderpriority / l_returnflag / merge_action / o_year): these
+    sum money-scale measures over table-fraction groups and carry the
+    same ~SF 200-1000 single-level ceiling.  They are the
+    pre-sequenced ROUND-16 conversion wave (SURVEY §11.8) — each is a
+    one-aggregate audit tail over a format-mechanics key, kept
+    single-level this round so the r15 certification window stays a
+    coherent 12-key analytics batch.
+(3) stream_tumbling_window's davg: per-window row counts are bounded
+    by event rate × window length in a real stream; the batch fixture
+    ceiling (~SF 1e5 at value scale) is documented rather than
+    converted to keep the key a faithful streaming shape.
+q11 shows the decimal(38,0) direct-sum form where the input relation
+is small.  The moments oracle (aggregates._MOM) shows the decimal
+form for squared measures whose magnitude exceeds the long budget at
+any cardinality.
 """
 
 from __future__ import annotations

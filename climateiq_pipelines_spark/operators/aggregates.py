@@ -194,12 +194,32 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregation (conditional sum/count per group).
+
+    Round 15: converted to the TWO-LEVEL exact sum (helpers module
+    docstring; the r14 Q1/q6 recipe).  event_type is ~5 values over
+    the whole events table, so groups are table-sized and the
+    single-level long-micro accumulator hits its 2^63 bound at
+    ~1.9e10 value-scale rows per group — ~SF 1e5, i.e. exactly the
+    100 TB target.  Level 1 sums micros per (event_type, partition);
+    level 2 merges decimal(38,0).  The conditional NULL semantics are
+    unchanged: a (group, partition) whose rows all fail `big` yields a
+    NULL partial, the merge SUM skips NULLs, and an all-NULL group
+    merges to NULL — exactly the single-level and oracle CASE WHEN
+    behavior."""
     events = load_table(spark, sf_dir, "events")
     big = F.col("value") > 10
-    return events.groupBy("event_type").agg(
-        F.count(F.when(big, 1)).alias("n_big"),
-        dsum(F.when(big, F.col("value")), "sum_big"),
-        F.count(F.lit(1)).alias("n_total"),
+    partials = events.groupBy(
+        "event_type", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count(F.when(big, 1)).alias("p_big"),
+        F.sum(micros(F.when(big, F.col("value")))).alias("p_sum_big"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("p_big").alias("n_big"),
+        dsum_merge("p_sum_big", "sum_big"),
+        F.sum("p_n").alias("n_total"),
     )
 
 
@@ -370,7 +390,23 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    return joined.rollup("r_name", "n_name").agg(dsum(F.col("o_totalprice"), "revenue"))
+    # Round 15: TWO-LEVEL exact sum (helpers module docstring).  The
+    # rollup's grand-total level sums o_totalprice over ALL orders —
+    # the single-level long-micro accumulator was the earliest-binding
+    # ceiling left in the repo (2^63 at ~6e7 money-scale rows ≈ SF 60).
+    # Level 1 pre-sums micros per (r_name, n_name, partition) — plain
+    # groupBy, bounded by partition size; level 2 runs the ROLLUP over
+    # the tiny partials relation, merging decimal(38,0) at every
+    # grouping level (integer addition is associative, so rolling up
+    # pre-summed partials is exact and layout-independent).  r_name and
+    # n_name are non-null dimension values, so the rollup's own NULL
+    # grouping markers stay unambiguous, same as the single-level form.
+    partials = joined.groupBy(
+        "r_name", "n_name", F.spark_partition_id().alias("_pid")
+    ).agg(F.sum(micros(F.col("o_totalprice"))).alias("p_rev"))
+    return partials.rollup("r_name", "n_name").agg(
+        dsum_merge("p_rev", "revenue")
+    )
 
 
 @register(
@@ -672,7 +708,18 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
-    return melted.groupBy("measure").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("val"), "sum_val"),
+    # Round 15: TWO-LEVEL exact sum (helpers module docstring) — the 4
+    # measure groups are table-sized (2^63 for the l_extendedprice
+    # group at ~SF 400), so micros pre-sum per (measure, partition)
+    # still combines map-side right after the Expand, and only the
+    # tiny partials relation shuffles to the decimal(38,0) merge.
+    partials = melted.groupBy(
+        "measure", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(micros(F.col("val"))).alias("p_val"),
+    )
+    return partials.groupBy("measure").agg(
+        F.sum("p_n").alias("n_rows"),
+        dsum_merge("p_val", "sum_val"),
     )

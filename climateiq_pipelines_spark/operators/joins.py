@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import (
     REVENUE,
     dsum,
+    dsum_merge,
+    micros,
     revenue_col,
     sql_dsum,
 )
@@ -128,8 +130,15 @@ def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
+        # Round 15: TWO-LEVEL exact sum (helpers module docstring) —
+        # per-nation revenue groups are fact-table-sized (~SF 1000
+        # ceiling single-level), so micros pre-sum per (n_name,
+        # partition) right after the join, and only the partials
+        # relation shuffles into the decimal(38,0) merge.
+        .groupBy("n_name", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(micros(revenue_col())).alias("p_rev"))
         .groupBy("n_name")
-        .agg(dsum(revenue_col(), "revenue"))
+        .agg(dsum_merge("p_rev", "revenue"))
     )
 
 
@@ -452,9 +461,18 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (salted_fact.user_id == salted_dim.c_custkey)
         & (salted_fact.salt == salted_dim.salt),
     )
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        dsum(F.col("value"), "sum_value"),
+    # Round 15: TWO-LEVEL exact sum (helpers module docstring) — 5
+    # segment groups over the whole salted join output (single-level
+    # ceiling ~SF 1e5 at events value scale, i.e. the 100 TB target).
+    partials = joined.groupBy(
+        "c_mktsegment", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(micros(F.col("value"))).alias("p_val"),
+    )
+    return partials.groupBy("c_mktsegment").agg(
+        F.sum("p_n").alias("n_events"),
+        dsum_merge("p_val", "sum_value"),
     )
 
 
@@ -535,10 +553,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(t_cust).hint("merge"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
+        # Round 15: TWO-LEVEL exact sum (helpers module docstring) —
+        # 25 nation groups over ALL orders (single-level ceiling
+        # ~SF 1000 at o_totalprice scale).  The pre-sum per
+        # (c_nationkey, partition) rides the bucket-co-located join
+        # output partitioning; only the partials relation shuffles.
+        .groupBy("c_nationkey", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(micros(F.col("o_totalprice"))).alias("p_price"),
+        )
         .groupBy("c_nationkey")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), "sum_totalprice"),
+            F.sum("p_n").alias("n_orders"),
+            dsum_merge("p_price", "sum_totalprice"),
         )
     )
 

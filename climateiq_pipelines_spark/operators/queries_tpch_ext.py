@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import (
     REVENUE,
     dsum,
+    dsum_merge,
+    micros,
     revenue_col,
     sql_dsum,
 )
@@ -76,12 +78,20 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
+        # Round 15: TWO-LEVEL exact sum (helpers module docstring) —
+        # the nation-pair × year groups are fact-fraction-sized, so
+        # the single-level long-micro accumulator carries the 2^63
+        # ceiling; micros pre-sum per (pair, year, partition), then
+        # the tiny partials relation merges as decimal(38,0).
         .groupBy(
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
+            F.spark_partition_id().alias("_pid"),
         )
-        .agg(dsum(revenue_col(), "revenue"))
+        .agg(F.sum(micros(revenue_col())).alias("p_rev"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum_merge("p_rev", "revenue"))
     )
 
 

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.helpers import (
     REVENUE,
     dsum,
+    dsum_merge,
+    micros,
     revenue_col,
     sql_dsum,
 )
@@ -149,11 +151,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(F.col("p_type") == "PROMO", revenue_col()).otherwise(0.0)
+    # Round 15: TWO-LEVEL exact sum (helpers module docstring) — both
+    # accumulators are GLOBAL over a month of lineitem (∝ SF;
+    # single-level 2^63 ceiling ~SF 4e3).  Micros pre-sum per
+    # partition; the ratio divides two decimal-merged exact doubles —
+    # the identical expression tree, so hash parity holds.  An empty
+    # month yields NULL/NULL → NULL on both forms and both engines.
     return (
         li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.spark_partition_id().alias("_pid"))
         .agg(
-            dsum(promo, "promo_rev"),
-            dsum(revenue_col(), "total_rev"),
+            F.sum(micros(promo)).alias("p_promo"),
+            F.sum(micros(revenue_col())).alias("p_total"),
+        )
+        .agg(
+            dsum_merge("p_promo", "promo_rev"),
+            dsum_merge("p_total", "total_rev"),
         )
         .select(
             F.round(
@@ -213,8 +226,14 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 40)
         )
     )
+    # Round 15: TWO-LEVEL exact sum (helpers module docstring) — a
+    # GLOBAL sum over the tier band (∝ SF; single-level ceiling
+    # ~SF 4e4, under the 100 TB target).  Empty band merges to one
+    # NULL-revenue row on both forms and both engines (q6 seam).
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(tier)
-        .agg(dsum(revenue_col(), "revenue"))
+        .groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(micros(revenue_col())).alias("p_rev"))
+        .agg(dsum_merge("p_rev", "revenue"))
     )

@@ -31,6 +31,7 @@ from climateiq_pipelines_spark.functions.helpers import (
     REVENUE,
     davg_window,
     dsum,
+    dsum_merge,
     micros,
     revenue_col,
     sql_dsum,
@@ -122,9 +123,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_vol = F.when(
         F.col("supp_nation") == "NATION_3", revenue_col()
     ).otherwise(0.0)
+    # Round 15: TWO-LEVEL exact sum (helpers module docstring) — only
+    # two o_year groups over the region-filtered fact chain, i.e.
+    # table-fraction groups carrying the single-level 2^63 ceiling.
+    # Both accumulators pre-sum micros per (o_year, partition); the
+    # share division then divides two decimal-merged exact doubles —
+    # the same expression tree as before, so hash parity holds.
     return (
-        rev.groupBy("o_year")
-        .agg(dsum(nation_vol, "nation_rev"), dsum(revenue_col(), "total_rev"))
+        rev.groupBy("o_year", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.sum(micros(nation_vol)).alias("p_nation_rev"),
+            F.sum(micros(revenue_col())).alias("p_total_rev"),
+        )
+        .groupBy("o_year")
+        .agg(
+            dsum_merge("p_nation_rev", "nation_rev"),
+            dsum_merge("p_total_rev", "total_rev"),
+        )
         .select(
             "o_year",
             F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias(
@@ -184,8 +199,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == sn.sn_key)
+        # Round 15: TWO-LEVEL exact sum (helpers module docstring) —
+        # nation × year groups over the part-filtered fact are
+        # table-fraction-sized (single-level 2^63 ceiling); micros
+        # pre-sum per (nation, year, partition), decimal(38,0) merge.
+        .groupBy("nation", "o_year", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(micros(revenue_col())).alias("p_profit"))
         .groupBy("nation", "o_year")
-        .agg(dsum(revenue_col(), "sum_profit"))
+        .agg(dsum_merge("p_profit", "sum_profit"))
     )
 
 
@@ -344,7 +365,15 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = brand_li.withColumn("qty_limit", F.lit(0.2) * avg_qty).filter(
         F.col("l_quantity") < F.col("qty_limit")
     )
-    return small.agg(dsum(F.col("l_extendedprice"), "rev")).select(
+    # Round 15: TWO-LEVEL exact sum (helpers module docstring) — the
+    # final sum is GLOBAL over the small-quantity band (∝ SF; the
+    # single-level ceiling lands ~SF 4e4, under the 100 TB target).
+    # Zero kept rows merge to one NULL-revenue row either way (the q6
+    # global-form seam; no count output, so no coalesce needed).
+    partials = small.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        F.sum(micros(F.col("l_extendedprice"))).alias("p_rev")
+    )
+    return partials.agg(dsum_merge("p_rev", "rev")).select(
         F.round(F.col("rev") / F.lit(7.0), 6).alias("avg_yearly")
     )
 

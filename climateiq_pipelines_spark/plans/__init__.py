@@ -99,75 +99,56 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 14 (VERDICT r13 task #1; derived by tools/gen_rotation.py
-# --max-round 13 --priority q22_global_sales_opportunity,
-# q11_important_stock,q17_small_qty_revenue,fn_json,
-# udtf_explode_sessions,events_top_paths,agg_pricing_summary
-# --exempt <16 keys below>):
-# post-r13 the stamp distribution is 25×r8, 30×r9, 46×r10, 45×r11,
-# 36×r12, 50×r13 with zero never-certified keys.  The window leads
-# with 7 --priority changed-after-stamp keys: the 4 round-13 review-
-# batch-F keys whose edits landed after the r13 window had filled
-# (q22_global_sales_opportunity — one named-placeholder template,
-# q11_important_stock — DECIMAL(38,0) HUGEINT-safe micro-sum,
-# q17_small_qty_revenue, fn_json — true JSON validity via
-# try_parse_json), and the 2 round-14 ADVICE fixes
-# (udtf_explode_sessions — NaT sessions now emit NULL duration like
-# the oracle's epoch_us(NULL) instead of raising int(NaT-NaT);
-# events_top_paths — NULL-component paths filtered pre-rank on BOTH
-# sides, closing the Spark-NULLS-first vs DuckDB-NULLS-last rank
-# seam), and the round-14 two-level exact-sum upgrade
-# (agg_pricing_summary — the Q1 headline's long-micro accumulator now
-# merges per-(keys, partition-id) partials as decimal(38,0), removing
-# the ~9e7-rows-per-group 2^63 ceiling at any SF; helpers module
-# docstring).  RECORDED EXEMPTIONS (--exempt; mechanical lifecycle edits
-# riding normal stamp order): the 9 r13 records re-affirmed
-# (fn_conditional, join_bucketed_colocated, stream_sliding_demo,
-# stream_dedup_watermark_demo, stream_stream_join_demo,
-# stream_windowed_topk_demo, stream_state_timeout_flush,
-# events_attribution_touch, agg_width_bucket_histogram) plus the 7
-# round-14 new_temp_dir hoist sites — registered bodies whose only
-# edit is register_temp_dir(tempfile.mkdtemp(...)) → new_temp_dir(tag)
-# (scan_manifest_skipping — also the read-path assert→raise,
-# scan_csv_malformed, scan_schema_evolution,
-# scan_dynamic_partition_pruning, sink_compression_codecs,
-# stream_foreachbatch_sink, mm_binary_file_scan).  The remaining 43
-# slots are (stamp round ASC, pristine registration index ASC): ALL
-# 25 remaining r8 stamps — retiring the r8 stamp mass entirely — and
-# the 18 registration-oldest r9 stamps.  The 11 registration-newest
-# r9 stamps slip to round 15 (llm_simhash_bucket — displaced by the
-# 7th priority key — plus llm_ngram_jaccard, llm_simhash_neardup,
-# llm_corpus_pipeline, llm_stratified_sample, llm_pack_sequences,
-# llm_text_normalize, q7_volume_shipping, q10_returned_items,
-# q12_priority_by_flag, fn_collation_lcase).  tests/test_plans.py re-runs the derivation in-process
-# (priority AND exemption) and asserts list equality.  Round 13's
-# window is recorded in SURVEY §11.6's as-built log.
+# Round 15 (VERDICT r14 task #2, extended by task #1; derived by
+# tools/gen_rotation.py --max-round 14 --priority <the 12 keys below>):
+# post-r14 the stamp distribution is 11×r9, 44×r10, 45×r11, 34×r12,
+# 48×r13, 50×r14 with zero never-certified keys and zero stale stamps
+# at round open.  The window leads with 12 --priority
+# changed-after-stamp keys: the round-15 TWO-LEVEL EXACT-SUM
+# conversions (helpers module docstring; the r14 Q1/q6 recipe) —
+# every remaining single-level dsum/davg whose groups are
+# table-fraction-sized and therefore carry the documented 2^63
+# long-micro ceiling below or near the 100 TB target
+# (agg_conditional_filter ~SF 1e5, agg_rollup's grand total ~SF 60,
+# agg_unpivot_melt ~SF 400, join_multikey/join_bucketed_colocated
+# ~SF 1e3, join_salted_skew ~SF 1e5, q7/q8/q9 fact-fraction groups,
+# q14 ~SF 4e3, q17/q19 global bands ~SF 4e4).  Oracle text unchanged
+# for all 12; hash parity re-verified at all three SFs and layout
+# stability across shuffle.partitions {2,32,200} before the rotation
+# edit.  RECORDED EXEMPTIONS: none — this round's only other edits
+# are comment/test-layer (the two r15 ADVICE count fixes and the two
+# PROBE_KEYS additions), which touch no registered body or oracle.
+# The remaining 38 slots are (stamp round ASC, pristine registration
+# index ASC): the 10 remaining r9 stamps (the 11 SURVEY §11.7 named
+# minus q7_volume_shipping, which moved into the priority block) and
+# the 28 registration-oldest r10 stamps.  The 8 keys the priority
+# block displaced slip to round 16 (win_first_last, win_percent_cume,
+# fn_string, fn_date, fn_math, fn_conditional, fn_array, fn_map).
+# tests/test_plans.py re-runs the derivation in-process (priority AND
+# exemption) and asserts list equality.  Round 14's window is
+# recorded in SURVEY §11.7's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 7 priority keys — changed after their driver stamp (4× r13
-    # review batch F, 2× r14 ADVICE fixes, 1× r14 two-level exact sum)
-    "q22_global_sales_opportunity", "q11_important_stock",
-    "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
-    "events_top_paths", "agg_pricing_summary",
-    # 25 r8 stamps (registration order) — the entire remaining r8 mass
-    "sort_zorder_locality", "agg_linear_fit", "join_interval_overlap",
-    "events_windowed_topk", "win_running_distinct",
-    "scd2_build_intervals", "sink_txn_commit_protocol",
-    "sink_txn_checkpoint", "llm_minhash_jaccard_estimate",
-    "sql_recursive_closure", "join_pit_scd2", "fn_variant_json",
-    "scan_python_datasource", "llm_gopher_quality",
-    "llm_temperature_mixture", "llm_substring_span_dedup",
-    "llm_vocab_coverage", "llm_dataset_split", "llm_bloom_decontam",
-    "events_attribution_touch", "agg_width_bucket_histogram",
-    "events_ewma_smoothing", "llm_perceptron_quality",
-    "llm_classifier_eval", "stream_state_timeout_flush",
-    # 19 registration-oldest r9 stamps
-    "join_bucketed_colocated", "topk_global", "limit_offset",
-    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
-    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
-    "llm_fingerprint", "llm_exact_dedup", "llm_minhash_neardup",
-    "llm_minhash_lsh", "llm_token_counts", "llm_tfidf_topterms",
-    "llm_text_stats", "llm_lang_filter_sample", "llm_embed_normalize",
+    # 12 priority keys — the r15 two-level exact-sum conversions
+    "agg_conditional_filter", "agg_rollup", "agg_unpivot_melt", "join_multikey",
+    "join_salted_skew", "join_bucketed_colocated", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q14_promo_revenue", "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    # 10 remaining r9 stamps (registration order)
+    "llm_simhash_bucket", "llm_ngram_jaccard", "llm_simhash_neardup",
+    "llm_corpus_pipeline", "llm_stratified_sample", "llm_pack_sequences",
+    "llm_text_normalize", "q10_returned_items", "q12_priority_by_flag",
+    "fn_collation_lcase",
+    # 28 registration-oldest r10 stamps
+    "agg_count_distinct", "agg_approx_count_distinct", "agg_stats_moments",
+    "agg_percentiles", "agg_collect_sorted", "agg_cube", "agg_distinct_rows",
+    "agg_min_max_by", "agg_pivot", "agg_approx_percentile", "agg_hll_sketch_merge",
+    "scan_parquet_project", "join_right_outer", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_dropdup_subset", "set_intersect_all",
+    "set_except_all", "udf_scalar_py", "udf_pandas_vectorized", "win_rank_topn_per_group",
+    "win_rank_dense_ntile", "win_lag_lead_delta", "win_running_sum",
+    "win_moving_avg_rows", "win_range_frame",
 ]
+
 
 def load_all() -> None:
     """Import every operator module so its @register calls run."""

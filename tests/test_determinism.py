@@ -37,6 +37,11 @@ PROBE_KEYS = [
     "sink_range_partitioned_stats",  # audit invariant to sampled bounds
     "events_markov_transitions",     # integer probabilities, any layout
     "agg_linear_fit",                # decimal moments -> rounded fit
+    # round 15: two-level exact-sum conversions — the partials are
+    # grouped by spark_partition_id(), which CHANGES with the layout;
+    # the merged integer sum must not (integer addition associativity).
+    "agg_rollup",        # ROLLUP over per-partition decimal partials
+    "q8_market_share",   # two-accumulator merged ratio per year
 ]
 
 

@@ -311,41 +311,37 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-14 rotation targets (plans.ROTATION_WINDOW, VERDICT r13 task
-# #1): 7 changed-after-stamp priority keys (the 4 r13 review-batch-F
-# keys whose edits landed after the r13 window filled, the 2 r14
-# ADVICE fixes, and the r14 two-level exact-sum Q1 upgrade), then ALL
-# 25 remaining r8 stamps — retiring the r8 stamp mass — and the 18
-# registration-oldest r9 stamps.  After r14
-# certifies, the oldest stamp on the surface becomes r9.  The window
-# is the EXPLICIT plans.ROTATION_WINDOW list (load_all reorders
-# QUERIES); this set pins the intended membership independently so an
-# accidental edit to either side fails here.  tools/driver_sim.py
-# covers the full surface meanwhile.
-ROTATION_R14 = {
-    # 7 priority keys — changed after their driver stamp
-    "q22_global_sales_opportunity", "q11_important_stock",
-    "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
-    "events_top_paths", "agg_pricing_summary",
-    # 25 r8 stamps — the entire remaining r8 mass
-    "sort_zorder_locality", "agg_linear_fit", "join_interval_overlap",
-    "events_windowed_topk", "win_running_distinct",
-    "scd2_build_intervals", "sink_txn_commit_protocol",
-    "sink_txn_checkpoint", "llm_minhash_jaccard_estimate",
-    "sql_recursive_closure", "join_pit_scd2", "fn_variant_json",
-    "scan_python_datasource", "llm_gopher_quality",
-    "llm_temperature_mixture", "llm_substring_span_dedup",
-    "llm_vocab_coverage", "llm_dataset_split", "llm_bloom_decontam",
-    "events_attribution_touch", "agg_width_bucket_histogram",
-    "events_ewma_smoothing", "llm_perceptron_quality",
-    "llm_classifier_eval", "stream_state_timeout_flush",
-    # 18 registration-oldest r9 stamps
-    "join_bucketed_colocated", "topk_global", "limit_offset",
-    "q3_shipping_priority", "q6_revenue_forecast", "q18_large_orders",
-    "llm_lang_detect", "llm_quality_score", "llm_bpe_tokens",
-    "llm_fingerprint", "llm_exact_dedup", "llm_minhash_neardup",
-    "llm_minhash_lsh", "llm_token_counts", "llm_tfidf_topterms",
-    "llm_text_stats", "llm_lang_filter_sample", "llm_embed_normalize",
+# Round-15 rotation targets (plans.ROTATION_WINDOW, VERDICT r14 tasks
+# #1/#2): 12 changed-after-stamp priority keys — the round-15
+# two-level exact-sum conversions (every remaining single-level
+# dsum/davg over table-fraction-sized groups; helpers module
+# docstring) — then the 10 remaining r9 stamps and the 28
+# registration-oldest r10 stamps.  After r15 certifies, the oldest
+# stamp on the surface becomes r10.  The window is the EXPLICIT
+# plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set
+# pins the intended membership independently so an accidental edit to
+# either side fails here.  tools/driver_sim.py covers the full
+# surface meanwhile.
+ROTATION_R15 = {
+    # 12 priority keys — the r15 two-level exact-sum conversions
+    "agg_conditional_filter", "agg_rollup", "agg_unpivot_melt", "join_multikey",
+    "join_salted_skew", "join_bucketed_colocated", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    # 10 remaining r9 stamps (registration order)
+    "llm_simhash_bucket", "llm_ngram_jaccard", "llm_simhash_neardup",
+    "llm_corpus_pipeline", "llm_stratified_sample", "llm_pack_sequences",
+    "llm_text_normalize", "q10_returned_items", "q12_priority_by_flag",
+    "fn_collation_lcase",
+    # 28 registration-oldest r10 stamps
+    "agg_count_distinct", "agg_approx_count_distinct", "agg_stats_moments",
+    "agg_percentiles", "agg_collect_sorted", "agg_cube", "agg_distinct_rows",
+    "agg_min_max_by", "agg_pivot", "agg_approx_percentile", "agg_hll_sketch_merge",
+    "scan_parquet_project", "join_right_outer", "set_union_all",
+    "set_union_distinct", "set_intersect", "set_except", "set_dropdup_subset",
+    "set_intersect_all", "set_except_all", "udf_scalar_py", "udf_pandas_vectorized",
+    "win_rank_topn_per_group", "win_rank_dense_ntile", "win_lag_lead_delta",
+    "win_running_sum", "win_moving_avg_rows", "win_range_frame",
 }
 
 
@@ -355,18 +351,18 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-14 membership (ROTATION_R14 above) fills the first
+    the intended round-15 membership (ROTATION_R15 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R14 together with
+    side without the other fails here.  Update ROTATION_R15 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R14 - first50)
+    missing = sorted(ROTATION_R15 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R14
+    assert set(ROTATION_WINDOW) == ROTATION_R15
     assert len(ROTATION_WINDOW) == 50
 
 
@@ -374,11 +370,12 @@ def test_rotation_window_matches_artifact_derivation():
     """VERDICT r11 task #6: the committed ROTATION_WINDOW must equal
     tools/gen_rotation.py's mechanical derivation from the merged
     CORRECTNESS artifacts — (stamp round ASC, pristine registration
-    index ASC), led by the round's 6 changed-after-stamp --priority
-    keys in window order (the 4 r13 review-batch-F keys, the 2 r14
-    ADVICE fixes, and the r14 two-level exact-sum Q1 upgrade).  The r6/r7 rotations hit ordering hazards and r8's
-    was hand arithmetic; this pin makes the pre-sequencing checkable
-    every CI run."""
+    index ASC), led by the round's 12 changed-after-stamp --priority
+    keys in window order (the r15 two-level exact-sum conversions —
+    every remaining single-level dsum/davg over table-fraction-sized
+    groups; helpers module docstring).  The r6/r7 rotations hit
+    ordering hazards and r8's was hand arithmetic; this pin makes the
+    pre-sequencing checkable every CI run."""
     import tools.gen_rotation as gr
     from climateiq_pipelines_spark.plans import (
         REGISTRATION_ORDER,
@@ -388,33 +385,25 @@ def test_rotation_window_matches_artifact_derivation():
     # The priority list is stated EXPLICITLY here, not sliced from the
     # committed window (round-13 self-review: a slice makes the pin
     # circular — any wrong key inside the prefix would echo straight
-    # back).  It must match the SURVEY 11.7 changed-after-stamp record.
+    # back).  It must match the SURVEY 11.8 changed-after-stamp record.
     priority = [
-        "q22_global_sales_opportunity", "q11_important_stock",
-        "q17_small_qty_revenue", "fn_json", "udtf_explode_sessions",
-        "events_top_paths", "agg_pricing_summary",
+        "agg_conditional_filter", "agg_rollup", "agg_unpivot_melt",
+        "join_multikey", "join_salted_skew", "join_bucketed_colocated",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q14_promo_revenue", "q17_small_qty_revenue",
+        "q19_discounted_revenue",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
-        gr.merged_stamps(max_round=13),  # r14 window <- artifacts r1..r13
+        gr.merged_stamps(max_round=14),  # r15 window <- artifacts r1..r14
         priority=priority,
         n=50,
-        # Recorded judgments (r12 task #7): mechanical lifecycle edits
-        # riding normal stamp order — the 9 r13 records re-affirmed,
-        # plus the 7 r14 new_temp_dir hoist sites (registered bodies
-        # whose only edit is the one-line mkdtemp→new_temp_dir swap;
-        # scan_manifest_skipping additionally got its read-path
-        # layout-contract assert converted to a plain raise).
-        exempt=[
-            "fn_conditional", "join_bucketed_colocated",
-            "stream_sliding_demo", "stream_dedup_watermark_demo",
-            "stream_stream_join_demo", "stream_windowed_topk_demo",
-            "stream_state_timeout_flush", "events_attribution_touch",
-            "agg_width_bucket_histogram", "scan_manifest_skipping",
-            "scan_csv_malformed", "scan_schema_evolution",
-            "scan_dynamic_partition_pruning", "sink_compression_codecs",
-            "stream_foreachbatch_sink", "mm_binary_file_scan",
-        ],
+        # Recorded judgments (r12 task #7): no exemptions this round —
+        # round 15's only non-priority edits are comment/test-layer
+        # (the two r15 ADVICE count fixes in plans/test_plans prose and
+        # the two PROBE_KEYS additions in tests/test_determinism.py),
+        # which touch no registered body or oracle text.
+        exempt=[],
     )
     assert derived == list(ROTATION_WINDOW)
 
@@ -423,16 +412,16 @@ def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-14 window opens with the priority block (led by
-    q22_global_sales_opportunity — the r13 batch-F template change),
-    closes with llm_embed_normalize at slot 49, and the total key
-    count must equal the full surface so a module gaining/losing a
-    @register call surfaces here."""
+    round-15 window opens with the 12-key priority block (led by
+    agg_conditional_filter and closed by q19_discounted_revenue — the
+    r15 two-level exact-sum conversions), ends with win_range_frame at
+    slot 49, and the total key count must equal the full surface so a
+    module gaining/losing a @register call surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "q22_global_sales_opportunity", keys[:3]
-    assert keys[6] == "agg_pricing_summary", keys[5:8]
-    assert keys[49] == "llm_embed_normalize", keys[48:51]
+    assert keys[0] == "agg_conditional_filter", keys[:3]
+    assert keys[11] == "q19_discounted_revenue", keys[10:13]
+    assert keys[49] == "win_range_frame", keys[48:51]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
@@ -948,12 +937,22 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
 
 def test_bucketed_join_has_no_exchange(spark):
     """join_bucketed_colocated: both scans read Bucketed, the join is
-    SortMergeJoin, and the ONLY Exchange is the final aggregate's —
-    bucket co-location eliminated the join shuffle entirely."""
+    SortMergeJoin, and NO Exchange sits below the join — bucket
+    co-location eliminated the join shuffle entirely.  The only
+    exchanges are the aggregation's: since the r15 two-level exact-sum
+    conversion there are TWO (partial merge on (c_nationkey, _pid),
+    final on c_nationkey), both over the |groups|x|partitions| partials
+    relation, never over fact rows."""
     plan = plan_of(spark, "join_bucketed_colocated")
     assert "Bucketed: true" in plan, plan
     assert "SortMergeJoin" in plan, plan
-    assert len(re.findall("Exchange", plan)) == 1, plan
+    assert len(re.findall("Exchange", plan)) == 2, plan
+    # the join subtree itself is exchange-free: both exchanges appear
+    # ABOVE the SortMergeJoin node in the plan tree (the formatted
+    # string lists parents before children, so every Exchange offset
+    # must precede the SMJ offset).
+    smj_at = plan.index("SortMergeJoin")
+    assert all(m.start() < smj_at for m in re.finditer("Exchange", plan)), plan
 
 
 def test_scalable_rank_windows_are_partitioned(spark):
