@@ -59,25 +59,35 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=0.2,
                     help="max load_1m at which bench.py may launch")
+    ap.add_argument("--threshold-5m", type=float, default=None,
+                    help="also require load_5m at or below this value "
+                    "(round-15 lesson: records 2-3 launched at "
+                    "load_1m<0.3 during a LULL — 5m/15m averages were "
+                    "2.8-5.0 and steal resumed mid-run, inflating the "
+                    "wall 27-34%%.  Default: 4x the 1m threshold.)")
     ap.add_argument("--poll", type=float, default=30.0,
                     help="seconds between load polls while waiting")
     ap.add_argument("--max-wait", type=float, default=3600.0,
                     help="give up (exit 1) after this many seconds")
     ap.add_argument("--out", default=os.path.join(REPO, "bench_record.json"))
     args = ap.parse_args()
+    thr5 = (args.threshold_5m if args.threshold_5m is not None
+            else 4.0 * args.threshold)
 
     attempts: list[dict] = []
     waited = 0.0
     while True:
-        load = round(os.getloadavg()[0], 2)
-        ok = load <= args.threshold
+        load, load5, _ = (round(v, 2) for v in os.getloadavg())
+        ok = load <= args.threshold and load5 <= thr5
         attempts.append({
             "load_1m": load,
+            "load_5m": load5,
             "launched": ok,
             "waited_sec": round(waited, 1),
         })
-        print(f"# load_1m={load} threshold={args.threshold} "
-              f"{'LAUNCH' if ok else 'wait'}", file=sys.stderr)
+        print(f"# load_1m={load} load_5m={load5} thresholds="
+              f"{args.threshold}/{thr5} {'LAUNCH' if ok else 'wait'}",
+              file=sys.stderr)
         if ok:
             break
         if waited >= args.max_wait:
