@@ -45,20 +45,34 @@ global bands q17/q19 (~SF 4e4) — all 12 hash-matched against their
 UNCHANGED single-level oracles (DuckDB sums BIGINT into HUGEINT, so
 the oracle side never had the ceiling) at all three SFs.
 
-Single-level dsum/davg remain, deliberately, in three classes:
+Round 16 converted the last table-fraction-group class — the
+sources/lakehouse/format audit tails (scans.py roundtrips +
+sink_partitioned_parquet + sink_merge_upsert, lakehouse.py
+merge_on_read/time_travel, formats_ext.py csv_malformed /
+schema_evolution / dynamic_partition_pruning, manifest_read.py,
+lakehouse_txn.py's three txn keys — 14 keys, ~SF 200-1000
+single-level ceilings) — via :func:`two_level`, which packages the
+partial/merge pair for the audit-tail shape so each site stays one
+declarative call.  Oracles unchanged (DuckDB sums BIGINT into
+HUGEINT; its side never had the ceiling).
+
+Level-1 bound fine print: the long partial is bounded by PARTITION
+mass, and what bounds a partition depends on where the partial runs.
+Scan-side sites (Q1, the sources wave) are bounded by
+spark.sql.files.maxPartitionBytes.  POST-JOIN sites (join_multikey,
+join_salted_skew, join_bucketed_colocated) inherit their partition
+size from shuffle/AQE output sizing instead — an upstream
+coalesce(1), a disabled AQE skew split, or a pathological skewed key
+re-introduces a per-partition ceiling there (loud via ANSI
+ARITHMETIC_OVERFLOW, never silent).  Review rule: any change that
+coarsens partitioning upstream of those three keys' partial stage
+needs a second look at the partial's mass bound.
+
+Single-level dsum/davg remain, deliberately, in two classes:
 (1) BOUNDED-group keys — per-order (join_shuffle_fact, q3), per
     (part, supp) (q2, q20), per-customer (q10), per-supplier (q15):
     group size is a TPC-H constant independent of SF, no ceiling.
-(2) The sources/lakehouse/format DEMO keys (scans.py, lakehouse.py,
-    formats_ext.py, lakehouse_txn.py, manifest_read.py audit sums
-    by o_orderpriority / l_returnflag / merge_action / o_year): these
-    sum money-scale measures over table-fraction groups and carry the
-    same ~SF 200-1000 single-level ceiling.  They are the
-    pre-sequenced ROUND-16 conversion wave (SURVEY §11.8) — each is a
-    one-aggregate audit tail over a format-mechanics key, kept
-    single-level this round so the r15 certification window stays a
-    coherent 12-key analytics batch.
-(3) stream_tumbling_window's davg: per-window row counts are bounded
+(2) stream_tumbling_window's davg: per-window row counts are bounded
     by event rate × window length in a real stream; the batch fixture
     ceiling (~SF 1e5 at value scale) is documented rather than
     converted to keep the key a faithful streaming shape.
@@ -70,7 +84,7 @@ any cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Kept for the few aggregates (squared measures) that exceed the
@@ -124,6 +138,99 @@ def davg_merge(partial: Column | str, n: Column | str, alias: str) -> Column:
         / F.lit(float(_SCALE))
         / F.sum(n)
     ).alias(alias)
+
+
+def two_level(df: DataFrame, keys, aggs) -> DataFrame:
+    """TWO-LEVEL exact aggregation (module docstring recipe) packaged
+    for the audit-tail shape ``groupBy(keys).agg(count, dsum, …)`` the
+    sources/lakehouse/format keys share — each site declares WHAT it
+    audits and this builds the overflow-free partial/merge pair.
+
+    ``keys``: groupBy columns (names or aliased Column expressions;
+    ``[]`` for a global aggregate).  ``aggs``: ordered specs, one
+    output column each —
+
+    - ``("count", alias)`` — exact COUNT(*)
+    - ``("countc", col, alias)`` — COUNT(col) (non-null / conditional)
+    - ``("lsum", col, alias)`` — integer SUM with COALESCE(…, 0), the
+      key-checksum shape (same 2^63 merge bound as the BIGINT oracle)
+    - ``("dsum", col, alias)`` / ``("davg", col, alias)`` — two-level
+      exact micro-sum / exact-sum mean (the point of the exercise)
+    - ``("min", col, alias)`` / ``("max", col, alias)`` — order stats
+      (merge trivially: min of partial mins)
+    - ``("cdistinct", col, alias)`` — COUNT(DISTINCT col) for BOUNDED
+      domains only: partials carry collect_set(col) and the merge
+      flattens + dedups, so per-partition state is O(|domain|) — used
+      by scan_schema_evolution (25 p_brand values), never for
+      unbounded columns
+    - ``("lit", col, alias)`` — a constant column attached at the
+      merge stage (the txn keys' n_versions-style audit literals)
+
+    Level 1 groups by (keys…, spark_partition_id()) and computes only
+    codegen-primitive partials bounded by partition mass; level 2
+    merges the tiny |groups|×|partitions| relation with decimal(38,0)
+    sums (``dsum_merge``/``davg_merge``), so the final double
+    expression trees — and therefore oracle hash parity and layout
+    determinism — are identical to the single-level forms they
+    replaced.  The partition-id key affects only which exact integers
+    get pre-summed; integer addition is associative, so results are
+    layout-independent (pinned by tests/test_two_level_sum.py)."""
+    partial_aggs: list[Column] = []
+    merge_aggs: list[Column] = []
+    for i, spec in enumerate(aggs):
+        kind, alias = spec[0], spec[-1]
+        p = f"_p{i}"
+        if kind == "count":
+            partial_aggs.append(F.count(F.lit(1)).alias(p))
+            merge_aggs.append(
+                F.coalesce(F.sum(p), F.lit(0)).cast("long").alias(alias)
+            )
+        elif kind == "countc":
+            partial_aggs.append(F.count(spec[1]).alias(p))
+            merge_aggs.append(
+                F.coalesce(F.sum(p), F.lit(0)).cast("long").alias(alias)
+            )
+        elif kind == "lsum":
+            partial_aggs.append(F.sum(spec[1]).alias(p))
+            merge_aggs.append(
+                F.coalesce(F.sum(p), F.lit(0)).cast("long").alias(alias)
+            )
+        elif kind == "dsum":
+            partial_aggs.append(F.sum(micros(spec[1])).alias(p))
+            merge_aggs.append(dsum_merge(p, alias))
+        elif kind == "davg":
+            n = f"_n{i}"
+            partial_aggs.append(F.sum(micros(spec[1])).alias(p))
+            partial_aggs.append(F.count(spec[1]).alias(n))
+            merge_aggs.append(davg_merge(p, n, alias))
+        elif kind == "min":
+            partial_aggs.append(F.min(spec[1]).alias(p))
+            merge_aggs.append(F.min(p).alias(alias))
+        elif kind == "max":
+            partial_aggs.append(F.max(spec[1]).alias(p))
+            merge_aggs.append(F.max(p).alias(alias))
+        elif kind == "cdistinct":
+            partial_aggs.append(F.collect_set(spec[1]).alias(p))
+            merge_aggs.append(
+                F.size(F.array_distinct(F.flatten(F.collect_set(p))))
+                .cast("long")
+                .alias(alias)
+            )
+        elif kind == "lit":
+            merge_aggs.append(
+                (F.col(spec[1]) if isinstance(spec[1], str) else spec[1]).alias(
+                    alias
+                )
+            )
+        else:
+            raise ValueError(f"unknown two_level agg kind: {kind!r}")
+    partials = df.groupBy(
+        *keys, F.spark_partition_id().alias("_pid")
+    ).agg(*partial_aggs)
+    # the key columns' OUTPUT names (aliased expressions included) are
+    # the first len(keys) columns of the partial relation, _pid next
+    key_names = partials.columns[: len(keys)]
+    return partials.groupBy(*key_names).agg(*merge_aggs)
 
 
 def micros(col: Column) -> Column:

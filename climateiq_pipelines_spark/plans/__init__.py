@@ -99,54 +99,59 @@ def register(
 # tools/driver_sim.py remains the full-surface gate covering every key
 # regardless of order.
 #
-# Round 15 (VERDICT r14 task #2, extended by task #1; derived by
-# tools/gen_rotation.py --max-round 14 --priority <the 12 keys below>):
-# post-r14 the stamp distribution is 11×r9, 44×r10, 45×r11, 34×r12,
-# 48×r13, 50×r14 with zero never-certified keys and zero stale stamps
-# at round open.  The window leads with 12 --priority
-# changed-after-stamp keys: the round-15 TWO-LEVEL EXACT-SUM
-# conversions (helpers module docstring; the r14 Q1/q6 recipe) —
-# every remaining single-level dsum/davg whose groups are
-# table-fraction-sized and therefore carry the documented 2^63
-# long-micro ceiling below or near the 100 TB target
-# (agg_conditional_filter ~SF 1e5, agg_rollup's grand total ~SF 60,
-# agg_unpivot_melt ~SF 400, join_multikey/join_bucketed_colocated
-# ~SF 1e3, join_salted_skew ~SF 1e5, q7/q8/q9 fact-fraction groups,
-# q14 ~SF 4e3, q17/q19 global bands ~SF 4e4).  Oracle text unchanged
-# for all 12; hash parity re-verified at all three SFs and layout
-# stability across shuffle.partitions {2,32,200} before the rotation
-# edit.  RECORDED EXEMPTIONS: none — this round's only other edits
-# are comment/test-layer (the two r15 ADVICE count fixes and the two
-# PROBE_KEYS additions), which touch no registered body or oracle.
-# The remaining 38 slots are (stamp round ASC, pristine registration
-# index ASC): the 10 remaining r9 stamps (the 11 SURVEY §11.7 named
-# minus q7_volume_shipping, which moved into the priority block) and
-# the 28 registration-oldest r10 stamps.  The 8 keys the priority
-# block displaced slip to round 16 (win_first_last, win_percent_cume,
-# fn_string, fn_date, fn_math, fn_conditional, fn_array, fn_map).
-# tests/test_plans.py re-runs the derivation in-process (priority AND
-# exemption) and asserts list equality.  Round 14's window is
-# recorded in SURVEY §11.7's as-built log.
+# Round 16 (VERDICT r15 tasks #1-#3; derived by tools/gen_rotation.py
+# --max-round 15 --priority <the 14 keys below>): post-r15 the stamp
+# distribution is 13×r10, 41×r11, 32×r12, 48×r13, 48×r14, 50×r15 with
+# zero never-certified keys and zero stale stamps at round open.  The
+# window leads with 14 --priority changed-after-stamp keys: the
+# SOURCES-WAVE two-level exact-sum conversions (helpers module
+# docstring; helpers.two_level packages the r14 Q1 recipe) — the last
+# single-level dsum audit tails over table-fraction groups, all in the
+# format/lakehouse demo files (~SF 200-1000 ceilings): the
+# csv/json/orc roundtrips + sink_partitioned_parquet +
+# sink_merge_upsert (scans.py), merge_on_read + time_travel
+# (lakehouse.py), csv_malformed + schema_evolution (its
+# countDistinct(p_brand) carried through the partial stage as a
+# bounded collect_set merge — 25-value domain) +
+# dynamic_partition_pruning (formats_ext.py), manifest_skipping
+# (manifest_read.py), and the three txn keys (lakehouse_txn.py).
+# Oracle text unchanged for all 14; hash parity re-verified at all
+# three SFs before the rotation edit.  RECORDED EXEMPTIONS: none —
+# this round's only other edits are additive helper + test-layer (the
+# new helpers.two_level function beside untouched dsum/davg, the
+# three r15 ADVICE fixes in test fixtures/pins, and three PROBE_KEYS
+# additions), which change no previously-registered body or oracle.
+# The remaining 36 slots are (stamp round ASC, pristine registration
+# index ASC): the 13 r10 stamps (including the 8 keys the r15
+# priority block displaced) and the 23 registration-oldest r11
+# stamps.  tests/test_plans.py re-runs the derivation in-process
+# (priority AND exemption) and asserts list equality.  Round 15's
+# window is recorded in SURVEY §11.8's as-built log.
 ROTATION_WINDOW: list[str] = [
-    # 12 priority keys — the r15 two-level exact-sum conversions
-    "agg_conditional_filter", "agg_rollup", "agg_unpivot_melt", "join_multikey",
-    "join_salted_skew", "join_bucketed_colocated", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q14_promo_revenue", "q17_small_qty_revenue",
-    "q19_discounted_revenue",
-    # 10 remaining r9 stamps (registration order)
-    "llm_simhash_bucket", "llm_ngram_jaccard", "llm_simhash_neardup",
-    "llm_corpus_pipeline", "llm_stratified_sample", "llm_pack_sequences",
-    "llm_text_normalize", "q10_returned_items", "q12_priority_by_flag",
-    "fn_collation_lcase",
-    # 28 registration-oldest r10 stamps
-    "agg_count_distinct", "agg_approx_count_distinct", "agg_stats_moments",
-    "agg_percentiles", "agg_collect_sorted", "agg_cube", "agg_distinct_rows",
-    "agg_min_max_by", "agg_pivot", "agg_approx_percentile", "agg_hll_sketch_merge",
-    "scan_parquet_project", "join_right_outer", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "set_dropdup_subset", "set_intersect_all",
-    "set_except_all", "udf_scalar_py", "udf_pandas_vectorized", "win_rank_topn_per_group",
-    "win_rank_dense_ntile", "win_lag_lead_delta", "win_running_sum",
-    "win_moving_avg_rows", "win_range_frame",
+    # 14 priority keys — the r16 sources-wave two-level conversions
+    "scan_csv_roundtrip", "scan_json_roundtrip", "sink_partitioned_parquet",
+    "sink_merge_upsert", "scan_orc_roundtrip", "sink_merge_on_read",
+    "sink_time_travel", "scan_csv_malformed", "scan_schema_evolution",
+    "scan_dynamic_partition_pruning", "scan_manifest_skipping",
+    "sink_txn_commit_protocol", "sink_txn_conflict_retry",
+    "sink_txn_checkpoint",
+    # 13 r10 stamps (registration order; the first 8 are the keys the
+    # r15 priority block displaced)
+    "win_first_last", "win_percent_cume", "fn_string", "fn_date", "fn_math",
+    "fn_conditional", "fn_array", "fn_map", "fn_hash",
+    "proj_computed_columns", "filter_comparison_chain",
+    "filter_in_like_null", "filter_between_dates",
+    # 23 registration-oldest r11 stamps
+    "stream_sliding_window", "stream_session_window",
+    "stream_watermark_late", "stream_stateful_dedup",
+    "stream_running_counts", "stream_sliding_demo",
+    "stream_dedup_watermark_demo", "stream_stream_join_demo",
+    "stream_foreachbatch_sink", "stream_watermark_spans",
+    "stream_windowed_topk_demo", "mm_binary_ingest", "sink_sorted_bucketed",
+    "scan_text_roundtrip", "q4_order_priority", "q13_customer_distribution",
+    "llm_ngram_contamination", "llm_mixture_weights", "llm_seqlen_histogram",
+    "llm_repetition_filter", "events_funnel_steps", "events_cohort_retention",
+    "q21_suppliers_kept_waiting",
 ]
 
 

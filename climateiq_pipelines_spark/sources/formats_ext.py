@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.functions.helpers import sql_dsum, two_level
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 from climateiq_pipelines_spark.session import new_temp_dir
@@ -92,14 +92,19 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     corrupt = F.col("_corrupt_record").isNotNull()
-    return back.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(F.when(corrupt, 1)).alias("n_corrupt"),
-        F.count(F.when(F.col("price").isNull(), 1)).alias("n_price_null"),
-        F.coalesce(F.sum(F.when(corrupt, F.col("k"))), F.lit(0)).alias(
-            "corrupt_key_checksum"
-        ),
-        dsum(F.col("price"), "parsed_price_sum"),
+    # round 16: two-level exact audit (helpers.two_level, global form);
+    # the conditional counts and the integer checksum ride the same
+    # partial/merge pair, oracle unchanged
+    return two_level(
+        back,
+        [],
+        [
+            ("count", "n_rows"),
+            ("countc", F.when(corrupt, 1), "n_corrupt"),
+            ("countc", F.when(F.col("price").isNull(), 1), "n_price_null"),
+            ("lsum", F.when(corrupt, F.col("k")), "corrupt_key_checksum"),
+            ("dsum", F.col("price"), "parsed_price_sum"),
+        ],
     )
 
 
@@ -153,12 +158,19 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
     v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
     back = spark.read.option("mergeSchema", "true").parquet(path)
-    return back.groupBy(
-        F.col("p_brand").isNotNull().alias("has_brand")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("p_brand").alias("n_brands"),
-        dsum(F.col("p_retailprice"), "sum_price"),
+    # round 16: two-level exact audit (helpers.two_level); the distinct
+    # brand count rides the partial stage as collect_set → flatten →
+    # array_distinct at merge — exact because the p_brand domain is
+    # BOUNDED (25 TPC-H brands), so per-partition set state is O(25),
+    # not O(rows).  Oracle unchanged.
+    return two_level(
+        back,
+        [F.col("p_brand").isNotNull().alias("has_brand")],
+        [
+            ("count", "n_rows"),
+            ("cdistinct", F.col("p_brand"), "n_brands"),
+            ("dsum", F.col("p_retailprice"), "sum_price"),
+        ],
     )
 
 
@@ -209,13 +221,18 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.year("o_orderdate").alias("y"))
         .distinct()
     )
-    return (
-        fact.join(dim, fact["o_year"] == dim["y"])
-        .groupBy(F.col("o_year").cast("int").alias("o_year"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), "sum_price"),
-        )
+    # round 16: two-level exact audit sum (helpers.two_level) — a
+    # POST-JOIN site like join_multikey: the level-1 partial mass is
+    # bounded by the broadcast-join output partitioning (scan-sized
+    # here, since a broadcast join preserves the fact scan's
+    # partitions).  Oracle unchanged.
+    return two_level(
+        fact.join(dim, fact["o_year"] == dim["y"]),
+        [F.col("o_year").cast("int").alias("o_year")],
+        [
+            ("count", "n_orders"),
+            ("dsum", F.col("o_totalprice"), "sum_price"),
+        ],
     )
 
 

@@ -31,7 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.functions.helpers import sql_dsum, two_level
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 from climateiq_pipelines_spark.sources.merge_demo import (
@@ -148,9 +148,15 @@ def sink_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     read time)."""
     paths = _write_base_and_deltas(spark, sf_dir)
     merged = _merge_on_read(spark, paths)
-    return merged.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "sum_price"),
+    # round 16: two-level exact audit sum (helpers.two_level),
+    # oracle unchanged
+    return two_level(
+        merged,
+        ["o_orderpriority"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("o_totalprice"), "sum_price"),
+        ],
     )
 
 
@@ -176,14 +182,19 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta (the classic snapshot-isolation bug) changes its count/sum
     and hash-mismatches."""
     paths = _write_base_and_deltas(spark, sf_dir)
-    v0 = spark.read.parquet(paths["base"]).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "sum_price"),
-    ).select(F.lit("v0").alias("version"), "n_rows", "sum_price")
-    v1 = _merge_on_read(spark, paths).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "sum_price"),
-    ).select(F.lit("v1").alias("version"), "n_rows", "sum_price")
+    # round 16: two-level exact audit sums (helpers.two_level with no
+    # grouping keys — global audits over snapshot-sized inputs),
+    # oracle unchanged
+    audit = [
+        ("count", "n_rows"),
+        ("dsum", F.col("o_totalprice"), "sum_price"),
+    ]
+    v0 = two_level(spark.read.parquet(paths["base"]), [], audit).select(
+        F.lit("v0").alias("version"), "n_rows", "sum_price"
+    )
+    v1 = two_level(_merge_on_read(spark, paths), [], audit).select(
+        F.lit("v1").alias("version"), "n_rows", "sum_price"
+    )
     return v0.unionByName(v1)
 
 

@@ -45,7 +45,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.functions.helpers import sql_dsum, two_level
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 
@@ -337,11 +337,17 @@ def sink_txn_commit_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows_at_v2 = _snapshot(spark, root, 2).count()  # time travel
     latest = _snapshot(spark, root)  # replays to v3
-    return latest.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "total_price"),
-        F.lit(_latest_version(root)).cast("int").alias("n_versions"),
-        F.lit(rows_at_v2).cast("long").alias("rows_at_v2"),
+    # round 16: two-level exact audit sum (helpers.two_level); the
+    # version literals attach at the merge stage.  Oracle unchanged.
+    return two_level(
+        latest,
+        ["o_orderpriority"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("o_totalprice"), "total_price"),
+            ("lit", F.lit(_latest_version(root)).cast("int"), "n_versions"),
+            ("lit", F.lit(rows_at_v2).cast("long"), "rows_at_v2"),
+        ],
     )
 
 
@@ -564,12 +570,19 @@ def sink_txn_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     latest = _snapshot(spark, root)
-    return latest.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "total_price"),
-        F.lit(_latest_version(root)).cast("int").alias("n_versions"),
-        F.lit(lost_races).cast("int").alias("n_lost_races"),
-        F.lit(recomputes).cast("int").alias("n_recomputes"),
+    # round 16: two-level exact audit sum (helpers.two_level); the
+    # race-accounting literals attach at the merge stage.  Oracle
+    # unchanged.
+    return two_level(
+        latest,
+        ["o_orderpriority"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("o_totalprice"), "total_price"),
+            ("lit", F.lit(_latest_version(root)).cast("int"), "n_versions"),
+            ("lit", F.lit(lost_races).cast("int"), "n_lost_races"),
+            ("lit", F.lit(recomputes).cast("int"), "n_recomputes"),
+        ],
     )
 
 
@@ -675,10 +688,16 @@ def sink_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = spark.read.parquet(
         *[os.path.join(root, "data", f) for f in active_cp]
     )
-    return latest.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "total_price"),
-        F.lit(cp_version).cast("int").alias("checkpoint_version"),
-        F.lit(tail_n).cast("int").alias("tail_replayed"),
-        F.lit(equals_replay).alias("checkpoint_equals_replay"),
+    # round 16: two-level exact audit sum (helpers.two_level); the
+    # checkpoint literals attach at the merge stage.  Oracle unchanged.
+    return two_level(
+        latest,
+        ["o_orderpriority"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("o_totalprice"), "total_price"),
+            ("lit", F.lit(cp_version).cast("int"), "checkpoint_version"),
+            ("lit", F.lit(tail_n).cast("int"), "tail_replayed"),
+            ("lit", F.lit(equals_replay), "checkpoint_equals_replay"),
+        ],
     )

@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.functions.helpers import sql_dsum, two_level
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table
 from climateiq_pipelines_spark.session import new_temp_dir
@@ -127,9 +127,15 @@ def scan_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = pruned_scan.filter(
         F.col("o_totalprice").between(_LO, _HI)
     )
-    return band.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "total_price"),
-        F.lit(files_pruned).alias("files_pruned"),
-        F.lit(scan_bounded).alias("scan_bounded"),
+    # round 16: two-level exact audit sum (helpers.two_level); the
+    # pruning literals attach at the merge stage.  Oracle unchanged.
+    return two_level(
+        band,
+        ["o_orderpriority"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("o_totalprice"), "total_price"),
+            ("lit", F.lit(files_pruned), "files_pruned"),
+            ("lit", F.lit(scan_bounded), "scan_bounded"),
+        ],
     )

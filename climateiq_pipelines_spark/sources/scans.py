@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from climateiq_pipelines_spark.functions.helpers import dsum, sql_dsum
+from climateiq_pipelines_spark.functions.helpers import sql_dsum, two_level
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import TABLES, load_table
 from climateiq_pipelines_spark.sources.merge_demo import (
@@ -114,7 +114,10 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     it back, aggregate. Oracle runs on the ORIGINAL parquet: any
     write/read lossiness breaks the hash. Timestamps travel as ISO day
     strings — CSV has no timestamp type; parsing discipline is pinned
-    by the schema."""
+    by the schema.  Round 16: the audit tail runs the TWO-LEVEL exact
+    sum (helpers.two_level — the per-flag quantity groups are
+    table-fraction-sized; ~SF 1000 single-level ceiling removed),
+    oracle unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     slice_df = li.filter(F.col("l_orderkey") % 10 == 0).select(
         "l_orderkey",
@@ -125,10 +128,14 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_tmpdir("csv"), "lineitem_slice")
     slice_df.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("l_quantity"), "sum_qty"),
-        F.min("ship_day").alias("first_ship_day"),
+    return two_level(
+        back,
+        ["l_returnflag"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("l_quantity"), "sum_qty"),
+            ("min", F.col("ship_day"), "first_ship_day"),
+        ],
     )
 
 
@@ -145,7 +152,8 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same slice through JSON-lines. JSON doubles round-trip exactly
     (Spark writes shortest-repr, reads bit-equal); schema is explicit on
-    re-read for the same scale reason as CSV."""
+    re-read for the same scale reason as CSV.  Round 16: two-level
+    exact audit sum (helpers.two_level), oracle unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     slice_df = li.filter(F.col("l_orderkey") % 10 == 0).select(
         "l_orderkey", "l_extendedprice", "l_returnflag", "l_linestatus"
@@ -161,9 +169,13 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     back = spark.read.schema(schema).json(path)
-    return back.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("l_extendedprice"), "sum_price"),
+    return two_level(
+        back,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("l_extendedprice"), "sum_price"),
+        ],
     )
 
 
@@ -189,9 +201,15 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).partitionBy("o_year").parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
-    return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice"), "sum_price"),
+    # round 16: two-level exact audit sum (helpers.two_level),
+    # oracle unchanged
+    return two_level(
+        back,
+        ["o_orderpriority"],
+        [
+            ("count", "n_orders"),
+            ("dsum", F.col("o_totalprice"), "sum_price"),
+        ],
     )
 
 
@@ -324,9 +342,15 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_tmpdir("merge"), "orders_merged")
     merged.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
-    return back.groupBy("merge_action").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("o_totalprice"), "sum_price"),
+    # round 16: two-level exact audit sum (helpers.two_level),
+    # oracle unchanged
+    return two_level(
+        back,
+        ["merge_action"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("o_totalprice"), "sum_price"),
+        ],
     )
 
 
@@ -357,10 +381,16 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_tmpdir("orc"), "lineitem_slice")
     slice_df.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("l_quantity"), "sum_qty"),
-        F.min("ship_day").alias("first_ship_day"),
+    # round 16: two-level exact audit sum (helpers.two_level),
+    # oracle unchanged
+    return two_level(
+        back,
+        ["l_returnflag"],
+        [
+            ("count", "n_rows"),
+            ("dsum", F.col("l_quantity"), "sum_qty"),
+            ("min", F.col("ship_day"), "first_ship_day"),
+        ],
     )
 
 

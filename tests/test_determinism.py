@@ -42,6 +42,14 @@ PROBE_KEYS = [
     # the merged integer sum must not (integer addition associativity).
     "agg_rollup",        # ROLLUP over per-partition decimal partials
     "q8_market_share",   # two-accumulator merged ratio per year
+    # round 16: sources-wave two_level() conversions — representatives
+    # of each new shape: a roundtrip audit (file-layout + shuffle
+    # layout both vary), the countDistinct carry (collect_set partials
+    # merge order-free via array_distinct), and a post-broadcast-join
+    # partial (DPP key).
+    "scan_csv_roundtrip",          # two_level over a re-read CSV scan
+    "scan_schema_evolution",       # cdistinct collect_set merge
+    "scan_dynamic_partition_pruning",  # post-join partial stage
 ]
 
 

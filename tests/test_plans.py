@@ -311,37 +311,42 @@ def test_no_corpus_sized_broadcast_hints():
     assert not unaudited, f"unaudited broadcast hints: {unaudited}"
 
 
-# Round-15 rotation targets (plans.ROTATION_WINDOW, VERDICT r14 tasks
-# #1/#2): 12 changed-after-stamp priority keys — the round-15
-# two-level exact-sum conversions (every remaining single-level
-# dsum/davg over table-fraction-sized groups; helpers module
-# docstring) — then the 10 remaining r9 stamps and the 28
-# registration-oldest r10 stamps.  After r15 certifies, the oldest
-# stamp on the surface becomes r10.  The window is the EXPLICIT
-# plans.ROTATION_WINDOW list (load_all reorders QUERIES); this set
-# pins the intended membership independently so an accidental edit to
-# either side fails here.  tools/driver_sim.py covers the full
-# surface meanwhile.
-ROTATION_R15 = {
-    # 12 priority keys — the r15 two-level exact-sum conversions
-    "agg_conditional_filter", "agg_rollup", "agg_unpivot_melt", "join_multikey",
-    "join_salted_skew", "join_bucketed_colocated", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q14_promo_revenue",
-    "q17_small_qty_revenue", "q19_discounted_revenue",
-    # 10 remaining r9 stamps (registration order)
-    "llm_simhash_bucket", "llm_ngram_jaccard", "llm_simhash_neardup",
-    "llm_corpus_pipeline", "llm_stratified_sample", "llm_pack_sequences",
-    "llm_text_normalize", "q10_returned_items", "q12_priority_by_flag",
-    "fn_collation_lcase",
-    # 28 registration-oldest r10 stamps
-    "agg_count_distinct", "agg_approx_count_distinct", "agg_stats_moments",
-    "agg_percentiles", "agg_collect_sorted", "agg_cube", "agg_distinct_rows",
-    "agg_min_max_by", "agg_pivot", "agg_approx_percentile", "agg_hll_sketch_merge",
-    "scan_parquet_project", "join_right_outer", "set_union_all",
-    "set_union_distinct", "set_intersect", "set_except", "set_dropdup_subset",
-    "set_intersect_all", "set_except_all", "udf_scalar_py", "udf_pandas_vectorized",
-    "win_rank_topn_per_group", "win_rank_dense_ntile", "win_lag_lead_delta",
-    "win_running_sum", "win_moving_avg_rows", "win_range_frame",
+# Round-16 rotation targets (plans.ROTATION_WINDOW, VERDICT r15 tasks
+# #1-#3): 14 changed-after-stamp priority keys — the round-16
+# SOURCES-WAVE two-level exact-sum conversions (the last single-level
+# dsum audit tails over table-fraction groups, all in the
+# format/lakehouse demo files; helpers module docstring /
+# helpers.two_level) — then the 13 r10 stamps (including the 8 keys
+# the r15 priority block displaced) and the 23 registration-oldest
+# r11 stamps.  After r16 certifies, the oldest stamp on the surface
+# becomes r11.  The window is the EXPLICIT plans.ROTATION_WINDOW list
+# (load_all reorders QUERIES); this set pins the intended membership
+# independently so an accidental edit to either side fails here.
+# tools/driver_sim.py covers the full surface meanwhile.
+ROTATION_R16 = {
+    # 14 priority keys — the r16 sources-wave two-level conversions
+    "scan_csv_roundtrip", "scan_json_roundtrip", "sink_partitioned_parquet",
+    "sink_merge_upsert", "scan_orc_roundtrip", "sink_merge_on_read",
+    "sink_time_travel", "scan_csv_malformed", "scan_schema_evolution",
+    "scan_dynamic_partition_pruning", "scan_manifest_skipping",
+    "sink_txn_commit_protocol", "sink_txn_conflict_retry",
+    "sink_txn_checkpoint",
+    # 13 r10 stamps (registration order)
+    "win_first_last", "win_percent_cume", "fn_string", "fn_date", "fn_math",
+    "fn_conditional", "fn_array", "fn_map", "fn_hash",
+    "proj_computed_columns", "filter_comparison_chain",
+    "filter_in_like_null", "filter_between_dates",
+    # 23 registration-oldest r11 stamps
+    "stream_sliding_window", "stream_session_window",
+    "stream_watermark_late", "stream_stateful_dedup",
+    "stream_running_counts", "stream_sliding_demo",
+    "stream_dedup_watermark_demo", "stream_stream_join_demo",
+    "stream_foreachbatch_sink", "stream_watermark_spans",
+    "stream_windowed_topk_demo", "mm_binary_ingest", "sink_sorted_bucketed",
+    "scan_text_roundtrip", "q4_order_priority", "q13_customer_distribution",
+    "llm_ngram_contamination", "llm_mixture_weights", "llm_seqlen_histogram",
+    "llm_repetition_filter", "events_funnel_steps", "events_cohort_retention",
+    "q21_suppliers_kept_waiting",
 }
 
 
@@ -351,18 +356,18 @@ def test_rotation_targets_fill_driver_window():
     per-round artifact records only the first 50 registration-order keys
     (CORRECTNESS_r02.json truncated there).  Since round 8 the window is
     the explicit plans.ROTATION_WINDOW list; this pin checks BOTH that
-    the intended round-15 membership (ROTATION_R15 above) fills the first
+    the intended round-16 membership (ROTATION_R16 above) fills the first
     50 slots and that ROTATION_WINDOW matches it exactly, so editing one
-    side without the other fails here.  Update ROTATION_R15 together with
+    side without the other fails here.  Update ROTATION_R16 together with
     plans.ROTATION_WINDOW each round — that is the policy, not a
     historical layout."""
     from climateiq_pipelines_spark.plans import ROTATION_WINDOW
 
     keys = list(QUERIES)
     first50 = set(keys[:50])
-    missing = sorted(ROTATION_R15 - first50)
+    missing = sorted(ROTATION_R16 - first50)
     assert not missing, f"rotation targets outside the driver window: {missing}"
-    assert set(ROTATION_WINDOW) == ROTATION_R15
+    assert set(ROTATION_WINDOW) == ROTATION_R16
     assert len(ROTATION_WINDOW) == 50
 
 
@@ -370,12 +375,12 @@ def test_rotation_window_matches_artifact_derivation():
     """VERDICT r11 task #6: the committed ROTATION_WINDOW must equal
     tools/gen_rotation.py's mechanical derivation from the merged
     CORRECTNESS artifacts — (stamp round ASC, pristine registration
-    index ASC), led by the round's 12 changed-after-stamp --priority
-    keys in window order (the r15 two-level exact-sum conversions —
-    every remaining single-level dsum/davg over table-fraction-sized
-    groups; helpers module docstring).  The r6/r7 rotations hit
-    ordering hazards and r8's was hand arithmetic; this pin makes the
-    pre-sequencing checkable every CI run."""
+    index ASC), led by the round's 14 changed-after-stamp --priority
+    keys in window order (the r16 sources-wave two-level exact-sum
+    conversions — the last single-level dsum audit tails over
+    table-fraction groups; helpers module docstring).  The r6/r7
+    rotations hit ordering hazards and r8's was hand arithmetic; this
+    pin makes the pre-sequencing checkable every CI run."""
     import tools.gen_rotation as gr
     from climateiq_pipelines_spark.plans import (
         REGISTRATION_ORDER,
@@ -385,24 +390,27 @@ def test_rotation_window_matches_artifact_derivation():
     # The priority list is stated EXPLICITLY here, not sliced from the
     # committed window (round-13 self-review: a slice makes the pin
     # circular — any wrong key inside the prefix would echo straight
-    # back).  It must match the SURVEY 11.8 changed-after-stamp record.
+    # back).  It must match the SURVEY 11.9 changed-after-stamp record.
     priority = [
-        "agg_conditional_filter", "agg_rollup", "agg_unpivot_melt",
-        "join_multikey", "join_salted_skew", "join_bucketed_colocated",
-        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "q14_promo_revenue", "q17_small_qty_revenue",
-        "q19_discounted_revenue",
+        "scan_csv_roundtrip", "scan_json_roundtrip",
+        "sink_partitioned_parquet", "sink_merge_upsert",
+        "scan_orc_roundtrip", "sink_merge_on_read", "sink_time_travel",
+        "scan_csv_malformed", "scan_schema_evolution",
+        "scan_dynamic_partition_pruning", "scan_manifest_skipping",
+        "sink_txn_commit_protocol", "sink_txn_conflict_retry",
+        "sink_txn_checkpoint",
     ]
     derived = gr.derive_window(
         REGISTRATION_ORDER,
-        gr.merged_stamps(max_round=14),  # r15 window <- artifacts r1..r14
+        gr.merged_stamps(max_round=15),  # r16 window <- artifacts r1..r15
         priority=priority,
         n=50,
         # Recorded judgments (r12 task #7): no exemptions this round —
-        # round 15's only non-priority edits are comment/test-layer
-        # (the two r15 ADVICE count fixes in plans/test_plans prose and
-        # the two PROBE_KEYS additions in tests/test_determinism.py),
-        # which touch no registered body or oracle text.
+        # round 16's only non-priority edits are the ADDITIVE
+        # helpers.two_level function (dsum/davg and every other
+        # existing helper untouched) and test-layer changes (the three
+        # r15 ADVICE fixes and three PROBE_KEYS additions), which
+        # change no previously-registered body or oracle text.
         exempt=[],
     )
     assert derived == list(ROTATION_WINDOW)
@@ -412,16 +420,17 @@ def test_driver_window_layout_matches_load_all_comment():
     """ADVICE r4: the 50-key window layout was implicit in import order
     and verified only by a comment.  Since r8 load_all applies the
     explicit ROTATION_WINDOW reorder; pin its observable effect: the
-    round-15 window opens with the 12-key priority block (led by
-    agg_conditional_filter and closed by q19_discounted_revenue — the
-    r15 two-level exact-sum conversions), ends with win_range_frame at
-    slot 49, and the total key count must equal the full surface so a
-    module gaining/losing a @register call surfaces here."""
+    round-16 window opens with the 14-key priority block (led by
+    scan_csv_roundtrip and closed by sink_txn_checkpoint — the r16
+    sources-wave two-level conversions), ends with
+    q21_suppliers_kept_waiting at slot 49, and the total key count must
+    equal the full surface so a module gaining/losing a @register call
+    surfaces here."""
     keys = list(QUERIES)
     assert len(keys) == 232, len(keys)
-    assert keys[0] == "agg_conditional_filter", keys[:3]
-    assert keys[11] == "q19_discounted_revenue", keys[10:13]
-    assert keys[49] == "win_range_frame", keys[48:51]
+    assert keys[0] == "scan_csv_roundtrip", keys[:3]
+    assert keys[13] == "sink_txn_checkpoint", keys[12:15]
+    assert keys[49] == "q21_suppliers_kept_waiting", keys[48:51]
 
 
 def test_driver_sim_evidence_header_is_parseable_and_first():
@@ -946,13 +955,21 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = plan_of(spark, "join_bucketed_colocated")
     assert "Bucketed: true" in plan, plan
     assert "SortMergeJoin" in plan, plan
-    assert len(re.findall("Exchange", plan)) == 2, plan
-    # the join subtree itself is exchange-free: both exchanges appear
-    # ABOVE the SortMergeJoin node in the plan tree (the formatted
-    # string lists parents before children, so every Exchange offset
-    # must precede the SMJ offset).
-    smj_at = plan.index("SortMergeJoin")
-    assert all(m.start() < smj_at for m in re.finditer("Exchange", plan)), plan
+    # anchored to shuffle exchanges specifically — a bare "Exchange"
+    # count would also match BroadcastExchange/ReusedExchange nodes if
+    # the planner ever introduced one, silently shifting what the pin
+    # means (ADVICE r15)
+    shuffles = list(re.finditer(r"\bExchange hashpartitioning", plan))
+    assert len(shuffles) == 2, plan
+    # the join subtree itself is exchange-free: each shuffle hashes the
+    # PARTIALS relation (its clustering expressions include the _pid
+    # column or the final single-key grouping), never a bucket/join key
+    # pair over fact rows — checked structurally on the hash exprs
+    # rather than on string offsets, which assumed a parent-first
+    # print order the plan format does not promise (ADVICE r15).
+    for m in shuffles:
+        clause = plan[m.start() : plan.index(")", m.start()) + 1]
+        assert "c_custkey" not in clause and "o_custkey" not in clause, clause
 
 
 def test_scalable_rank_windows_are_partitioned(spark):

@@ -44,11 +44,15 @@ _N = 4
 
 def _big_frame(spark):
     # one row per partition — the maxPartitionBytes-bounded shape the
-    # two-level recipe relies on
-    return (
-        spark.range(_N)
-        .repartition(_N)
-        .select(F.lit("g").alias("k"), F.lit(_BIG).alias("v"))
+    # two-level recipe relies on.  range(0, N, 1, numPartitions=N)
+    # GUARANTEES the one-row-per-partition layout (range splits its
+    # interval across exactly N partitions); the earlier
+    # range(N).repartition(N) relied on round-robin spreading 4 rows
+    # over 4 partitions, which Spark does not promise — a collapsed
+    # layout would overflow the level-1 partial itself and flip the
+    # pin's meaning (ADVICE r15).
+    return spark.range(0, _N, 1, _N).select(
+        F.lit("g").alias("k"), F.lit(_BIG).alias("v")
     )
 
 
@@ -116,3 +120,128 @@ def test_merge_is_layout_independent(spark):
             )
         )
     assert results[0] == results[1] == results[2]
+
+
+# --------------------------------------------------- two_level() helper
+# Round 16 packaged the partial/merge pair as helpers.two_level for the
+# sources-wave audit tails; these pin the helper itself against the
+# single-level forms it replaced, spec kind by spec kind.
+
+
+def _audit_frame(spark, n_parts=7):
+    return (
+        spark.range(5_000)
+        .repartition(n_parts)
+        .select(
+            F.pmod(F.col("id"), F.lit(4)).alias("k"),
+            (F.pmod(F.xxhash64("id"), F.lit(900_000)) / F.lit(100.0)).alias(
+                "v"
+            ),
+            F.when(F.col("id") % 13 == 0, F.col("id")).alias("maybe"),
+            F.concat(F.lit("b"), F.pmod(F.col("id"), F.lit(9))).alias(
+                "brand"
+            ),
+        )
+    )
+
+
+def test_two_level_helper_matches_single_level(spark):
+    from climateiq_pipelines_spark.functions.helpers import two_level
+
+    df = _audit_frame(spark)
+    got = {
+        r["k"]: r.asDict()
+        for r in two_level(
+            df,
+            ["k"],
+            [
+                ("count", "n_rows"),
+                ("countc", F.col("maybe"), "n_maybe"),
+                ("lsum", F.col("maybe"), "checksum"),
+                ("dsum", F.col("v"), "sum_v"),
+                ("davg", F.col("v"), "avg_v"),
+                ("min", F.col("v"), "min_v"),
+                ("max", F.col("v"), "max_v"),
+                ("cdistinct", F.col("brand"), "n_brands"),
+                ("lit", F.lit(42).cast("int"), "answer"),
+            ],
+        ).collect()
+    }
+    want = {
+        r["k"]: r.asDict()
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("maybe").alias("n_maybe"),
+            F.coalesce(F.sum("maybe"), F.lit(0)).cast("long").alias(
+                "checksum"
+            ),
+            dsum(F.col("v"), "sum_v"),
+            (
+                F.sum(micros(F.col("v"))).cast("double")
+                / F.lit(1e6)
+                / F.count("v")
+            ).alias("avg_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.countDistinct("brand").alias("n_brands"),
+            F.lit(42).cast("int").alias("answer"),
+        )
+        .collect()
+    }
+    assert got == want  # exact equality, floats bit-for-bit included
+
+
+def test_two_level_helper_layout_independent(spark):
+    from climateiq_pipelines_spark.functions.helpers import two_level
+
+    frames = [
+        sorted(
+            (r["k"], r["s"], r["a"], r["n"])
+            for r in two_level(
+                _audit_frame(spark, n_parts),
+                ["k"],
+                [
+                    ("dsum", F.col("v"), "s"),
+                    ("davg", F.col("v"), "a"),
+                    ("count", "n"),
+                ],
+            ).collect()
+        )
+        for n_parts in (1, 6, 32)
+    ]
+    assert frames[0] == frames[1] == frames[2]
+
+
+def test_two_level_helper_global_and_empty(spark):
+    from climateiq_pipelines_spark.functions.helpers import two_level
+
+    aggs = [("count", "n"), ("dsum", F.col("v"), "s")]
+    df = _audit_frame(spark)
+    [row] = two_level(df, [], aggs).collect()
+    [want] = df.agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("v"), "s")
+    ).collect()
+    assert (row["n"], row["s"]) == (want["n"], want["s"])
+    # empty input: the global form must still return ONE row with
+    # n=0 (the coalesce in the count merge) — matching the
+    # single-level global aggregate's empty-relation contract
+    [empty] = two_level(df.filter(F.lit(False)), [], aggs).collect()
+    assert empty["n"] == 0 and empty["s"] is None
+
+
+def test_two_level_helper_aliased_key_and_bad_kind(spark):
+    import pytest as _pytest
+
+    from climateiq_pipelines_spark.functions.helpers import two_level
+
+    df = _audit_frame(spark)
+    out = two_level(
+        df,
+        [(F.col("k") % 2 == 0).alias("k_even")],
+        [("count", "n")],
+    )
+    assert out.columns == ["k_even", "n"]
+    assert {r["k_even"] for r in out.collect()} == {True, False}
+    with _pytest.raises(ValueError, match="unknown two_level agg kind"):
+        two_level(df, ["k"], [("median", F.col("v"), "m")])
