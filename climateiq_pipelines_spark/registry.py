@@ -148,6 +148,22 @@ def _assert_schema(name: str, df: DataFrame, expected_schema: T.StructType) -> N
         )
 
 
+# Resolved-relation memo keyed by (Spark app id, sf_dir, table): the
+# r16 optimization round measured EVERY load_table call at ~0.1 s warm
+# — driver-side file listing + parquet footer schema read + the registry
+# schema assert — repeated on every call of every operator (q8 alone
+# resolves 8 relations per run; the 91-key bench pass pays hundreds of
+# calls). The memoized value is the LAZY relation plan (no data, no
+# blocks — nothing is materialized or reused across runs; every action
+# still scans the parquet), i.e. exactly what a catalog-backed
+# `spark.table(name)` gives for free: one metadata resolution per
+# session. Keyed by application id so a fresh session (the driver's own
+# sessions, driver_sim's per-config sessions) re-resolves; fixture dirs
+# are immutable within a session (the _FOOTER_NTZ_MEMO precedent — and
+# every test fixture dir is a written-once mktemp).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, assert_schema: bool = True
 ) -> DataFrame:
@@ -155,9 +171,20 @@ def load_table(
     the pinned registry entry (loud failure on fixture drift). Filters and
     projections applied by callers are pushed into the parquet scan by
     Catalyst (predicate pushdown + column pruning) — callers should
-    filter/select as early as possible."""
+    filter/select as early as possible. The resolved relation (a lazy
+    plan) is memoized per (application, sf_dir, table) — see _TABLE_MEMO."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        if name == "events" and spark.conf.get(NANOS_CONF, "false") != "true":
+            # Belt-and-braces kept from the pre-memo body: a driver-owned
+            # session could reset the conf between calls; the relation
+            # resolution itself is immutable but later events reads are
+            # not, so re-pin it.
+            spark.conf.set(NANOS_CONF, "true")
+        return cached
     if name == "events":
         # The events fixture has shipped in two layouts across driver
         # generations; the parquet footer is authoritative and we branch
@@ -183,19 +210,23 @@ def load_table(
         if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             if assert_schema:
                 _assert_schema(name, df, SCHEMAS[name])
+            _TABLE_MEMO[memo_key] = df
             return df
         if assert_schema:
             _assert_schema(name, df, RAW_EVENTS_SCHEMA)
-        return df.withColumn(
+        df = df.withColumn(
             "ts",
             F.expr(
                 "timestampadd(MICROSECOND, ts div 1000, "
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+        _TABLE_MEMO[memo_key] = df
+        return df
     df = spark.read.parquet(table_path(sf_dir, name))
     if assert_schema:
         _assert_schema(name, df, SCHEMAS[name])
+    _TABLE_MEMO[memo_key] = df
     return df
 
 
