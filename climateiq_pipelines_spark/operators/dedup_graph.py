@@ -419,7 +419,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's demonstration that 'iterative algorithm' need not mean
     'rows-only'."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = _simhash60_pairs(_simhash60_sigs(docs)).select("a_id", "b_id")
+    # dedup=False (r16): connected_components' first step is its own
+    # orient+distinct, so the pairs-level distinct was a second full
+    # shuffle of the key's largest relation — let the banded multiset
+    # flow straight into that single canonicalizing distinct.
+    edges = _simhash60_pairs(_simhash60_sigs(docs), dedup=False).select(
+        "a_id", "b_id"
+    )
     labels = connected_components(
         docs.select("doc_id"), edges, node_col="doc_id"
     )

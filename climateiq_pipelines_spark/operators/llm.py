@@ -1146,11 +1146,24 @@ def _simhash60_sigs(docs: DataFrame) -> DataFrame:
     return sigs
 
 
-def _simhash60_pairs(sigs: DataFrame) -> DataFrame:
+def _simhash60_pairs(sigs: DataFrame, dedup: bool = True) -> DataFrame:
     """(a_id, b_id, hamming ≤ 3) pairs from 4×15-bit pigeonhole banding
     over the 60-bit signatures — recall exactly 1.0 for Hamming ≤ 3
     (a pair within distance 3 must agree on ≥1 whole band). The shuffle
-    carries (band_val, doc_id): ~64 bytes/doc at any corpus size."""
+    carries (band_val, doc_id): ~64 bytes/doc at any corpus size.
+
+    r16 optimization (guide §2.3, shuffle fewer bytes): the hamming ≤ 3
+    filter runs BEFORE the cross-band distinct — hamming is a function
+    of the pair, so filter-then-distinct ≡ distinct-then-filter, and the
+    distinct's exchange now carries only true near-dup candidates
+    instead of every band collision (at scale the false-candidate mass
+    is the dominant term; at sf0.1 measured neutral-to-positive).
+    ``dedup=False`` additionally skips the distinct for consumers that
+    canonicalize the pair set themselves (llm_dedup_clusters feeds
+    connected_components, whose first step is its own orient+distinct —
+    the double distinct was one full extra shuffle of the largest
+    relation in that key; full-key A/B 3.52–3.85 s → 3.26–3.49 s,
+    results identical). Rows may then repeat per shared band."""
     band = F.explode(
         F.array(
             *[
@@ -1176,13 +1189,13 @@ def _simhash60_pairs(sigs: DataFrame) -> DataFrame:
         "band_id", "band_val",
     )
     hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
-    return (
+    out = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(hamming <= 3)
         .select("a_id", "b_id", hamming.cast("long").alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= 3)
     )
+    return out.distinct() if dedup else out
 
 
 @register("llm_simhash_neardup", oracle=_SIMHASH_NEARDUP_ORACLE)

@@ -160,8 +160,14 @@ def _assert_schema(name: str, df: DataFrame, expected_schema: T.StructType) -> N
 # session. Keyed by application id so a fresh session (the driver's own
 # sessions, driver_sim's per-config sessions) re-resolves; fixture dirs
 # are immutable within a session (the _FOOTER_NTZ_MEMO precedent — and
-# every test fixture dir is a written-once mktemp).
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# every test fixture dir is a written-once mktemp). Registered with
+# session.release_blocks via register_frame_cache: the entries are lazy
+# scans (no pinned blocks), but harness-level reclaim clearing them is
+# harmless — the next call re-resolves ~0.1 s of metadata — and keeps
+# the cache inside the reclaim discipline the meta-test enforces.
+from climateiq_pipelines_spark.session import register_frame_cache
+
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = register_frame_cache({})
 
 
 def load_table(
