@@ -480,11 +480,18 @@ def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "c_id")
             .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
         )
-        w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_id"))
+        # argmin (dist_fp ASC, c_id ASC) via min_by/min (r16; see the
+        # ml_iter.llm_kmeans_iterate note — partial-merging aggregate,
+        # no window sort).
         new_assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("c_id").alias("cluster"), "dist_fp")
+            dists.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "c_id", F.struct(F.col("dist_fp"), F.col("c_id"))
+                ).alias("cluster"),
+                F.min("dist_fp").alias("dist_fp"),
+            )
+            .select("vec_id", "cluster", "dist_fp")
             .localCheckpoint(eager=False)  # materialized by the moved count
         )
         moved = (

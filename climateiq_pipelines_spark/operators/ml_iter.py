@@ -149,13 +149,14 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "subspace", "code")
         .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
     )
-    w = W.partitionBy("vec_id", "subspace").orderBy(
-        F.asc("dist_fp"), F.asc("code")
-    )
-    best = (
-        sub_dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "subspace", "code", "dist_fp")
+    # argmin (dist_fp ASC, code ASC) via min_by/min (r16; see the
+    # llm_kmeans_iterate note) — partial-merging aggregate instead of a
+    # row_number window sort over every (vec, subspace, code) row.
+    best = sub_dists.groupBy("vec_id", "subspace").agg(
+        F.min_by("code", F.struct(F.col("dist_fp"), F.col("code"))).alias(
+            "code"
+        ),
+        F.min("dist_fp").alias("dist_fp"),
     )
     return best.groupBy("vec_id").agg(
         F.sum(F.col("code") * F.pow(F.lit(10.0), F.col("subspace")))
@@ -295,14 +296,15 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "subspace", "code")
         .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
     )
-    wsub = W.partitionBy("vec_id", "subspace").orderBy(
-        F.asc("dist_fp"), F.asc("code")
-    )
-    db_codes = (
-        lut.withColumn("rn", F.row_number().over(wsub))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("cand_id"), "subspace", "code")
-    )
+    # argmin (dist_fp ASC, code ASC) via min_by (r16; see the
+    # llm_kmeans_iterate note) — partial-merging aggregate, no window
+    # sort. (The cell_rank window below stays: it serves both the <=3
+    # probe slice and the ==1 assignment from one ranking.)
+    db_codes = lut.groupBy("vec_id", "subspace").agg(
+        F.min_by("code", F.struct(F.col("dist_fp"), F.col("code"))).alias(
+            "code"
+        )
+    ).select(F.col("vec_id").alias("cand_id"), "subspace", "code")
 
     centroids = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
         fixed_mean_1e9(F.col("x")).alias("c")
@@ -411,11 +413,18 @@ def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "c_id")
             .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
         )
-        w = W.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("c_id"))
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("c_id").alias("cluster"), "dist_fp")
+        # argmin (dist_fp ASC, c_id ASC) via min_by/min aggregates (r16:
+        # was a row_number window) — ObjectHashAggregate WITH map-side
+        # partial merge, so the vec_id exchange carries one candidate
+        # per (partition, vec) instead of k rows, and the window's
+        # per-partition sort is gone; min("dist_fp") IS the argmin's
+        # distance since the tie-break only orders equal distances.
+        # A/B at sf0.1: 1.46-1.80 s → 1.31-1.54 s, results identical.
+        assign = dists.groupBy("vec_id").agg(
+            F.min_by(
+                "c_id", F.struct(F.col("dist_fp"), F.col("c_id"))
+            ).alias("cluster"),
+            F.min("dist_fp").alias("dist_fp"),
         )
 
     return assign.groupBy(F.col("cluster").alias("cluster_id")).agg(
