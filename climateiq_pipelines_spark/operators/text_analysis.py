@@ -96,9 +96,17 @@ def llm_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "p_lang")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("p_lang"))
-    best = scores.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # r16: argmax (n_hits DESC, p_lang ASC) via min_by over
+    # struct(-n_hits, p_lang) — lexicographic min maximizes the count
+    # and breaks ties toward the smaller language code, the identical
+    # total order the row_number window computed, but as a
+    # partial-merging aggregate (one candidate per partition per doc
+    # crosses the shuffle, no window sort).
+    best = scores.groupBy("doc_id").agg(
+        F.min_by(
+            "p_lang", F.struct((-F.col("n_hits")).alias("neg"), "p_lang")
+        ).alias("p_lang"),
+        F.max("n_hits").alias("n_hits"),
     )
     # counts/best are per-document (corpus-sized) relations: plain
     # doc_id-keyed shuffle joins, NEVER broadcast — only the

@@ -290,11 +290,14 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts"
     )
-    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
-    return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    # r16: first-row-per-key via min/min_by aggregates (was a
+    # row_number window) — map-side partial merge means each partition
+    # contributes one candidate per key instead of sorting every event
+    # row under the key shuffle; min(event_id) IS the arrival-order
+    # first (event_id unique), min_by carries its timestamp.
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("event_id"),
+        F.min_by("ts", "event_id").alias("ts"),
     )
 
 
