@@ -155,21 +155,27 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"x{j + 1}")
         for j in range(_N_BUCKETS)
     ]
-    lab = docs.select(
-        "doc_id",
-        F.when(
-            F.size(F.split("text", " ")) >= _LABEL_MIN_WORDS, 1
-        )
-        .otherwise(-1)
+    # r16: the label IS derivable from the bucket counts — every token
+    # lands in exactly one bucket, so sum(x1..x8) = len(split(text)),
+    # and y = (word count >= threshold) comes out of the same
+    # aggregate. The previous docs->label branch + doc_id join cost a
+    # second full scan of documents and a doc-sized shuffle join for a
+    # value the aggregate already held.
+    n_words = sum(
+        (F.col(f"x{j}") for j in range(2, _N_FEATS)), F.col("x1")
+    )
+    y_col = (
+        F.when(n_words >= _LABEL_MIN_WORDS, 1).otherwise(-1)
         .cast("long")
-        .alias("y"),
+        .alias("y")
     )
     feat = (
         toks.select("doc_id", nib.alias("b"))
         .groupBy("doc_id")
         .agg(*xs[1:])
-        .select("doc_id", xs[0], *[f"x{j + 1}" for j in range(_N_BUCKETS)])
-        .join(lab, "doc_id")
+        .select(
+            "doc_id", xs[0], *[f"x{j + 1}" for j in range(_N_BUCKETS)], y_col
+        )
         # Lazy: round 0's gradient .first() is the materializing job
         # (the r9 one-job-per-round discipline); re-read every round,
         # never re-tokenized.
@@ -316,13 +322,6 @@ def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"x{j + 1}")
         for j in range(_N_BUCKETS)
     ]
-    lab = docs.select(
-        "doc_id",
-        F.when(F.size(F.split("text", " ")) >= _LABEL_MIN_WORDS, 1)
-        .otherwise(-1)
-        .cast("long")
-        .alias("y"),
-    )
     split_nib = F.conv(
         F.substring(
             F.md5(
@@ -338,8 +337,24 @@ def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", nib.alias("b"))
         .groupBy("doc_id")
         .agg(*xs[1:])
-        .select("doc_id", xs[0], *[f"x{j + 1}" for j in range(_N_BUCKETS)])
-        .join(lab, "doc_id")
+        .select(
+            "doc_id",
+            xs[0],
+            *[f"x{j + 1}" for j in range(_N_BUCKETS)],
+            # Same derivation as training: sum(x1..x8) = word count,
+            # so the label needs no second documents scan + join.
+            F.when(
+                sum(
+                    (F.col(f"x{j}") for j in range(2, _N_FEATS)),
+                    F.col("x1"),
+                )
+                >= _LABEL_MIN_WORDS,
+                1,
+            )
+            .otherwise(-1)
+            .cast("long")
+            .alias("y"),
+        )
         .filter(split_nib == 13)
     )
     margin = sum(

@@ -108,7 +108,16 @@ def llm_minhash_jaccard_estimate(
     pass (map-side combined); the exact-overlap side only touches the
     ≤16 sampled docs' tokens (semi-join pushdown via the bounded pair
     frame)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r16: the pair sample is decided ENTIRELY by doc_id (mod-slice +
+    # ordered LIMIT), so only docs in either residue class can ever
+    # reach the output — pushing the OR-of-mods predicate into the
+    # documents scan drops ~97.8% of the corpus before the explode and
+    # the 16-seed md5 aggregate (guide §1.2: don't compute what you
+    # throw away). The sa/sb filters below still select the exact same
+    # rows; every downstream relation is unchanged.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % _A_MOD == 0) | (F.col("doc_id") % _B_MOD == 1)
+    )
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
