@@ -16,8 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from climateiq_pipelines_spark.functions.textgrams import word_shingles
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
 
 # --- llm_gopher_quality -------------------------------------------------
 # Gopher's rule set targets web text (50..100k words, mean word length
@@ -256,10 +257,14 @@ def llm_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands pass: a run of r consecutive matching {_SPAN_N}-
     grams IS a shared span of r + {_SPAN_N - 1} words.
 
-    Plan: shingles via posexplode + lead (the llm_ngram_contamination
-    shape — codegen'd, one doc_id shuffle), equality self-join on the
-    shingle, then one window per (a, b, diagonal) partition — island
-    detection is row_number subtraction, the win_gap_islands pattern.
+    Plan: shingles via functions.textgrams.word_shingles (r16: a
+    ZERO-SHUFFLE map stage over the split array; the previous
+    posexplode + lead window paid a token-level exchange + per-doc
+    sort for a purely local computation — the shingle start position
+    is the posexplode ordinal of the shingle array, identical to the
+    old word-position ordinal), equality self-join on the shingle,
+    then one window per (a, b, diagonal) partition — island detection
+    is row_number subtraction, the win_gap_islands pattern.
 
     Scale: the self-join carries only positions whose shingle occurs in
     >1 document (rare after exact dedup); production joins on
@@ -268,20 +273,13 @@ def llm_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_ngram_jaccard. Window partitions are per-(pair, diagonal), so
     no global ordering exists anywhere. The islands trick keeps span
     merging O(matches log matches) with zero iterative passes."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    docs = widen_if_narrow(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
     )
-    win = W.partitionBy("doc_id").orderBy("pos0")
-    parts = [F.col("w")] + [
-        F.lead("w", i).over(win) for i in range(1, _SPAN_N)
-    ]
-    sh = docs.select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.when(
-            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
-        ).alias("s"),
-    ).filter(F.col("s").isNotNull())
+    sh = word_shingles(docs, _SPAN_N, with_pos=True).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "s"
+    )
     a = sh.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "s"
     )

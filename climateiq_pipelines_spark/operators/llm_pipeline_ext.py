@@ -11,8 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from climateiq_pipelines_spark.functions.textgrams import word_shingles
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
 
 # The held-out "benchmark" slice of the fixture: one source plays the
 # role of an eval suite. In production this is the actual benchmark
@@ -52,11 +53,13 @@ def llm_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated doc — the standard n-gram-collision decontamination
     step run before pretraining (eval leakage inflates benchmarks).
 
-    Shingles are generated exactly as llm_ngram_jaccard's: posexplode +
-    lead(1..{NGRAM_N - 1}) over (doc_id, pos) — fully codegen'd, one
-    linear doc_id shuffle; the tail positions (where lead is NULL) are
-    dropped explicitly rather than silently shortened (concat_ws skips
-    NULLs, which would fabricate short shingles that over-match).
+    Shingles are generated exactly as llm_ngram_jaccard's (r16:
+    functions.textgrams.word_shingles — a ZERO-SHUFFLE map stage over
+    the split array; the previous posexplode + lead window paid a full
+    token-level exchange + per-doc sort for a purely local
+    computation). Only full n-grams are emitted — sequence(0, size-n)
+    ends at the last complete window, the same rows the old lead form
+    kept after its explicit tail-NULL drop.
 
     Scale: the eval side of the join is a DISTINCT over the benchmark
     corpus — in production a fixed few-MB set that AQE broadcasts, so
@@ -66,24 +69,15 @@ def llm_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64(shingle) (8-byte keys, 2^-64 false-match — the hashed-
     shingle trade documented in llm_ngram_jaccard); the fixture key
     stays the shingle text so the DuckDB oracle is textual."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    docs = widen_if_narrow(
+        spark,
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [
-        F.lead("w", i).over(win) for i in range(1, NGRAM_N)
-    ]
-    sh = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.when(
-                parts[-1].isNotNull(), F.concat_ws(" ", *parts)
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    sh = word_shingles(
+        docs, NGRAM_N, cols=("doc_id", "source"), out="shingle"
+    ).distinct()
     ev = (
         sh.filter(F.col("source") == EVAL_SOURCE)
         .select("shingle")
