@@ -84,6 +84,33 @@ def fixed_mean_1e9(x: Column) -> Column:
     )
 
 
+def hyperplane_sig(vec: Column, planes: list[list[float]], dim: int | None = None) -> Column:
+    """len(planes)-bit hyperplane simhash signature: bit j = sign of
+    the exact fixed-point dot against plane j (``dim`` truncates each
+    plane for prefix/MRL consumers).  ONE home for the loop five
+    operators previously inlined (llm_simhash_bucket,
+    _cosine_topk_bucketed, llm_cosine_neardup, llm_simhash_multiprobe,
+    _mrl_rerank_bucketed).
+
+    r16 optimization (guide §1.2, driver-side build cost): each plane
+    ships as ONE ``F.lit(np.ndarray)`` array<double> literal instead of
+    64 element-wise ``F.lit`` calls — element-wise literal construction
+    is ~1 ms of py4j round-trip per element (the llm_bloom_decontam r9
+    measurement), so the 8×64 inline form cost ~0.3-0.5 s of pure plan
+    construction on EVERY call of every consumer.  The literal value,
+    and therefore every signature and oracle hash, is unchanged."""
+    import numpy as np
+
+    sig: Column = F.lit(0)
+    for j, row in enumerate(planes):
+        r = row if dim is None else row[:dim]
+        plane = F.lit(np.asarray(r, dtype=np.float64))
+        sig = sig + F.when(_int_dot(vec, plane) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return sig
+
+
 def assign_nearest_centroid(emb, keep_label: bool = False):
     """One k-means E-step as a DataFrame plan — per-label centroids
     (exact 1e9 fixed-point component means), every vector re-assigned

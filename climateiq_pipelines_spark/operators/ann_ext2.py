@@ -21,6 +21,7 @@ from climateiq_pipelines_spark.functions.fixedpoint import (
     _int_dot,
     _sql_int_dot,
     cos_micros,
+    hyperplane_sig,
     sql_cos_micros,
 )
 from climateiq_pipelines_spark.plans import register
@@ -68,11 +69,7 @@ def _mrl_rerank_bucketed(emb: DataFrame) -> DataFrame:
     from climateiq_pipelines_spark.operators.llm import _hyperplanes
 
     pre = F.slice(F.col("embedding"), 1, _MRL_PREFIX_DIM)
-    sig = F.lit(0)
-    for j, row in enumerate(_hyperplanes()):
-        plane = F.array(*[F.lit(v) for v in row[:_MRL_PREFIX_DIM]])
-        bit = F.when(_int_dot(pre, plane) >= 0, 1 << j).otherwise(0)
-        sig = sig + bit
+    sig = hyperplane_sig(pre, _hyperplanes(), dim=_MRL_PREFIX_DIM)
     # Stage 1 carries ONLY (ids, prefix dot) through the
     # bucket-quadratic join and the trunc-rank window shuffle — the
     # 16/64 truncated-payload saving is the whole point of MRL, and the

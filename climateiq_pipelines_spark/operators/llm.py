@@ -46,6 +46,7 @@ from climateiq_pipelines_spark.functions.fixedpoint import (  # noqa: E402
     assign_nearest_centroid,
     cos_micros,
     fixed_mean_1e9,
+    hyperplane_sig,
     sql_cos_micros,
 )
 
@@ -544,11 +545,7 @@ def _cosine_topk_bucketed(
     per-bucket self-joins are quadratic in bucket size only. Recall is
     bucket-local (the standard LSH trade; widen signatures or
     multi-probe to raise it) — same contract as llm_cosine_neardup."""
-    sig: Column = F.lit(0)
-    for j, row in enumerate(_hyperplanes()):
-        plane = F.array(*[F.lit(v) for v in row])
-        bit = F.when(_int_dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
-        sig = sig + bit
+    sig = hyperplane_sig(F.col("embedding"), _hyperplanes())
     sigs = emb.select("vec_id", "embedding", sig.alias("signature"))
     a = sigs.select(
         F.col("vec_id"), F.col("embedding").alias("q_emb"), "signature"
@@ -894,11 +891,7 @@ def llm_simhash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     2000-vector fixture; at 10^9+ vectors widen to 16-24 bits and keep
     per-bucket cardinality ~10^3-10^4 for the re-rank stage."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig: Column = F.lit(0)
-    for j, row in enumerate(_hyperplanes()):
-        plane = F.array(*[F.lit(v) for v in row])
-        bit = F.when(_int_dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
-        sig = sig + bit
+    sig = hyperplane_sig(F.col("embedding"), _hyperplanes())
     return (
         emb.select(sig.alias("signature"), "label")
         .groupBy("signature")
@@ -940,11 +933,7 @@ def llm_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the signature; per-bucket self-joins are
     quadratic in BUCKET size only — the whole point of the signature."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig: Column = F.lit(0)
-    for j, row in enumerate(_hyperplanes()):
-        plane = F.array(*[F.lit(v) for v in row])
-        bit = F.when(_int_dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
-        sig = sig + bit
+    sig = hyperplane_sig(F.col("embedding"), _hyperplanes())
     sigs = emb.select("vec_id", "embedding", sig.alias("signature"))
     a = sigs.select(
         F.col("vec_id").alias("a_id"),

@@ -12,11 +12,12 @@ correctness window (plans.load_all); covered by tools/driver_sim.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from climateiq_pipelines_spark.functions.fixedpoint import (
     cos_micros,
+    hyperplane_sig,
     sql_cos_micros,
 )
 from climateiq_pipelines_spark.operators.llm import (
@@ -71,11 +72,7 @@ def llm_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. De-dup of pairs found via multiple shared probes happens on
     the (a_id, b_id) pair key BEFORE the expensive exact verify."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig: Column = F.lit(0)
-    for j, row in enumerate(_hyperplanes()):
-        plane = F.array(*[F.lit(v) for v in row])
-        bit = F.when(_int_dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
-        sig = sig + bit
+    sig = hyperplane_sig(F.col("embedding"), _hyperplanes())
     sigs = emb.select("vec_id", "embedding", sig.alias("signature"))
     # query side probes its own bucket + the 8 Hamming-1 buckets
     probes = sigs.select(
