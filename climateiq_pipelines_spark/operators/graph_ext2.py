@@ -427,10 +427,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "label", F.struct(F.col("n"), (-F.col("label")).alias("nl"))
             ).alias("label")
         )
-    # One lazy checkpoint of the final frontier: the community-size
-    # aggregate and the output join both read it, and the 3 unrolled
-    # rounds above stay a single lazy plan (graph_pagerank discipline).
-    labels = labels.localCheckpoint(eager=False)
+    # No checkpoint on the final frontier (r16 A/B): the community-size
+    # diamond's two consumers share the final max_by aggregate's
+    # EXCHANGE (identical canonical subtree — AQE stage reuse), so only
+    # the tiny |V|-row final merge runs twice, while the lazy
+    # localCheckpoint paid the full plan's toRdd (planning + codegen,
+    # ~2.3 s at sf0.1) at build time PLUS a materialization barrier.
+    # Interleaved A/B (noop, min-of-3 ×2): ckpt 2.87/2.50 s vs plain
+    # diamond 2.51/2.33 s, results identical. At hundreds of rounds the
+    # lineage-depth checkpoint discipline (llm_dedup_clusters) returns.
     comm = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")
     )
