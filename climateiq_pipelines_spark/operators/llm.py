@@ -1116,20 +1116,31 @@ def _simhash60_sigs(docs: DataFrame) -> DataFrame:
     # here): _tokens' distinct already shuffles before the 60-way vote
     # aggregate, so the heavy stage is parallel and a pre-explode
     # repartition only adds a shuffle.
+    #
+    # r16: the 60 vote sums and the 60-term sign fold are built as SQL
+    # expr strings (integer-only text — no float literal round-trip),
+    # not Column chains: the chained form cost 2.12 s of py4j
+    # round-trips per construction vs 0.46 s for the parsed strings
+    # (measured, outputs bit-identical) — the hyperplane_sig lesson
+    # applied to the 60-bit builder. Paid once per session (the memo
+    # above), i.e. once per bench/sim wall.
     toks = _tokens(docs)
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
             ).alias(f"v{j}")
             for j in range(60)
         ]
     )
-    sig_col: Column = F.lit(0).cast("long")
-    for j in range(60):
-        sig_col = sig_col + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(0)
-    sigs = votes.select("doc_id", sig_col.alias("sig")).localCheckpoint()
+    sig_expr = "CAST(0 AS BIGINT) " + " ".join(
+        f"+ (CASE WHEN v{j} >= 0 THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(60)
+    )
+    sigs = votes.select("doc_id", F.expr(sig_expr).alias("sig")).localCheckpoint()
     _SIG_CACHE[cache_key] = sigs
     return sigs
 
