@@ -376,9 +376,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     results bit-identical). The 3 rounds stay one lazy unrolled plan
     (the graph_pagerank AQE-stage-reuse discipline — per-round eager
     localCheckpoints measured no faster here and cost a driver barrier
-    each); the final frontier is lazily localCheckpoint'd once so the
-    community-size aggregate and the output join read one materialized
-    |V|-row relation. At hundreds of rounds (not 3) re-introduce
+    each); the final frontier is NOT checkpointed (r16 A/B): the
+    community-size diamond's two consumers share the final max_by
+    aggregate's exchange via AQE stage reuse, so only the tiny |V|-row
+    final merge runs twice. At hundreds of rounds (not 3) re-introduce
     per-round checkpoints — the llm_dedup_clusters lineage discipline.
     Synchronous LPA at 100 TB: label storage is |V|-bound, edges
     stream once per round — the same two-shuffle round shape as
