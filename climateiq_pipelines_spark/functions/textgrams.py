@@ -72,3 +72,34 @@ def word_shingles(
     if with_pos:
         return ws.select(*cols, F.posexplode(arr).alias("pos0", out))
     return ws.select(*cols, F.explode(arr).alias(out))
+
+
+def word_shingle_sets(
+    df: DataFrame,
+    n: int,
+    *,
+    cols: tuple[str, ...] = ("doc_id",),
+    out: str = "arr",
+) -> DataFrame:
+    """(cols..., out): the DISTINCT xxhash64'd word n-gram shingle SET
+    of ``text`` as one array<long> row per document — the un-exploded
+    twin of :func:`word_shingles` for set-similarity consumers (r17:
+    llm_ngram_jaccard's PPJoin stage verifies candidates with
+    array_intersect over these, so the set must exist as an array, not
+    rows). Same zero-shuffle construction: the split array crosses a
+    Generate boundary so CollapseProject cannot inline split() into the
+    per-element lambda (the round-9 O(words²) trap), hashing happens
+    inside the same single transform pass, and the ``size >= n`` guard
+    covers sequence()'s step=-1 default. Docs with fewer than n words
+    emit an empty array."""
+    ws = df.select(
+        *cols, F.explode(F.array(F.split("text", " "))).alias("ws")
+    )
+    arr = F.when(
+        F.size("ws") >= n,
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(ws) - {n}),"
+            f" i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {n})))))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    return ws.select(*cols, arr.alias(out))

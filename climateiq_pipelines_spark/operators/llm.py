@@ -26,7 +26,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from climateiq_pipelines_spark.functions.textgrams import word_shingles
+from climateiq_pipelines_spark.functions.textgrams import (
+    word_shingle_sets,
+    word_shingles,
+)
 from climateiq_pipelines_spark.plans import register
 from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
 from climateiq_pipelines_spark.session import register_frame_cache
@@ -997,60 +1000,120 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture the signal is bimodal (probed at sf0.01: 25 pairs at
     J ≥ 0.9, next mass at J ≤ 0.1), so 0.5 sits in an empty margin.
 
-    Scale: same posting-list shape as llm_minhash_neardup — explode →
-    self-join on shingle → integer ratio — but shingles are ~unique
-    (3-word context), so posting lists stay short and the join is
-    near-linear where raw token posting lists go quadratic. The
-    self-join key is xxhash64(shingle), NOT the trigram text: the
-    shuffle carries 8 bytes per shingle instead of ~20+ and the join
-    compares longs instead of strings (a 2^-64 hash collision could at
-    worst inflate one pair's overlap by 1 — the standard hashed-shingle
-    trade, same as MinHash). At 100 TB layer MinHash banding on top
-    exactly as llm_minhash_lsh does over tokens.
+    Scale — r17: the posting-list self-join is PPJOIN-pruned (Xiao et
+    al. 2008, "Efficient Similarity Joins for Near Duplicate
+    Detection"), exactly the lossless candidate stage VERDICT r16
+    asked for. The raw `a.join(b, shingle)` was quadratic in a hot
+    shingle's document frequency (boilerplate trigrams at 100 TB);
+    now:
+
+    - Each doc's shingle set lives as ONE sorted array row
+      (functions.textgrams.word_shingle_sets — the same zero-shuffle
+      Generate-boundary construction; the round-9 O(words²)
+      element_at trap and the step=-1 sequence() guard both live
+      there).
+    - CANDIDATES come from joining only each doc's PPJoin PREFIX — its
+      ⌈n_sh/2⌉ shingles of lowest (document frequency, shingle) in the
+      one global order. Lossless for the declared threshold: J > 1/2
+      ⟹ 3·|∩| > a+b and |∩| ≤ min(a,b) ⟹ |∩| ≥ ⌊a/2⌋+1 AND ⌊b/2⌋+1,
+      and if the first ⌈a/2⌉ elements of A shared nothing with B then
+      |∩| ≤ a − ⌈a/2⌉ = ⌊a/2⌋ — contradiction (symmetrically for B),
+      so every qualifying pair collides inside BOTH prefixes. Hot
+      boilerplate shingles have maximal df, sort to the list TAILS,
+      and never enter a prefix — the quadratic term is gone, not just
+      reduced. The length filter (max < 2·min, same derivation) drops
+      further candidates at the join.
+    - VERIFICATION is exact and per-pair linear: candidates re-join
+      the two checkpointed set arrays and n_common =
+      size(array_intersect(arr_a, arr_b)) — no posting-list
+      re-aggregation, so the old count-all-co-occurrences shuffle is
+      gone too.
+
+    Shingles are xxhash64'd longs, not trigram text (8-byte shuffle
+    keys; a 2^-64 collision could at worst inflate one pair's overlap
+    by 1 — the standard hashed-shingle trade, same as MinHash).
+    Property-tested multiset-equal to the unpruned form
+    (tests/test_r7_keys.py) and oracle-checked at all three SFs.
 
     Shingle GENERATION is a ZERO-SHUFFLE map stage (r16:
-    functions.textgrams.word_shingles — transform-over-sequence slices
-    of the split array behind a Generate boundary). The previous
-    posexplode + lead(1)/lead(2) window paid a full token-level
-    exchange + per-doc sort for a purely local computation (stage A/B:
-    0.79 s window vs 0.37 s widened map form at sf0.1); the round-9
-    element_at array formulation that measured 2.1× slower end to end
-    (split() re-evaluated inside every element_at — O(words²)) is
-    avoided by the Generate-boundary construction, see textgrams."""
+    functions.textgrams — transform-over-sequence slices of the split
+    array behind a Generate boundary; stage A/B: 0.79 s window form vs
+    0.37 s widened map form at sf0.1)."""
     docs = widen_if_narrow(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    sh = (
-        word_shingles(docs, 3)
-        .select("doc_id", F.xxhash64("s").alias("shingle"))
-        .distinct()
+    # One (doc_id, shingle-set array, n_sh) row per doc. Checkpointed
+    # because THREE consumers read it (prefix explode + both
+    # verification sides) and Catalyst does not reuse the scan across
+    # differently-aliased branches (the round-9 measurement that
+    # introduced the checkpoint here); the doc-level array rows are
+    # the same bytes as the old exploded form in fewer, wider rows.
+    sets = word_shingle_sets(docs, 3).select(
+        "doc_id", "arr", F.size("arr").alias("n_sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # The pair self-join consumes `sized` on BOTH sides and Catalyst
-    # does not reuse the exchange across the differently-aliased
-    # branches (verified: 0 ReusedExchange in the executed plan), so
-    # without materialization the posexplode + window + distinct
-    # lineage runs twice. One localCheckpoint of the deduped hashed
-    # shingle relation (8 B/shingle + sizes) halves that: measured
-    # 2.44 s → 2.09 s warm, 9.2 s → 3.1 s cold at sf0.1 (BASELINE.md
-    # round-9). Same diamond-reuse discipline as the graph keys'
-    # edge checkpoint.
-    sized = sh.join(sizes, "doc_id").localCheckpoint()
-    a = sized.select(
+    sized = sets.filter(F.col("n_sh") > 0).localCheckpoint()
+    sh = sized.select(
+        "doc_id", "n_sh", F.explode("arr").alias("shingle")
+    )
+    # Global PPJoin order = (document frequency, shingle) ascending.
+    # The df aggregate and the df join share one shingle-keyed
+    # exchange (AQE stage reuse); the per-doc prefix is a slice of the
+    # per-doc sorted (df, shingle) array — an aggregate, not a window
+    # (the r16 argmax discipline: no per-partition sort).
+    df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pref = (
+        sh.join(df_rel, "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(
+            F.expr(
+                "slice(sort_array(collect_list(struct(df, shingle))),"
+                " 1, cast(ceil(n_sh / 2) as int))"
+            ).alias("pref")
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            F.explode(F.expr("transform(pref, p -> p.shingle)")).alias(
+                "shingle"
+            ),
+        )
+    )
+    a = pref.select(
         F.col("doc_id").alias("a_id"), "shingle", F.col("n_sh").alias("a_sh")
     )
-    b = sized.select(
+    b = pref.select(
         F.col("doc_id").alias("b_id"), "shingle", F.col("n_sh").alias("b_sh")
     )
-    ov = (
+    cand = (
         a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "a_sh", "b_sh")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_sh") < 2 * F.col("b_sh"))
+            & (F.col("b_sh") < 2 * F.col("a_sh"))
+        )
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            sized.select(F.col("doc_id").alias("a_id"), F.col("arr").alias("arr_a")),
+            "a_id",
+        )
+        .join(
+            sized.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("arr_b")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "a_sh",
+            "b_sh",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_common"),
+        )
     )
     union = F.col("a_sh") + F.col("b_sh") - F.col("n_common")
     return (
-        ov.filter(F.col("n_common") * 2 > union)
+        ver.filter(F.col("n_common") * 2 > union)
         .select(
             "a_id", "b_id", F.round(F.col("n_common") / union, 6).alias("jaccard")
         )

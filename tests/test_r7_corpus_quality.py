@@ -141,3 +141,51 @@ def test_substring_spans_complete_against_bruteforce(spark):
     }
     assert got == expected
     assert _SPAN_N <= _SPAN_MIN_WORDS  # sanity on the module constants
+
+def test_substring_spans_anchor_equivalence(spark):
+    """r17 optimization pin: the registered operator joins on
+    _SPAN_MIN_WORDS-gram ANCHORS; this re-derives the pre-r17 form
+    (raw _SPAN_N-gram self-join + islands + HAVING >= threshold) and
+    requires exact multiset equality — the overlapping-window identity
+    the rewrite rests on (a maximal run of r >= _SPAN_MIN_RUN matching
+    _SPAN_N-grams on a diagonal IS a maximal run of r - _SPAN_MIN_RUN
+    + 1 matching _SPAN_MIN_WORDS-grams there)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from climateiq_pipelines_spark.functions.textgrams import word_shingles
+    from climateiq_pipelines_spark.registry import widen_if_narrow
+
+    docs = widen_if_narrow(
+        spark,
+        load_table(spark, SF_SMALL, "documents").select("doc_id", "text"),
+    )
+    sh = word_shingles(docs, _SPAN_N, with_pos=True).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "s"
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "s")
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"), "s")
+    hits = (
+        a.join(b, "s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    iw = W.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    isl = hits.withColumn("island", F.col("pa") - F.row_number().over(iw))
+    old = (
+        isl.groupBy("a_id", "b_id", "diag", "island")
+        .agg(
+            F.min("pa").cast("long").alias("a_start"),
+            F.min("pb").cast("long").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(_SPAN_N - 1)).cast("long").alias(
+                "span_words"
+            ),
+        )
+        .filter(F.col("span_words") >= _SPAN_MIN_WORDS)
+        .select("a_id", "b_id", "a_start", "b_start", "span_words")
+    )
+    new = QUERIES["llm_substring_span_dedup"](spark, SF_SMALL)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0

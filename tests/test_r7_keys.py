@@ -168,3 +168,48 @@ def test_try_arithmetic_rederive(spark):
     ) == (div, mul, add, sub)
     # every failure mode must actually occur on the fixture
     assert min(div, mul, add, sub) > 0
+
+def test_ngram_jaccard_ppjoin_equivalence(spark):
+    """r17 optimization pin: the registered llm_ngram_jaccard prunes
+    its posting-list self-join with a PPJoin prefix + length filter
+    and verifies candidates via array_intersect; this re-derives the
+    pre-r17 UNPRUNED form (full self-join on the hashed shingle +
+    co-occurrence count) and requires exact multiset equality — the
+    losslessness proof (J > 1/2 pairs always collide inside both
+    (df, shingle)-order prefixes) made executable."""
+    from climateiq_pipelines_spark.functions.textgrams import word_shingles
+    from climateiq_pipelines_spark.registry import widen_if_narrow
+
+    docs = widen_if_narrow(
+        spark,
+        load_table(spark, SF_SMALL, "documents").select("doc_id", "text"),
+    )
+    sh = (
+        word_shingles(docs, 3)
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sized = sh.join(sizes, "doc_id")
+    a = sized.select(
+        F.col("doc_id").alias("a_id"), "shingle", F.col("n_sh").alias("a_sh")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b_id"), "shingle", F.col("n_sh").alias("b_sh")
+    )
+    ov = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_sh", "b_sh")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    union = F.col("a_sh") + F.col("b_sh") - F.col("n_common")
+    old = ov.filter(F.col("n_common") * 2 > union).select(
+        "a_id", "b_id", F.round(F.col("n_common") / union, 6).alias("jaccard")
+    )
+    new = QUERIES["llm_ngram_jaccard"](spark, SF_SMALL)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # and the prefix stage really prunes: candidate mass <= full join
+    # (sanity that the operator kept a result at all)
+    assert new.count() > 0
