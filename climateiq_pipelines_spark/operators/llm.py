@@ -1021,8 +1021,12 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       so every qualifying pair collides inside BOTH prefixes. Hot
       boilerplate shingles have maximal df, sort to the list TAILS,
       and never enter a prefix — the quadratic term is gone, not just
-      reduced. The length filter (max < 2·min, same derivation) drops
-      further candidates at the join.
+      reduced. The length filter (max < 2·min, same derivation) and
+      PPJoin's POSITIONAL filter (the earliest common element bounds
+      |∩| by its suffix lengths — see the inline proof) drop further
+      candidates at the join: measured 300,277 → 120,930 candidate
+      pairs at sf0.1, and the interleaved noop A/B vs the unpruned
+      form reads 2.51 s → 2.05 s (min-of-4).
     - VERIFICATION is exact and per-pair linear: candidates re-join
       the two checkpointed set arrays and n_common =
       size(array_intersect(arr_a, arr_b)) — no posting-list
@@ -1073,23 +1077,45 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_sh",
-            F.explode(F.expr("transform(pref, p -> p.shingle)")).alias(
-                "shingle"
+            F.posexplode(F.expr("transform(pref, p -> p.shingle)")).alias(
+                "pos0", "shingle"
             ),
         )
     )
     a = pref.select(
-        F.col("doc_id").alias("a_id"), "shingle", F.col("n_sh").alias("a_sh")
+        F.col("doc_id").alias("a_id"),
+        "shingle",
+        F.col("n_sh").alias("a_sh"),
+        F.col("pos0").alias("pa"),
     )
     b = pref.select(
-        F.col("doc_id").alias("b_id"), "shingle", F.col("n_sh").alias("b_sh")
+        F.col("doc_id").alias("b_id"),
+        "shingle",
+        F.col("n_sh").alias("b_sh"),
+        F.col("pos0").alias("pb"),
     )
+    # Positional filter (PPJoin's second pruning rule): for a pair's
+    # EARLIEST common element (which is always inside both prefixes —
+    # it precedes the element the prefix proof finds), every other
+    # common element follows it in both lists, so
+    # |∩| ≤ min(a − pa, b − pb) + 1 (pos0 is 0-based ⇒ a − pa elements
+    # from it onward... with pa 0-based the suffix from the collision
+    # inclusive has a − pa elements). J > 1/2 needs
+    # |∩| ≥ ⌊(a+b)/3⌋ + 1, so keep collisions with
+    # least(a − pa, b − pb) ≥ ⌊(a+b)/3⌋ + 1; a qualifying pair's first
+    # collision always survives, so distinct pairs are preserved.
     cand = (
         a.join(b, "shingle")
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & (F.col("a_sh") < 2 * F.col("b_sh"))
             & (F.col("b_sh") < 2 * F.col("a_sh"))
+            & (
+                F.least(
+                    F.col("a_sh") - F.col("pa"), F.col("b_sh") - F.col("pb")
+                )
+                >= F.floor((F.col("a_sh") + F.col("b_sh")) / 3) + 1
+            )
         )
         .select("a_id", "b_id", "a_sh", "b_sh")
         .distinct()
