@@ -9,9 +9,13 @@ prints EXACTLY ONE SHORT JSON line on stdout:
 
 The driver captures only a ~2000-char tail of stdout (BENCH_r06.json
 came back `parsed: null` when the per-query dict grew past that), so the
-stdout line stays SHORT and fixed-size forever; the full per-query
-timing dict goes to stderr (one `# key: secs` line each) AND to
-BENCH_QUERIES.json next to this script for the judge's per-query diff.
+SUITE line stays SHORT, fixed-size, and LAST forever; per-query detail
+goes to stderr (one `# key: secs` line each), to BENCH_QUERIES.json
+next to this script, AND — r17, VERDICT r16 #3, additions-only — as one
+compact `{"query": k, "sec": s}` stdout JSON line per key BEFORE the
+suite line, so a full-stdout reader can build the per-query table
+without the sibling file while tail-only parsers see the suite line
+unchanged.
 
 HEADLINE policy: the suite is the BASELINE.md-comparable set plus every
 operator family's most expensive representative — NOT all 200 keys.
@@ -207,16 +211,30 @@ def main() -> None:
         timings[key] = round(best, 4)
         total += best
         print(f"# {key}: {best:.3f}s ({n} rows)", file=sys.stderr)
-        if os.environ.get("SPARK_BENCH_RECLAIM") == "1":
-            # A/B probe (round 12): deterministic block reclaim between
-            # HEADLINE keys, the parity_sweep/driver_sim hygiene applied
-            # to the bench session.  OFF by default — it changes what
-            # the suite measures (cross-key cache reuse is part of the
-            # warm-session protocol above); flips only with a recorded
-            # gated A/B in BASELINE.md.
+        # Per-key detail ALSO as one compact stdout JSON line per key
+        # (VERDICT r16 #3, additions-only): machine-checkable per-query
+        # timings for the driver's PERF diff.  These lines carry no
+        # "value" key, so the summary extractors (bench_gated, the
+        # driver's tail parse) still find the FINAL suite line — which
+        # stays last, short, and shape-identical; r6's lesson (the
+        # per-query dict inlined into the suite line overflowed the
+        # ~2000-char tail capture and made it unparseable) is why the
+        # detail is per-line rather than one big dict.
+        print(json.dumps({"query": key, "sec": round(best, 4)}))
+        if os.environ.get("SPARK_BENCH_RECLAIM", "1") != "0":
+            # Deterministic block + frame-cache reclaim between HEADLINE
+            # keys — ON by default as of r17 (VERDICT r16 #4: the
+            # session frame caches let graph_*/simhash_* keys reuse
+            # checkpointed edge/signature frames a PREVIOUS key built,
+            # blurring per-key attribution). Each key's min-of-2 now
+            # pays its own frame builds; the lazy table-relation memo
+            # (metadata only, no blocks) is kept — catalog resolution,
+            # not data state. SPARK_BENCH_RECLAIM=0 restores the
+            # r12-r16 warm-session mode; BASELINE.md round-17 records
+            # the gated A/B of both modes.
             from climateiq_pipelines_spark.session import release_blocks
 
-            release_blocks(spark)
+            release_blocks(spark, keep_lazy_metadata=True)
 
     # Full per-query detail: stderr + sibling file (NOT the stdout line —
     # the driver's tail capture is ~2000 chars and r6's 81-query dict

@@ -279,22 +279,52 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-row path mirrors agg_linear_fit (relational_ext.py): the
     # inputs carry <=2 true decimal places, so one round-to-cent-longs
     # conversion replaces five double->decimal casts and the moment
-    # products stay in long arithmetic; only the group accumulator is
-    # decimal (Σ(yc²) reaches ~6e26 at 6e12 rows, hence 30 digits).
-    # Identical outputs, ~1.5x cheaper per row (BASELINE.md round-9).
+    # products stay in long arithmetic.
+    #
+    # r17 (VERDICT r16 #6): TWO-LEVEL exact sums like agg_linear_fit —
+    # level 1 sums pure LONG partials per (flag, scan partition),
+    # fully codegen'd; level 2 merges the tiny |groups|x|partitions|
+    # relation in decimal(38,0). The one term agg_linear_fit's recipe
+    # could not take — yc² at ~1.2e14/row would overflow a 1e6-row
+    # partition's long partial — is SPLIT HI/LO at 2^32:
+    # yc² = yq·2^32 + yr with yq = shiftright(yc², 32) ≤ ~2.8e4 and
+    # yr < 2^32, so the partials Σyq ≤ 2.8e10 and Σyr ≤ 4.3e15 both
+    # sit far inside int64 per 128 MB partition (ANSI-loud beyond),
+    # and the decimal merge reassembles the EXACT integer
+    # Σyc² = 2^32·ΣΣyq + ΣΣyr — integer addition is associative, so
+    # results are layout-independent (determinism probe key). Per-row
+    # domain bound unchanged from the single-level form: yc*yc is
+    # evaluated in long, so |yc| < 3.03e9 cents (price < ~3e7 units).
+    # The old form cast every row's products to decimal(30,0) — the
+    # BigDecimal slow path on 5 products per row.
     li = load_table(spark, sf_dir, "lineitem")
     xc = F.round(F.col("l_quantity") * 100).cast("long")
     yc = F.round(F.col("l_extendedprice") * 100).cast("long")
     cents = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
-    ACC = "decimal(30,0)"
     c = F.col
-    sc = cents.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(c("xc").cast(ACC)).alias("sxc"),
-        F.sum((c("xc") * c("xc")).cast(ACC)).alias("sxxc"),
-        F.sum(c("yc").cast(ACC)).alias("syc"),
-        F.sum((c("yc") * c("yc")).cast(ACC)).alias("syyc"),
-        F.sum((c("xc") * c("yc")).cast(ACC)).alias("sxyc"),
+    yy = c("yc") * c("yc")
+    pc = cents.groupBy(
+        "l_returnflag", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("xc").alias("psx"),
+        F.sum(c("xc") * c("xc")).alias("psxx"),
+        F.sum("yc").alias("psy"),
+        F.sum(F.shiftright(yy, 32)).alias("psyyq"),
+        F.sum(yy.bitwiseAND(F.lit(4294967295))).alias("psyyr"),
+        F.sum(c("xc") * c("yc")).alias("psxy"),
+    )
+    D38 = "decimal(38,0)"
+    sc = pc.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum(c("psx").cast(D38)).alias("sxc"),
+        F.sum(c("psxx").cast(D38)).alias("sxxc"),
+        F.sum(c("psy").cast(D38)).alias("syc"),
+        (
+            F.sum(c("psyyq").cast(D38)) * F.lit(4294967296).cast(D38)
+            + F.sum(c("psyyr").cast(D38))
+        ).alias("syyc"),
+        F.sum(c("psxy").cast(D38)).alias("sxyc"),
     )
     # Conversion back to unit scale happens in DOUBLE arithmetic —
     # double(exact integer sum) / 100.0 — the IDENTICAL expression

