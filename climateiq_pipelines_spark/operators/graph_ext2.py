@@ -91,23 +91,44 @@ def _cache_put(
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The part co-purchase edge list (u < v, distinct), shared by the
     triangle and label-propagation keys — localCheckpoint'd because
-    every consumer reads it several times and the order-pair self-join
-    must never re-run; memoized because both keys (and both their
-    rounds) want the same frame within a session."""
+    every consumer reads it several times; memoized because both keys
+    (and both their rounds) want the same frame within a session.
+
+    r17 (guide §2.4): pairs are generated IN-ARRAY per order —
+    groupBy(order) collects the sorted distinct part set and a nested
+    transform emits its u < v combinations — replacing the
+    (o, p)-distinct + self-join-on-o form: one order-keyed exchange
+    instead of a pair-distinct exchange PLUS a self-join, with the
+    final (u, v) distinct unchanged (identical multiset going into it
+    — the combinations of an order's distinct part set ARE its
+    distinct p < p2 pairs; A/B at sf0.1: 1.51 s → 1.26 s min-of-4,
+    diff = 0 rows both directions). Soundness bound: the per-order
+    pair array is quadratic in the order's distinct-part count, which
+    this schema bounds at 7 lineitems/order at every SF (TPC-H
+    construction) — ≤ 21 structs per row; for an unbounded group key
+    the self-join form distributes the same quadratic and is the
+    right fallback (recorded trade, not a silent cap)."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _EDGE_CACHE.get(cache_key)
     if cached is not None:
         return cached
     li = load_table(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = e0.alias("a")
-    b = e0.select(F.col("o"), F.col("p").alias("p2")).alias("b")
+    parts = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
     ed = (
-        a.join(b, "o")
-        .filter(F.col("p") < F.col("p2"))
-        .select(F.col("p").alias("u"), F.col("p2").alias("v"))
+        parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x as u, y as v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
