@@ -16,7 +16,7 @@ need must come from a module that registers nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _S12 = 1_000_000_000_000  # 1e12 fixed-point scale for products
@@ -82,6 +82,59 @@ def fixed_mean_1e9(x: Column) -> Column:
         / F.lit(float(_S9))
         / F.count(F.lit(1))
     )
+
+
+def lloyd_centroid_row(centroids: DataFrame) -> DataFrame:
+    """Collapse a (c_id, pos, c) centroid relation to ONE row holding
+    array<struct<c_id, carr: array<double>>> — the broadcast payload of
+    the r17 in-array Lloyd round (k×64 doubles, constant in corpus
+    size). ONE global collect_list aggregate (partial-merged, single
+    exchange) and the nested per-cluster arrays are built in the 1-row
+    projection — a per-cluster pre-aggregate would add an exchange and
+    an AQE stage per round for k×64 rows of work. Sorts are for
+    deterministic layout only; the consumer's array_min is
+    order-independent."""
+    return (
+        centroids.groupBy()
+        .agg(F.collect_list(F.struct("c_id", "pos", "c")).alias("flat"))
+        .select(
+            F.expr(
+                "transform(array_sort(array_distinct("
+                "transform(flat, q -> q.c_id))), cid -> struct("
+                "cid as c_id,"
+                " transform(array_sort(filter(flat, q -> q.c_id = cid)),"
+                " q -> q.c) as carr))"
+            ).alias("cents")
+        )
+    )
+
+
+# In-array Lloyd assignment (r17, guide §2.4): score every centroid
+# against the vector's OWN array row and take the struct-min — the
+# same exact integers the exploded join + (vec, c) sum + min_by argmin
+# computed (per-term floor((x−c)²·1e12) is one IEEE multiply chain;
+# long addition is associative; struct(dist, c) min IS the
+# (dist ASC, c_id ASC) tie-break), with ZERO data-sized shuffles: the
+# old round shuffled the exploded (vec, pos) relation into the
+# centroid join, the (vec, c) distance aggregate, and the argmin
+# aggregate.  1e12 is exactly representable in double, so the SQL text
+# round-trips exactly (the r16 float-literal caveat does not bite).
+_LLOYD_BEST = (
+    "array_min(transform(cents, ct -> struct("
+    "aggregate(sequence(1, size(embedding)), cast(0 as bigint),"
+    " (acc, i) -> acc + floor("
+    "(cast(element_at(embedding, i) as double) - element_at(ct.carr, i))"
+    " * (cast(element_at(embedding, i) as double) - element_at(ct.carr, i))"
+    " * 1e12)) as dist,"
+    " ct.c_id as c)))"
+)
+
+
+def lloyd_assign_cols() -> tuple[Column, Column]:
+    """(cluster, dist_fp) columns for a frame carrying ``embedding``
+    and the crossJoined 1-row ``cents`` array — see _LLOYD_BEST."""
+    best = F.expr(_LLOYD_BEST)
+    return best["c"].alias("cluster"), best["dist"].alias("dist_fp")
 
 
 def hyperplane_sig(vec: Column, planes: list[list[float]], dim: int | None = None) -> Column:

@@ -31,11 +31,13 @@ from climateiq_pipelines_spark.functions.fixedpoint import (
     PR_BASE,
     PR_R0,
     bipartite_purchase_edges,
+    lloyd_assign_cols,
+    lloyd_centroid_row,
     lloyd_iter_sql,
     pagerank_oracle_sql,
 )
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
 
 # VERDICT r9 task #2: memoized stop-round solutions per (key, sf_dir)
 # so sweep tooling + tests can call the oracle builders repeatedly
@@ -449,21 +451,30 @@ def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and checkpoint IO. At billions of vectors this loop — not
     an unrolled plan — is the form that survives, which is exactly why
     it is registered surface and not just a docstring promise."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Lazy checkpoints (see graph_pagerank_converged): materialized by
-    # round 0's movement job, then reused.
-    exploded = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    ).localCheckpoint(eager=False)
+    # r17: the same IN-ARRAY Lloyd round as llm_kmeans_iterate
+    # (fixedpoint.lloyd_assign_cols — identical integers and
+    # tie-break, zero data-sized shuffles per round; the only
+    # per-round exchanges are the k×64-partial centroid aggregate and
+    # the 1-row centroid collect). The per-round lazy checkpoint now
+    # carries (vec_id, embedding, cluster, dist_fp) — the embedding
+    # array rides the frame so no round re-reads the scan or joins
+    # assignments back — and is materialized by the moved-count job,
+    # exactly the old discipline. widen_if_narrow: the rounds are map
+    # stages; the single-split fixture scan would otherwise run them
+    # on one core (100 TB no-op).
+    emb = widen_if_narrow(spark, load_table(spark, sf_dir, "embeddings"))
     n_vecs = emb.count()
-    assign = emb.select(
-        "vec_id", F.col("label").alias("cluster"), F.lit(0).cast("long").alias("dist_fp")
+    frame = emb.select(
+        "vec_id",
+        "embedding",
+        F.col("label").alias("cluster"),
+        F.lit(0).cast("long").alias("dist_fp"),
     ).localCheckpoint(eager=False)
 
     n_rounds = 0
     for _ in range(_KM_MAX_ROUNDS):
         centroids = (
-            exploded.join(assign.select("vec_id", "cluster"), "vec_id")
+            frame.select("cluster", F.posexplode("embedding").alias("pos", "x"))
             .groupBy(F.col("cluster").alias("c_id"), "pos")
             .agg(
                 (
@@ -474,36 +485,23 @@ def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
         )
-        diff = F.col("x").cast("double") - F.col("c")
-        dists = (
-            exploded.join(F.broadcast(centroids), "pos")
-            .groupBy("vec_id", "c_id")
-            .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
-        )
-        # argmin (dist_fp ASC, c_id ASC) via min_by/min (r16; see the
-        # ml_iter.llm_kmeans_iterate note — partial-merging aggregate,
-        # no window sort).
-        new_assign = (
-            dists.groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    "c_id", F.struct(F.col("dist_fp"), F.col("c_id"))
-                ).alias("cluster"),
-                F.min("dist_fp").alias("dist_fp"),
-            )
-            .select("vec_id", "cluster", "dist_fp")
+        cluster_col, dist_col = lloyd_assign_cols()
+        new_frame = (
+            frame.crossJoin(F.broadcast(lloyd_centroid_row(centroids)))
+            .select("vec_id", "embedding", cluster_col, dist_col)
             .localCheckpoint(eager=False)  # materialized by the moved count
         )
         moved = (
-            new_assign.alias("a")
-            .join(assign.alias("b"), "vec_id")
+            new_frame.alias("a")
+            .join(frame.alias("b"), "vec_id")
             .filter(F.col("a.cluster") != F.col("b.cluster"))
             .count()
         )
-        assign = new_assign
+        frame = new_frame
         n_rounds += 1
         if moved * _KM_TOL_DIV <= n_vecs:
             break
+    assign = frame
 
     return assign.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),

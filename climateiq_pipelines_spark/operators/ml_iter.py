@@ -21,11 +21,13 @@ from pyspark.sql import functions as F
 from climateiq_pipelines_spark.functions.fixedpoint import (
     cos_micros,
     fixed_mean_1e9,
+    lloyd_assign_cols,
+    lloyd_centroid_row,
     lloyd_iter_sql,
     sql_cos_micros,
 )
 from climateiq_pipelines_spark.plans import register
-from climateiq_pipelines_spark.registry import load_table
+from climateiq_pipelines_spark.registry import load_table, widen_if_narrow
 
 _N_ITER = 3
 
@@ -386,48 +388,49 @@ def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitors for convergence.
 
     The whole loop is ONE declarative plan (3 unrolled rounds — no
-    actions, no checkpoints needed at this depth); Catalyst sees the
-    full lineage and pipelines the per-iteration aggregates. Scale per
-    iteration: one groupBy (cluster, pos) whose output is k×64 rows,
-    one BROADCAST of those centroids back, one (vec, cluster) distance
-    aggregate — linear in corpus, constant in k. At billions of
-    vectors the unrolled plan becomes the dedup_graph-style driver
-    loop with per-round checkpoints and a movement-count stop."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    actions, no checkpoints needed at this depth). r17 (guide §2.4):
+    the E-step is IN-ARRAY — the k×64 centroid relation collapses to
+    ONE broadcast row of array<struct<c_id, carr>> and every vector
+    scores all k centroids against its OWN embedding array
+    (fixedpoint._LLOYD_BEST; identical integers and tie-break, see the
+    helper's proof note), so the per-round data-sized shuffles — the
+    exploded×assign join, the (vec, cluster) distance aggregate, and
+    the min_by argmin exchange — are ALL gone. The only per-round
+    exchange left is the (cluster, pos) centroid aggregate, whose
+    map-side-combined partials are k×64 per partition; re-deriving the
+    previous rounds' map-only assignment under each round's centroid
+    aggregate replaces exchange reuse with recompute, bounded by the
+    3 unrolled rounds (two interleaved noop A/Bs at sf0.1, min-of-5
+    each: min_by form 2.16/2.25 s → in-array 1.80/2.10 s; the job
+    count RISES 16 → 18 — the per-round centroid collect adds tiny
+    AQE stages — while every data-sized exchange disappears, which is
+    the trade that matters at width). Scale per iteration: one
+    k×64-partial aggregate + one constant-size broadcast — linear in
+    corpus, constant in k. At billions of vectors the unrolled plan
+    becomes the dedup_graph-style driver loop with per-round
+    checkpoints and a movement-count stop (llm_kmeans_converged, same
+    in-array round)."""
+    # widen_if_narrow: the in-array rounds are pure map stages over the
+    # frame, and the sf fixture's embeddings table is ONE parquet split
+    # — without the (100 TB no-op) widen all k×64-flop scoring runs on
+    # a single core (measured 3.1 s vs 0.64 s at sf0.1).
+    emb = widen_if_narrow(spark, load_table(spark, sf_dir, "embeddings"))
+    frame = emb.select(
+        "vec_id", "embedding", F.col("label").alias("cluster")
     )
-    assign = emb.select("vec_id", F.col("label").alias("cluster"))
 
     for _ in range(_N_ITER):
         centroids = (
-            exploded.join(assign, "vec_id")
+            frame.select("cluster", F.posexplode("embedding").alias("pos", "x"))
             .groupBy(F.col("cluster").alias("c_id"), "pos")
-            .agg(
-                fixed_mean_1e9(F.col("x")).alias("c")
-            )
+            .agg(fixed_mean_1e9(F.col("x")).alias("c"))
         )
-        diff = F.col("x").cast("double") - F.col("c")
-        dists = (
-            exploded.join(F.broadcast(centroids), "pos")
-            .groupBy("vec_id", "c_id")
-            .agg(F.sum(F.floor(diff * diff * F.lit(1e12))).alias("dist_fp"))
-        )
-        # argmin (dist_fp ASC, c_id ASC) via min_by/min aggregates (r16:
-        # was a row_number window) — ObjectHashAggregate WITH map-side
-        # partial merge, so the vec_id exchange carries one candidate
-        # per (partition, vec) instead of k rows, and the window's
-        # per-partition sort is gone; min("dist_fp") IS the argmin's
-        # distance since the tie-break only orders equal distances.
-        # A/B at sf0.1: 1.46-1.80 s → 1.31-1.54 s, results identical.
-        assign = dists.groupBy("vec_id").agg(
-            F.min_by(
-                "c_id", F.struct(F.col("dist_fp"), F.col("c_id"))
-            ).alias("cluster"),
-            F.min("dist_fp").alias("dist_fp"),
-        )
+        cluster_col, dist_col = lloyd_assign_cols()
+        frame = frame.crossJoin(
+            F.broadcast(lloyd_centroid_row(centroids))
+        ).select("vec_id", "embedding", cluster_col, dist_col)
 
-    return assign.groupBy(F.col("cluster").alias("cluster_id")).agg(
+    return frame.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("dist_fp").cast("double") / F.lit(1e12), 6).alias(
             "inertia"
