@@ -486,8 +486,9 @@ def llm_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cluster_col, dist_col = lloyd_assign_cols()
+        cents_row = lloyd_centroid_row(centroids)
         new_frame = (
-            frame.crossJoin(F.broadcast(lloyd_centroid_row(centroids)))
+            frame.crossJoin(F.broadcast(cents_row))
             .select("vec_id", "embedding", cluster_col, dist_col)
             .localCheckpoint(eager=False)  # materialized by the moved count
         )

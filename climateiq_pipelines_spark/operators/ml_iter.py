@@ -426,9 +426,10 @@ def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(fixed_mean_1e9(F.col("x")).alias("c"))
         )
         cluster_col, dist_col = lloyd_assign_cols()
-        frame = frame.crossJoin(
-            F.broadcast(lloyd_centroid_row(centroids))
-        ).select("vec_id", "embedding", cluster_col, dist_col)
+        cents_row = lloyd_centroid_row(centroids)
+        frame = frame.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id", "embedding", cluster_col, dist_col
+        )
 
     return frame.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),

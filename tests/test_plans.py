@@ -48,6 +48,10 @@ NESTED_LOOP_OK = {
     "llm_rrf_fusion",  # same 1-row crosses via its two retriever subplans
     "llm_minhash_jaccard_estimate",  # 8x8 cross of two LIMIT-8 samples (constant at any SF)
     "agg_theta_set_algebra",  # 1-row sketch-estimate x 1-row exact-count crosses
+    "llm_kmeans_iterate",  # r17 in-array Lloyd: 1-row centroid-array broadcast per round
+    "llm_kmeans_converged",  # same in-array round, per-round 1-row broadcast
+    "llm_perceptron_quality",  # r17 fold: 1-row weight-state broadcast per round
+    "llm_classifier_eval",  # composes llm_perceptron_quality's folded rounds
 }
 
 # Keys that run Python by design; everything else must stay JVM-side.
@@ -262,6 +266,9 @@ BROADCAST_OK = {
     ("sorts.py", "off"): "N_PARTITIONS-row offset table (topology-bounded)",
     ("batch_shapes.py", "prior"): "n/1000-row bucket prefix-max table (span-bounded)",
     ("iterative_ext.py", "centroids"): "k x 64 centroid table (Lloyd round)",
+    ("iterative_ext.py", "cents_row"): "1-row k x 64 centroid-array struct (r17 in-array Lloyd)",
+    ("ml_iter.py", "cents_row"): "1-row k x 64 centroid-array struct (r17 in-array Lloyd)",
+    ("ml_train_ext.py", "state"): "1-row weight/trajectory state (r17 perceptron fold)",
     ("queries_tpch_ext.py", "sn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "cn"): "<=2-row filtered nation alias (Q7)",
     ("queries_tpch_ext.py", "nation"): "25-row literal dim (Q10)",
